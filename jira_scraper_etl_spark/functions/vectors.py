@@ -1,0 +1,70 @@
+"""Columnar vector math for embedding similarity.
+
+Two families:
+
+* ``q*`` — integer-quantized (fixed-point) variants. Quantizing each
+  component to ``floor(x * SCALE)`` makes dot products exact integer
+  arithmetic: order-independent, bit-identical across engines and
+  partitionings, hence oracle-checkable. Quantization error at
+  SCALE=1000 is < 0.2% on unit-ish vectors — well under any sane
+  dedup/ANN threshold margin.
+* ``cosine`` — plain double-precision fold (left-to-right
+  ``F.aggregate`` over ``zip_with`` products) for production use where
+  cross-engine bit-equality doesn't matter.
+
+Everything is a single projection over the array column — no explode,
+no shuffle, no UDF. At 100 TB the hot path stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+SCALE = 1000
+
+
+def quantize(vec: Column, scale: int = SCALE) -> Column:
+    """array<float> → array<bigint>: floor(x*scale) per component
+    (floor, not cast: double→long casts truncate toward zero in Spark
+    but round in DuckDB — floor agrees everywhere)."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def qnorm2(a: Column) -> Column:
+    """Exact integer squared L2 norm of a quantized vector."""
+    return qdot(a, a)
+
+
+def qcosine(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors: exact int dot / sqrt of exact int
+    norms — a deterministic double on every engine."""
+    return (
+        qdot(a, b).cast("double")
+        / (F.sqrt(qnorm2(a).cast("double")) * F.sqrt(qnorm2(b).cast("double")))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Double-precision cosine (left fold; production path)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)

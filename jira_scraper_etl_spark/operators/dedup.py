@@ -1,0 +1,156 @@
+"""Dedup operators: MinHash-LSH and SimHash pipelines.
+
+Performance note (why these are DataFrame operators, not per-row array
+expressions): Spark's higher-order functions (transform/aggregate) are
+interpreted, not whole-stage-codegen'd — a 16-hash signature as 16
+array-transforms costs ~2 ms/doc. Restructured as
+``explode(shingles) → 16 codegen'd md5 columns → groupBy(doc).agg(min×16)``
+the same values come out of vectorized hash aggregation with map-side
+partial combine — the shape that holds at 100 TB (shuffle carries only
+doc_id + 16 hashes, never the shingle arrays).
+
+Hash values are identical to functions/hashing.py (seeded md5 hex,
+lexicographic min) — the DuckDB oracles in plans/llm_ops.py remain valid.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.hashing import word_shingles, word_tokens
+
+N_HASHES, N_BANDS, BAND_ROWS = 16, 4, 4
+
+
+def shingled_docs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, sh: array<string>) — distinct word n-gram shingles per doc."""
+    return (df.select(id_col, word_shingles(F.col(text_col), n).alias("sh"))
+            .where(F.size("sh") > 0))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       k: int = N_HASHES) -> DataFrame:
+    """(id, mh0..mh{k-1}) MinHash signature columns.
+
+    explode → k seeded-md5 projections (codegen) → min-aggregate.
+    Partial aggregation runs map-side, so the shuffle is k×32 bytes per
+    doc regardless of document size."""
+    exploded = docs.select(id_col, F.explode("sh").alias("s"))
+    hashed = exploded.select(
+        id_col,
+        *[F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))).alias(f"mh{seed}")
+          for seed in range(k)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"mh{seed}").alias(f"mh{seed}") for seed in range(k)])
+
+
+def band_keys_df(sig: DataFrame, id_col: str = "doc_id",
+                 bands: int = N_BANDS, rows: int = BAND_ROWS) -> DataFrame:
+    """(id, band, key): one row per LSH band, key = md5 of the band's
+    signature rows joined with '|' (matches plans/llm_ops.py oracle)."""
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(
+                "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    return (sig.select(id_col, F.explode(entries).alias("bk"))
+            .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")))
+
+
+def candidate_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any LSH bucket. The join is
+    keyed on (band, key) — bucket-local quadratic only; at scale, salt
+    or cap pathological buckets (boilerplate corpora) before this join."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    return inter.cast("double") / (F.size(sh_a) + F.size(sh_b) - inter)
+
+
+def minhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           threshold: float = 0.2) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    bucket-join → exact-Jaccard verify ≥ threshold.
+    Output: (doc_a, doc_b, jaccard)."""
+    from pyspark import StorageLevel
+
+    # shingling is the expensive map stage and is needed by BOTH the
+    # signature path and the verify path — persist so it runs once
+    # (at 100 TB: materialize the shingled corpus to parquet instead)
+    docs = shingled_docs(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(docs, id_col)
+    banded = band_keys_df(sig, id_col)
+    cand = candidate_pairs(banded, id_col)
+    # join candidate ids back to shingle sets for the verify stage
+    sa = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(id, simhash): 16-bit SimHash via explode → 16-bit token hash
+    (first 4 md5 hex chars) → 16 conditional-sum aggregations → bit
+    assembly. Matches functions/hashing.simhash16 values with fully
+    codegen'd per-token work. Docs with no tokens get simhash 0."""
+    toks = df.select(id_col, F.explode_outer(word_tokens(F.col(text_col))).alias("t"))
+    h = F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("int")
+    counted = toks.groupBy(id_col).agg(*[
+        F.sum(F.when(F.col("t").isNull(), 0)
+              .when(h.bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1)).alias(f"c{i}")
+        for i in range(16)
+    ])
+    fp = F.lit(0)
+    for i in range(16):
+        fp = fp + F.when(F.col(f"c{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return counted.select(id_col, fp.cast("int").alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ max_hamming via lossless
+    nibble-block banding (pigeonhole over 4 blocks ⇒ exact for ≤ 3).
+    Output: (doc_a, doc_b, hamming)."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    blocks = fp.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright("simhash", i * 4).bitwiseAND(F.lit(0xF)).alias("nib"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.nib")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.bit_count(F.col("sh_a").cast("long").bitwiseXOR(F.col("sh_b").cast("long")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.nib") == F.col("b.nib"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,109 @@
+"""The silver transform: raw Jira issues → flat LLM-training corpus.
+
+This is the engine's re-expression of the reference's per-record
+``transform_issue`` loop (transformer.py:225-314) as ONE declarative
+logical plan: ``scan → single projection → write``. No shuffle, no UDF,
+no driver-side loop — at 100 TB it is a pure map stage that scales
+linearly with input splits.
+
+Semantics parity (SURVEY.md §1.3, §2.2, §2.8) with two documented,
+deliberate deviations:
+* classifications are sorted (the reference's ``list(set(...))`` order
+  is Python-hash-seed nondeterminism — unshippable from a distributed
+  engine);
+* validation failures land in ``validation_errors``/``is_valid``
+  columns instead of a log line (same warn-don't-drop outcome, but
+  queryable — the reference still wrote the record, so do we).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions import text as X
+
+
+def _null_safe_name(struct_col: Column, field: str, default: Column | None = None) -> Column:
+    """P2: ``d.get('x', {}).get(field) if d.get('x') else default``."""
+    out = F.when(struct_col.isNull(), default if default is not None else F.lit(None)) \
+        .otherwise(struct_col[field])
+    return out
+
+
+def transform_issues(raw: DataFrame) -> DataFrame:
+    """Transform a DataFrame of raw issues (RAW_ISSUE_SCHEMA rows) into
+    the silver corpus (TRANSFORMED_SCHEMA). Pure DataFrame→DataFrame —
+    composable with batch scans, streams, and the REST source alike."""
+    f = F.col("fields")
+
+    title = X.clean_text(f["summary"])
+    description = X.clean_text(f["description"])
+
+    raw_comments = F.coalesce(
+        f["comment"]["comments"],
+        F.array().cast("array<struct<author:struct<displayName:string>,"
+                       "body:string,created:string,updated:string>>"),
+    )
+    # P6: skip falsy comment entries, then clean each body
+    # (transformer.py:259-268); null author → 'Unknown'.
+    comments = F.transform(
+        F.filter(raw_comments, lambda c: c.isNotNull()),
+        lambda c: F.struct(
+            F.when(c["author"].isNull(), F.lit("Unknown"))
+            .otherwise(c["author"]["displayName"]).alias("author"),
+            X.clean_text(c["body"]).alias("body"),
+            c["created"].alias("created"),
+        ),
+    )
+
+    classifications = X.classify_issue(
+        f["summary"], f["labels"], f["issuetype"]["name"])
+    summary_task = X.generate_summary(title, description)
+    qa = X.qa_pairs(description, comments)
+
+    id_col = F.coalesce(F.col("key"), F.lit("UNKNOWN"))
+    created = f["created"]
+    updated = f["updated"]
+
+    out = raw.select(
+        id_col.alias("id"),
+        title.alias("title"),
+        description.alias("description"),
+        _null_safe_name(f["status"], "name", F.lit("Unknown")).alias("status"),
+        _null_safe_name(f["priority"], "name").alias("priority"),
+        _null_safe_name(f["reporter"], "displayName").alias("reporter"),
+        _null_safe_name(f["assignee"], "displayName").alias("assignee"),
+        created.alias("created"),
+        updated.alias("updated"),
+        F.coalesce(f["labels"], F.array().cast("array<string>")).alias("labels"),
+        F.coalesce(
+            F.transform(f["components"], lambda c: c["name"]),
+            F.array().cast("array<string>"),
+        ).alias("components"),
+        comments.alias("comments"),
+        F.struct(
+            summary_task.alias("summary"),
+            classifications.alias("classifications"),
+            qa.alias("qa_pairs"),
+        ).alias("derived_tasks"),
+    )
+    errors = X.validation_errors(
+        F.col("id"), F.col("title"), F.col("created"), F.col("updated"),
+        F.col("comments"))
+    return out.withColumn("validation_errors", errors) \
+        .withColumn("is_valid", F.size("validation_errors") == 0)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6 JSONL sink: Spark's JSON writer is line-delimited by default.
+    Unlike the reference's single open("w") handle (transformer.py:359 —
+    a crash leaves a truncated file), the write is task-atomic via the
+    commit protocol."""
+    df.write.mode(mode).json(path)
+
+
+def write_silver_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """The engine-native silver sink: parquet, partitioned by nothing at
+    test scale; at 100 TB partition by project/date upstream of this."""
+    df.write.mode(mode).parquet(path)

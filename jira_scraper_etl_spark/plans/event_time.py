@@ -1,0 +1,143 @@
+"""Event-time windows over the ``events`` table (SURVEY.md §2.9 T5).
+
+The reference has no event-time windowing (its only temporal semantics
+are source offsets); these plans add the tumbling / sliding / session
+windows a streaming engine needs, in their *batch* form — ``F.window``
+and ``F.session_window`` are the exact same operators Structured
+Streaming uses, so the streaming module (jira_scraper_etl_spark/
+streaming/) reuses these plans verbatim behind ``readStream``.
+
+Oracle notes: Spark aligns tumbling windows to the Unix epoch; DuckDB's
+``time_bucket`` origin (2000-01-03) is hour/minute aligned with the
+epoch, so buckets agree for any slide that divides a day evenly.
+Session merge uses the half-open ``[ts, ts+gap)`` rule, i.e. a gap of
+exactly 30min starts a NEW session — oracle uses strict ``<``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_events
+from .registry import register, dsum, o_dsum
+
+
+@register(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n, {v}
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """.format(v=o_dsum("value", "total_value")),
+    tags=("events", "window-time"),
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 tumbling window: 1-hour buckets per event type. Same operator
+    Structured Streaming uses with a watermark; batch mode here."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH assigned AS (
+        SELECT TIME_BUCKET(INTERVAL '30 minutes', ts) AS win_start, value FROM events
+        UNION ALL
+        SELECT TIME_BUCKET(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+        FROM events
+    )
+    SELECT win_start, COUNT(*) AS n, {v}
+    FROM assigned GROUP BY win_start
+    """.format(v=o_dsum("value", "total_value")),
+    tags=("events", "window-time"),
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 sliding window: 1-hour length, 30-minute slide (each event in
+    exactly two windows; Spark expands via its internal window generator)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+    )
+
+
+@register(
+    "events_session_30m",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         < INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n, {v}
+    FROM numbered GROUP BY user_id, sid
+    """.format(v=o_dsum("value", "total_value")),
+    tags=("events", "window-time"),
+)
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 session window: 30-minute inactivity gap per user.
+
+    ``F.session_window`` is Spark's native sessionizer (merging
+    [ts, ts+gap) intervals); the oracle reproduces it with the classic
+    gaps-and-islands LAG + running-sum construction.
+    """
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n", "total_value",
+        )
+    )
+
+
+@register(
+    "events_latest_state_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           ts AS last_ts
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("events", "cdc"),
+)
+def events_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4 CDC-style upsert compaction: keep each user's latest event —
+    the reference's re-fetch-and-overwrite semantics (transformer.py:359)
+    expressed as a deterministic dedup-by-recency."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+    )

@@ -1,0 +1,563 @@
+"""LLM training-data pipeline operators (the north-star extensions).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + bucketed ANN), and text
+analysis (language ID / quality / token stats / fingerprints) over the
+``documents`` and ``embeddings`` tables.
+
+Engine-portability design (what makes these oracle-checkable):
+
+* All sketch hashes are md5 hex strings; for fixed-width hex,
+  lexicographic MIN == numeric MIN, so MinHash signatures are exact in
+  both engines (functions/hashing.py).
+* All similarity arithmetic is integer-quantized fixed-point
+  (functions/vectors.py) — order-independent, bit-identical.
+* SimHash LSH banding is *exact* by pigeonhole (hamming ≤ 3 over 4
+  nibble-blocks ⇒ some block equal), so the banded Spark plan equals
+  the all-pairs oracle. MinHash banding is probabilistic, so its oracle
+  models the bands explicitly.
+
+Scale notes: per-operator docstrings call out the 100 TB strategy —
+candidate generation is always hash-bucketed (shuffle on short keys,
+never O(n²)); the quadratic verify step only runs inside buckets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..functions import hashing as H
+from ..functions import textstats as TS
+from ..functions import vectors as V
+from ..operators import dedup as D
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (mirror functions/hashing.py exactly)
+# ---------------------------------------------------------------------------
+
+SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+SQL_SHINGLES = f"""
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(toks)-2),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [array_to_string(toks, ' ')] END
+""".strip()
+
+N_HASHES, N_BANDS, BAND_ROWS = 16, 4, 4
+
+SQL_MINHASH_COLS = ",\n           ".join(
+    f"list_aggregate(list_transform(sh, s -> md5('{seed}:' || s)), 'min') AS mh{seed}"
+    for seed in range(N_HASHES)
+)
+
+SQL_BAND_COLS = ",\n           ".join(
+    "md5(" + " || '|' || ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+    + f") AS band{b}"
+    for b in range(N_BANDS)
+)
+
+SQL_BAND_MATCH = " OR ".join(f"a.band{b} = b.band{b}" for b in range(N_BANDS))
+
+# 16-bit token hash from the first 4 hex chars of md5 (== functions/hashing.hex4_to_int)
+_HEXV = "(strpos('0123456789abcdef', substring(md5(t), {i}, 1)) - 1)"
+SQL_TOKHASH = (f"{_HEXV.format(i=1)}*4096 + {_HEXV.format(i=2)}*256 + "
+               f"{_HEXV.format(i=3)}*16 + {_HEXV.format(i=4)}")
+
+SQL_SIMHASH = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+SQL_QUANT = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+SQL_QDOT_AB = ("list_sum(list_transform(generate_series(1, len(a.q)), "
+               "i -> a.q[i] * b.q[i]))")
+
+
+def _doc_shingled(where: str = "") -> str:
+    return f"""
+    SELECT doc_id, {SQL_SHINGLES} AS sh
+    FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents {where})
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                   '[^a-z0-9]+', ' ', 'g'), ' {2,}', ' ', 'g'))) AS content_hash
+        FROM documents
+    )
+    SELECT doc_id, content_hash, (rn = 1) AS is_canonical, n_copies
+    FROM (
+        SELECT doc_id, content_hash,
+               ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+        FROM hashed
+    )
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-content hash: every doc is tagged with
+    its content hash, whether it is the canonical (lowest-id) copy, and
+    the copy count. At 100 TB this is one shuffle on a 16-byte key with
+    map-side partial aggregation — the cheapest dedup there is."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        F.md5(TS.normalize_for_fingerprint(F.col("text"))).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed
+        .withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .select("doc_id", "content_hash", (F.col("rn") == 1).alias("is_canonical"),
+                "n_copies")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingled AS ({_doc_shingled()}),
+    sig AS (
+        SELECT doc_id, sh,
+           {SQL_MINHASH_COLS}
+        FROM shingled WHERE len(sh) > 0
+    ),
+    banded AS (
+        SELECT doc_id, sh,
+           {SQL_BAND_COLS}
+        FROM sig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM banded a JOIN banded b
+      ON a.doc_id < b.doc_id AND ({SQL_BAND_MATCH})
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+    """,
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word-3-gram shingles → 16-hash MinHash →
+    4-band LSH bucket join → exact Jaccard verify ≥ 0.2.
+
+    Scale shape: candidates come from a groupBy on (band, band_key) —
+    shuffle keyed on 16-byte hashes, never all-pairs. Only bucket
+    co-residents are verified. At 100 TB: same plan with xxhash64
+    signatures and a salt on hot buckets (boilerplate-heavy corpora).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.2)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform(toks, t -> {SQL_TOKHASH}) AS th
+        FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+    ),
+    fp AS (SELECT doc_id, CAST({SQL_SIMHASH} AS INTEGER) AS simhash FROM th)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT)))
+                AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
+    """,
+    tags=("dedup", "lsh"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit fingerprints, pairs at hamming ≤ 3.
+
+    Spark side is nibble-banded LSH: split the fingerprint into 4
+    nibble blocks; hamming ≤ 3 guarantees (pigeonhole) at least one
+    identical block, so a 4-way bucket join finds *exactly* the same
+    pairs as the all-pairs oracle — banding is lossless here, which is
+    why this plan scales (shuffle on (block_idx, nibble), no O(n²)).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingled AS ({_doc_shingled("WHERE doc_id < 200")})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard on a bounded slice (doc_id < 200).
+
+    This is the ground-truth operator the LSH variants approximate —
+    deliberately quadratic, so it is gated to a bounded subset. At
+    scale it only ever runs inside LSH buckets (see dedup_minhash_lsh).
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs = (d.select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
+            .where(F.size("sh") > 0))
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                (inter.cast("double") / union).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.1)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST({SQL_QDOT_AB} AS DOUBLE)
+             / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST({SQL_QDOT_AB} AS DOUBLE)
+             / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) >= 0.45
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with quantized cosine ≥ 0.45.
+
+    Fixed-point quantization (floor(x·1000)) makes the dot product exact
+    integer math — order-independent and engine-portable. The all-pairs
+    join is the verify stage; at 100 TB candidates come from
+    similarity_ann_lsh-style bucketing first and this verify runs only
+    within buckets.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    q = q.withColumn("n2", V.qnorm2(F.col("q")))
+    a, b = q.alias("a"), q.alias("b")
+    cos = (V.qdot(F.col("a.q"), F.col("b.q")).cast("double")
+           / (F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.45)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {SQL_QUANT} AS q FROM embeddings),
+    n AS (SELECT vec_id, label, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               CAST({SQL_QDOT_AB} AS DOUBLE)
+                 / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cos_sim
+        FROM n a JOIN n b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cos_sim, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 10
+    """,
+    tags=("similarity",),
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a query set (vec_id < 5) — the exact
+    baseline every ANN variant is measured against.
+
+    The query side is tiny and broadcast; scoring is a map-only pass
+    over the corpus (no shuffle for the join), then a per-query top-k
+    window. At 100 TB: identical plan, queries stay broadcast.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = (e.select("vec_id", "label", V.quantize(F.col("embedding")).alias("q"))
+            .withColumn("n2", V.qnorm2(F.col("q"))))
+    queries = base.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
+                F.col("n2").alias("qn2"))
+    cos = (V.qdot(F.col("qq"), F.col("q")).cast("double")
+           / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double"))))
+    scored = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neighbor_label"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rk"))
+
+
+@register(
+    "similarity_ann_signlsh",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
+    n AS (
+        SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2,
+               (CASE WHEN q[1] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN q[2] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN q[3] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM q
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST({SQL_QDOT_AB} AS DOUBLE)
+                 / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cos_sim
+        FROM n a JOIN n b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+    tags=("similarity", "lsh"),
+)
+def similarity_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: sign-LSH on the first 3 components (8 buckets) —
+    candidates share the query's bucket; top-5 by quantized cosine.
+
+    The scale path for similarity search: an equi-join on the bucket id
+    replaces the all-pairs product, trading recall (~bucket collision
+    probability) for a shuffle keyed on 1 byte. Production tuning =
+    more hyperplanes + multi-probe; the operator shape is identical.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+            .withColumn("n2", V.qnorm2(F.col("q"))))
+    bucket = (
+        F.when(F.element_at("q", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("q", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("q", 3) > 0, 1).otherwise(0)
+    )
+    base = base.withColumn("bucket", bucket)
+    queries = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"), F.col("bucket").alias("qbucket"))
+    cos = (V.qdot(F.col("qq"), F.col("q")).cast("double")
+           / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double"))))
+    scored = (
+        base.join(F.broadcast(queries),
+                  (F.col("bucket") == F.col("qbucket"))
+                  & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id", "cos_sim", "rk"))
+
+
+@register("similarity_ann_mllsh", oracle=None, tags=("similarity", "lsh", "ml"))
+def similarity_ann_mllsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via Spark ML's BucketedRandomProjectionLSH (seeded):
+    approxSimilarityJoin of a 5-vector query set against the corpus,
+    euclidean threshold, ranked. No oracle — the random projections are
+    Spark-internal (driver records rows-only); similarity_ann_signlsh is
+    the oracle-checked LSH variant."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", array_to_vector(
+        F.transform("embedding", lambda x: x.cast("double"))).alias("features"))
+    lsh = BucketedRandomProjectionLSH(inputCol="features", outputCol="hashes",
+                                      bucketLength=2.0, numHashTables=3, seed=42)
+    model = lsh.fit(vecs)
+    queries = vecs.where(F.col("vec_id") < 5)
+    joined = model.approxSimilarityJoin(queries, vecs, 8.0, distCol="dist")
+    out = joined.select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.col("dist"),
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (out.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_SW_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in TS.STOPWORDS.items()
+}
+_HITS = {
+    lang: f"len(list_intersect(list_distinct(toks), {_SW_SQL[lang]}))"
+    for lang in sorted(TS.STOPWORDS)
+}
+_BEST = "greatest(" + ", ".join(_HITS[lang] for lang in sorted(TS.STOPWORDS)) + ")"
+# lexicographically-first language wins ties (matches functions/textstats.py)
+_PRED = "CASE "
+for lang in sorted(TS.STOPWORDS):
+    _PRED += f"WHEN {_BEST} > 0 AND {_HITS[lang]} = {_BEST} THEN '{lang}' "
+_PRED += "ELSE 'unknown' END"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang, {_PRED} AS predicted_lang,
+           CAST({_BEST} AS INTEGER) AS best_hits
+    FROM (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents)
+    """,
+    tags=("textstats",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by function-word overlap (n-gram heuristic): argmax of
+    per-language stopword hits, ties to the lexicographically-first
+    language, 'unknown' when nothing matches. Broadcast-lexicon map-only
+    pass — the standard first gate of a multilingual curation pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = [TS.stopword_hits(F.col("text"), lang) for lang in sorted(TS.STOPWORDS)]
+    best = F.greatest(*hits)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TS.predict_language(F.col("text")).alias("predicted_lang"),
+        best.cast("int").alias("best_hits"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1) AS punct_ratio,
+               CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / GREATEST(LENGTH(text), 1) AS digit_ratio,
+               CAST({_HITS['en']} AS DOUBLE) / 10.0 AS stopword_ratio
+        FROM t
+    )
+    SELECT doc_id, n_chars, n_words, punct_ratio, digit_ratio, stopword_ratio,
+           0.5 * (CASE WHEN n_words BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.25 END)
+           + 0.25 * stopword_ratio
+           + 0.25 * (1.0 - LEAST(1.0, punct_ratio * 4 + digit_ratio * 4)) AS quality
+    FROM c
+    """,
+    tags=("textstats",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality signals + composite score per document
+    (length band, stopword density, punctuation/digit noise). All
+    ratios are int/int → double: deterministic on every engine."""
+    d = load_table(spark, sf_dir, "documents")
+    c = TS.quality_components(F.col("text"))
+    return d.select(
+        "doc_id",
+        c["n_chars"].alias("n_chars"),
+        c["n_words"].alias("n_words"),
+        c["punct_ratio"].alias("punct_ratio"),
+        c["digit_ratio"].alias("digit_ratio"),
+        c["stopword_ratio"].alias("stopword_ratio"),
+        TS.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS INTEGER) AS bpe_tokens,
+           CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> ''))) AS INTEGER) AS vocab_size,
+           CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> ''))) AS DOUBLE)
+             / GREATEST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> '')), 1) AS type_token_ratio
+    FROM documents
+    """,
+    tags=("textstats",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting: whitespace tokens, BPE-ish word-piece count
+    (letters|digits|symbol regex — the classic pre-tokenizer), vocab
+    size and type/token ratio. The budget function for context-length
+    planning over a 100 TB corpus — map-only, codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    toks = H.word_tokens(F.col("text"))
+    vocab = F.array_distinct(toks)
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("ws_tokens"),
+        TS.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        F.size(vocab).alias("vocab_size"),
+        (F.size(vocab).cast("double")
+         / F.greatest(F.size(toks), F.lit(1))).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'),
+                    ' {{2,}}', ' ', 'g')) AS norm,
+               {SQL_SHINGLES} AS sh
+        FROM (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id,
+           md5(norm) AS content_fp,
+           SUBSTRING(md5(norm), 1, 8) AS short_fp,
+           array_to_string(list_sort(list_transform(sh, s -> md5('0:' || s)))[1:3], ',')
+               AS kmin_sketch
+    FROM t
+    """,
+    tags=("textstats",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: full + short content hash over the
+    normalized text, plus a 3-min k-min sketch over shingle hashes
+    (a winnowing-style selection — the same sketch used for
+    containment search)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = TS.normalize_for_fingerprint(F.col("text"))
+    sh = H.word_shingles(F.col("text"), 3)
+    kmin = F.slice(F.array_sort(F.transform(sh, lambda s: H.seeded_md5(s, 0))), 1, 3)
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.substring(F.md5(norm), 1, 8).alias("short_fp"),
+        F.array_join(kmin, ",").alias("kmin_sketch"),
+    )

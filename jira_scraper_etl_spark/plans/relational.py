@@ -1,0 +1,570 @@
+"""Relational query surface: aggregations, joins, windows, sorts, set ops.
+
+The reference has no relational layer (SURVEY.md §2.3/§2.5 mark joins and
+windows ABSENT), but the engine's correctness harness exercises a
+TPC-H-ish star schema — these plans cover SURVEY.md §2.3 J2–J4, §2.4
+A1–A6, §2.5 windows, §2.6 sorts/limits and §2.7 set ops with idiomatic,
+shuffle-conscious Spark:
+
+* dimension tables (region/nation, derived buckets) are broadcast —
+  no shuffle for the dim side at any scale factor;
+* aggregations are plain ``groupBy`` so Catalyst plans partial (map-side)
+  + final hash aggregation;
+* top-k is ``orderBy().limit(k)`` which Spark plans as
+  TakeOrderedAndProject (per-partition heap + driver merge, no global sort).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from .registry import register, money, dsum, o_dsum, davg, o_davg, lsum, o_lsum
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.4 A1–A6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty}, {sum_base_price}, {sum_disc_price}, {sum_charge},
+           {avg_qty}, {avg_price}, {avg_disc},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=o_dsum("l_quantity", "sum_qty"),
+        sum_base_price=o_dsum("l_extendedprice", "sum_base_price"),
+        sum_disc_price=(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price"),
+        sum_charge=(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+            " * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge"),
+        avg_qty=o_davg("l_quantity", "avg_qty"),
+        avg_price=o_davg("l_extendedprice", "avg_price"),
+        avg_disc=o_davg("l_discount", "avg_disc"),
+    ),
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1 pricing summary (partial+final hash agg, one shuffle).
+
+    SURVEY.md §7.1 flagship shape; exercises A2/A3/A6 grouped aggregation.
+    All money math in exact DECIMAL so the result is order-independent
+    (bit-identical across engines and partitionings).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    charge = disc_price * (F.lit(1) + money("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_orders_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {total_price},
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """.format(total_price=o_dsum("o_totalprice", "total_price")),
+    tags=("agg",),
+)
+def agg_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 count-per-group + A3 conditional count + A5 distinct, one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "agg_running_max_per_group",
+    oracle="""
+    SELECT o_orderstatus,
+           MAX(o_orderdate) AS latest_order,
+           MIN(o_orderdate) AS first_order,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_running_max_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the reference's running MAX(updated) (extract.py:348-351) as
+    a grouped max/min over real timestamps instead of string compares."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max("o_orderdate").alias("latest_order"),
+        F.min("o_orderdate").alias("first_order"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("agg",),
+)
+def agg_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 relational DISTINCT (hash-agg based dedup)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "agg_cube_flag_status",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           COUNT(*) AS n, {qty}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.format(qty=o_dsum("l_quantity", "qty")),
+    tags=("agg",),
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 grouping-set family: CUBE with COALESCE'd subtotal markers.
+
+    COALESCE markers (not raw NULLs) so the hash compare cannot confuse
+    a subtotal row with a genuinely-null group key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n", "qty",
+        )
+    )
+
+
+@register(
+    "agg_rollup_year_status",
+    oracle="""
+    SELECT COALESCE(CAST(EXTRACT(YEAR FROM o_orderdate) AS VARCHAR), '<all>') AS order_year,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           COUNT(*) AS n, {rev}
+    FROM orders
+    GROUP BY ROLLUP (EXTRACT(YEAR FROM o_orderdate), o_orderstatus)
+    """.format(rev=o_dsum("o_totalprice", "rev")),
+    tags=("agg",),
+)
+def agg_rollup_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: ROLLUP hierarchy year → status with subtotal markers."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year_i", F.year("o_orderdate"))
+        .rollup("order_year_i", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "rev"))
+        .select(
+            F.coalesce(F.col("order_year_i").cast("string"), F.lit("<all>")).alias("order_year"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "n", "rev",
+        )
+    )
+
+
+@register(
+    "agg_exact_count_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_exact_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 exact multi-column COUNT DISTINCT (expand + two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register("agg_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 approx_count_distinct (HLL++). No oracle — sketch estimates are
+    engine-specific; the driver records a rows-only check. At 100 TB this
+    replaces exact distinct wherever a ±2% answer is acceptable (no expand,
+    map-side mergeable sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.3 J2–J4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           {rev}, COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name, r.r_name
+    """.format(rev=o_dsum("o.o_totalprice", "rev")),
+    tags=("join",),
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 multi-way equi join: fact ⋈ dims with explicit broadcasts.
+
+    customer is bounded (~SF·150k rows) and nation/region are constant-
+    size — all three are broadcast so the only shuffle is the final
+    groupBy. At 100 TB the orders scan never shuffles for the join.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+        .agg(dsum("o_totalprice", "rev"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi_customers_with_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("join",),
+)
+def join_semi_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left-semi join (EXISTS): customers holding a >300k order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_outer_order_counts",
+    oracle="""
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 left-outer join preserving order-less customers (count = 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_range_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('small', 0.0, 50000.0), ('medium', 50000.0, 200000.0),
+               ('large', 200000.0, 1000000.0)
+    )
+    SELECT b.band AS band, COUNT(*) AS n, {rev}
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """.format(rev=o_dsum("o.o_totalprice", "rev")),
+    tags=("join",),
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 theta/range join against a tiny broadcast band table.
+
+    A non-equi join is only scalable when the small side broadcasts
+    (otherwise Spark falls back to BNLJ over shuffled partitions);
+    bands is 3 rows so the fact side streams map-side only.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("medium", 50000.0, 200000.0),
+         ("large", 200000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(F.broadcast(bands),
+               (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "rev"))
+    )
+
+
+@register(
+    "join_asof_last_event_before_order",
+    oracle="""
+    SELECT o_orderkey, ev.event_id AS event_id, ev.event_type AS event_type
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+          WHERE o_custkey <= 100) o
+    LEFT JOIN LATERAL (
+        SELECT event_id, event_type FROM events e
+        WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+    ) ev ON TRUE
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 as-of join: latest event at-or-before each order date per user.
+
+    Implemented as equi-join on the key + window rank over event time —
+    the shuffle is on the join key only (no range explosion), which is
+    the scalable formulation when the right side has bounded rows per
+    key. Ties broken by event_id for determinism.
+    """
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_custkey") <= 100)
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    joined = o.join(e, (o.o_custkey == e.user_id) & (e.ts <= o.o_orderdate), "left")
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", "event_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) t WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 row_number: per-group top-k without a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_lag_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(RANK() OVER w AS INTEGER) AS rk,
+           LAG(o_orderkey) OVER w AS prev_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_rank_lag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 rank/lag/lead analytics over an event sequence per customer."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.rank().over(w).alias("rk"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_rev
+    FROM orders WHERE o_custkey <= 200
+    """,
+    tags=("window",),
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 running frame (rowsBetween) — exact decimal running sum."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_expensive_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("sort",),
+)
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 top-k: Spark plans TakeOrderedAndProject (heap per partition +
+    driver merge — no global shuffle sort even at 100 TB)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "setop_union_segments",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 350000
+    """,
+    tags=("setop",),
+)
+def setop_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 UNION (distinct) of two key sets."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.where(F.col("o_totalprice") > 350000).select(F.col("o_custkey").alias("c_custkey"))
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_intersect_buyers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def setop_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 INTERSECT: customers appearing in both order-status sets."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "setop_except_never_priority",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop",),
+)
+def setop_except_never_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 EXCEPT: customers with no urgent orders."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return c.subtract(o)  # EXCEPT DISTINCT semantics
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_project_shipped_window",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
+      AND l_returnflag = 'R' AND l_quantity >= 25
+    """,
+    tags=("filter",),
+)
+def filter_project_shipped_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4-style predicate + projection; filters and the 4-column
+    ReadSchema push into the parquet scan (verified via .explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp_ntz"))
+            & (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") >= 25)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )

@@ -1,0 +1,82 @@
+"""SparkSession construction with scale-conscious defaults.
+
+The engine targets large clusters (the design point is ~1000 executors /
+~100 TB inputs) but tests on ``local[N]``. The defaults below are the
+ones that matter at both scales:
+
+* AQE on — runtime shuffle-partition coalescing + skew-join splitting.
+* ``spark.sql.session.timeZone=UTC`` — deterministic timestamp semantics
+  (the reference compares ISO timestamps as strings, which is only safe
+  because Jira emits one offset; we parse to real timestamps and pin UTC).
+* ``spark.sql.legacy.parquet.nanosAsLong=true`` — the synthetic ``events``
+  table stores TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+  reading nanos as int64 keeps the scan vectorized and we convert to
+  TIMESTAMP_NTZ columnar-side (see ``catalog.load_events``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs the engine relies on. Applied both at
+# builder time (our own sessions) and defensively at runtime for
+# externally provided sessions (the correctness driver builds its own).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for pandas UDFs / toPandas — the only sane Python<->JVM path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "jira-scraper-etl-spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a session tuned for the local harness.
+
+    ``shuffle_partitions`` defaults to the core count: at test scale a
+    shuffle partition per core avoids tiny-task overhead; on a real
+    cluster this would be sized to ~128 MB per post-shuffle partition
+    and AQE coalesces the rest.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    apply_runtime_confs(spark)
+    return spark
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Apply engine-required SQL confs to an externally built session.
+
+    All confs in ``RUNTIME_CONFS`` are runtime-settable SQL confs; a
+    failure to set one (e.g. a future Spark removing a legacy flag) is
+    non-fatal — the corresponding loader falls back (see catalog).
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass

@@ -1,0 +1,44 @@
+"""Registry smoke tests: every query runs at sf0.001 with a stable
+schema; the driver entry contract works. (Value-level parity vs DuckDB
+is covered by tools/check_oracle.py and the driver's own harness.)"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from jira_scraper_etl_spark import plans
+
+
+@pytest.mark.parametrize("name", sorted(plans.QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    q = plans.QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0
+
+
+def test_oracle_coverage():
+    """Every query has an oracle unless explicitly rows-only (approx
+    sketches, ML-internal LSH, code-defined Jira fixtures)."""
+    rows_only = {name for name, q in plans.QUERIES.items() if q.oracle is None}
+    assert rows_only == {
+        "agg_approx_count_distinct",
+        "similarity_ann_mllsh",
+        "jira_transform_silver",
+        "jira_corpus_stats",
+    }
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    qs = entrymod.queries()
+    os = entrymod.oracle_sql()
+    assert set(os) <= set(qs)
+    assert len(qs) == len(plans.QUERIES)
