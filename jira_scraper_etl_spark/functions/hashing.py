@@ -1,13 +1,14 @@
 """Deterministic, engine-portable hashing primitives for dedup sketches.
 
-Design decision: every sketch hash is ``md5`` of a seeded string, kept
-as its 32-char lowercase hex representation. For fixed-length hex,
-lexicographic string order == numeric order of the 128-bit value, so
-``MIN`` over hex strings is a valid MinHash — and both Spark and DuckDB
-produce byte-identical md5 hex, which makes every sketch operator
-oracle-checkable. At 100 TB you'd swap md5-hex (32 bytes/value) for
-``xxhash64`` ints (8 bytes) — the operator shapes are unchanged; the
-hex variant is the portable/testable reference implementation.
+Design decision: every sketch derives from ``md5`` hex digests, because
+Spark and DuckDB produce byte-identical md5 hex — which makes every
+sketch operator oracle-checkable. MinHash uses the Kirsch-Mitzenmacher
+construction (``km_hash``): one md5 per shingle expanded into k 32-bit
+integer family members via ``(h1 + i·h2) mod 2³²`` — k× cheaper than k
+seeded hashes, and signatures shuffle as longs, not hex strings. At
+100 TB you'd swap the md5 base hash for ``xxhash64`` (no hex
+round-trip) — the operator shapes are unchanged; the md5 variant is the
+portable/testable reference implementation.
 """
 
 from __future__ import annotations
@@ -27,14 +28,13 @@ def word_tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lowercased text.
-
-    The shingle basis for MinHash / Jaccard dedup. Documents shorter
-    than ``n`` words fall back to their full token sequence as a single
-    shingle, so short docs still participate.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column. Callers on the hot path should tokenize into a real
+    column first (ideally behind an exchange) so the tokenization
+    expression is evaluated once, not once per reference — the
+    interpreted higher-order pipeline below references the array ~6×.
     """
-    toks = word_tokens(text)
     k = F.size(toks)
     # arrays_zip of n shifted slices, NOT element_at(toks, i) inside the
     # lambda: interpreted higher-order functions re-evaluate the full
@@ -51,15 +51,42 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """MinHash signature: array of k lexicographic-min seeded md5 hexes.
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text.
 
-    One column expression per seed — evaluated in a single projection,
-    no shuffle, no UDF. Empty shingle sets produce nulls (filtered by
-    callers)."""
+    The shingle basis for MinHash / Jaccard dedup. Documents shorter
+    than ``n`` words fall back to their full token sequence as a single
+    shingle, so short docs still participate. Convenience composition —
+    for large corpora prefer tokenizing into a column and calling
+    ``shingles_from_tokens`` (see its docstring).
+    """
+    return shingles_from_tokens(word_tokens(text), n)
+
+
+MOD32 = 4294967296  # 2^32
+
+
+def km_hash(md5_hex: Column, i: int) -> Column:
+    """Kirsch-Mitzenmacher hash-family member i from an md5 hex digest:
+    ``(h1 + i·h2) mod 2³²`` where h1/h2 are the digest's two 32-bit hex
+    halves. One real hash yields k family members — the standard trick
+    for cheap MinHash signatures (also used for Bloom filters)."""
+    h1 = F.conv(F.substring(md5_hex, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(md5_hex, 9, 8), 16, 10).cast("bigint")
+    return (h1 + F.lit(i) * h2) % F.lit(MOD32)
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """MinHash signature: array of k min-over-shingles KM hashes (bigint).
+
+    Per-row expression form (no shuffle, no UDF) for array-column
+    callers; the distributed pipeline in operators/dedup.py computes the
+    same values via explode + min-aggregate, which is the shape that
+    scales. Empty shingle sets produce nulls (filtered by callers)."""
+    ms = F.transform(shingles, lambda s: F.md5(s))
     return F.array(*[
-        F.array_min(F.transform(shingles, lambda s, seed=seed: seeded_md5(s, seed)))
-        for seed in range(k)
+        F.array_min(F.transform(ms, lambda m, i=i: km_hash(m, i)))
+        for i in range(k)
     ])
 
 
@@ -71,7 +98,8 @@ def band_keys(signature: Column, bands: int, rows: int) -> Column:
     ready to explode into the bucket-join."""
     entries = []
     for b in range(bands):
-        rows_b = [F.element_at(signature, b * rows + r + 1) for r in range(rows)]
+        rows_b = [F.element_at(signature, b * rows + r + 1).cast("string")
+                  for r in range(rows)]
         entries.append(F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws("|", *rows_b)).alias("key"),

@@ -9,8 +9,9 @@ the same values come out of vectorized hash aggregation with map-side
 partial combine — the shape that holds at 100 TB (shuffle carries only
 doc_id + 16 hashes, never the shingle arrays).
 
-Hash values are identical to functions/hashing.py (seeded md5 hex,
-lexicographic min) — the DuckDB oracles in plans/llm_ops.py remain valid.
+Hash values are identical to functions/hashing.py (Kirsch-Mitzenmacher
+integer family over md5 halves) — the DuckDB oracles in plans/llm_ops.py
+mirror the same arithmetic digit-for-digit.
 """
 
 from __future__ import annotations
@@ -18,33 +19,69 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from ..functions.hashing import word_shingles, word_tokens
+from ..functions.hashing import shingles_from_tokens, word_tokens
 
 N_HASHES, N_BANDS, BAND_ROWS = 16, 4, 4
 
 
 def shingled_docs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, sh: array<string>) — distinct word n-gram shingles per doc."""
-    return (df.select(id_col, word_shingles(F.col(text_col), n).alias("sh"))
-            .where(F.size("sh") > 0))
+    """(id, sh: array<string>) — distinct word n-gram shingles per doc.
+
+    Two-stage on purpose: tokenize, exchange, then shingle from the
+    token *attribute*. The exchange (a) fans a small single-file scan
+    out across all cores before the expensive interpreted shingle
+    pipeline, and (b) is a CollapseProject barrier, so the tokenization
+    expression is evaluated once per row instead of once per reference
+    (~6× inside shingles_from_tokens). Measured 3.4s → 0.6s at sf0.1.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # `sh` is non-empty for every non-null text (empty/whitespace docs
+    # fall back to a single joined-token shingle), so the "has shingles"
+    # guard is exactly `text IS NOT NULL` — which pushes into the
+    # parquet scan. Filtering on size(sh) instead gets predicate-pushed
+    # below the exchange and re-inlines the whole shingle expression
+    # into a pre-exchange single-threaded Filter (2.6s at sf0.1).
+    #
+    # The repartition sits on the RAW text: a small corpus is one file
+    # split, and anything computed pre-exchange runs on one core.
+    # Tokenize and shingle are separate post-exchange projections;
+    # CollapseProject leaves them alone (the token array is non-cheap
+    # and referenced ~6× by the shingle expression), so tokenization is
+    # evaluated once per row.
+    raw = (df.where(F.col(text_col).isNotNull())
+           .select(id_col, text_col).repartition(par))
+    toks = raw.select(id_col, word_tokens(F.col(text_col)).alias("toks"))
+    return toks.select(id_col, shingles_from_tokens(F.col("toks"), n).alias("sh"))
+
+
+MOD32 = 4294967296  # 2^32 — Kirsch-Mitzenmacher family modulus
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        k: int = N_HASHES) -> DataFrame:
-    """(id, mh0..mh{k-1}) MinHash signature columns.
+    """(id, mh0..mh{k-1}) integer MinHash signature columns.
 
-    explode → k seeded-md5 projections (codegen) → min-aggregate.
-    Partial aggregation runs map-side, so the shuffle is k×32 bytes per
-    doc regardless of document size."""
+    explode → ONE md5 per shingle → Kirsch-Mitzenmacher family
+    ``h_i = (h1 + i·h2) mod 2³²`` (h1/h2 = the md5's two 32-bit hex
+    halves) → k min-aggregates. One cryptographic hash instead of k
+    (was k seeded md5s: 2.3s → 0.3s at sf0.1), and the shuffle carries
+    k longs per doc, not k 32-char hex strings. Partial aggregation
+    runs map-side, so shuffle size is independent of document size.
+
+    Staged as separate projections (md5, then halves) so the non-cheap
+    md5/substring expressions are evaluated once, not once per
+    reference — CollapseProject keeps them apart."""
     exploded = docs.select(id_col, F.explode("sh").alias("s"))
-    hashed = exploded.select(
+    m = exploded.select(id_col, F.md5("s").alias("m"))
+    hp = m.select(
         id_col,
-        *[F.md5(F.concat(F.lit(f"{seed}:"), F.col("s"))).alias(f"mh{seed}")
-          for seed in range(k)],
+        F.conv(F.substring("m", 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring("m", 9, 8), 16, 10).cast("bigint").alias("h2"),
     )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"mh{seed}").alias(f"mh{seed}") for seed in range(k)])
+    return hp.groupBy(id_col).agg(
+        *[F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MOD32)).alias(f"mh{i}")
+          for i in range(k)])
 
 
 def band_keys_df(sig: DataFrame, id_col: str = "doc_id",
@@ -55,7 +92,8 @@ def band_keys_df(sig: DataFrame, id_col: str = "doc_id",
         F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws(
-                "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias("key"),
+                "|", *[F.col(f"mh{b * rows + r}").cast("string")
+                       for r in range(rows)])).alias("key"),
         )
         for b in range(bands)
     ])
@@ -92,8 +130,14 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
 
     # shingling is the expensive map stage and is needed by BOTH the
     # signature path and the verify path — persist so it runs once
-    # (at 100 TB: materialize the shingled corpus to parquet instead)
+    # (at 100 TB: materialize the shingled corpus to parquet instead).
+    # The count() fills the cache EAGERLY: the downstream DAG fans out
+    # into several concurrent shuffle-map stages (signature, verify-a,
+    # verify-b) and concurrent first readers of a lazy persist each
+    # recompute the full shingle pipeline (measured 4× duplicate 1.6s
+    # stages at sf0.1).
     docs = shingled_docs(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    docs.count()
     sig = minhash_signatures(docs, id_col)
     banded = band_keys_df(sig, id_col)
     cand = candidate_pairs(banded, id_col)
@@ -133,7 +177,11 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     """SimHash near-dup pairs at hamming ≤ max_hamming via lossless
     nibble-block banding (pigeonhole over 4 blocks ⇒ exact for ≤ 3).
     Output: (doc_a, doc_b, hamming)."""
-    fp = simhash_fingerprints(df, id_col, text_col)
+    # fan out of the single-file scan partition before per-token hashing
+    # (same rationale as minhash_near_dup_pairs)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    fp = simhash_fingerprints(
+        df.select(id_col, text_col).repartition(par), id_col, text_col)
     blocks = fp.select(
         id_col, "simhash",
         F.explode(F.array(*[

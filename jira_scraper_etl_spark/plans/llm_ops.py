@@ -49,13 +49,34 @@ SQL_SHINGLES = f"""
 
 N_HASHES, N_BANDS, BAND_ROWS = 16, 4, 4
 
+
+def _sql_hex32(expr: str, start: int) -> str:
+    """8 hex chars of ``expr`` starting at 1-based ``start`` → uint32,
+    via per-digit position arithmetic (portable across engines)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {start + j}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+
+
+# Kirsch-Mitzenmacher MinHash (mirrors functions/hashing.km_hash and
+# operators/dedup.minhash_signatures): one md5 per shingle, family
+# member i = (h1 + i*h2) mod 2^32 over the digest's two hex halves.
+SQL_HASH_PAIRS = (
+    f"list_transform(ms, m -> [CAST({_sql_hex32('m', 1)} AS BIGINT), "
+    f"CAST({_sql_hex32('m', 9)} AS BIGINT)])"
+)
+
 SQL_MINHASH_COLS = ",\n           ".join(
-    f"list_aggregate(list_transform(sh, s -> md5('{seed}:' || s)), 'min') AS mh{seed}"
-    for seed in range(N_HASHES)
+    f"list_aggregate(list_transform(hp, p -> (p[1] + {i} * p[2]) % 4294967296),"
+    f" 'min') AS mh{i}"
+    for i in range(N_HASHES)
 )
 
 SQL_BAND_COLS = ",\n           ".join(
-    "md5(" + " || '|' || ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+    "md5(" + " || '|' || ".join(
+        f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS))
     + f") AS band{b}"
     for b in range(N_BANDS)
 )
@@ -131,10 +152,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH shingled AS ({_doc_shingled()}),
+    hashed AS (
+        SELECT doc_id, sh, {SQL_HASH_PAIRS} AS hp
+        FROM (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS ms
+              FROM shingled WHERE len(sh) > 0)
+    ),
     sig AS (
         SELECT doc_id, sh,
            {SQL_MINHASH_COLS}
-        FROM shingled WHERE len(sh) > 0
+        FROM hashed
     ),
     banded AS (
         SELECT doc_id, sh,
