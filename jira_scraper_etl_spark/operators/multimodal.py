@@ -1,0 +1,277 @@
+"""Multimodal column operators: binary media payloads with typed metadata.
+
+The reference corpus is text-only (`transformer.py:245-294` projects only
+string/array fields), but a training-data pipeline at 100 TB carries
+image/audio/video alongside text. This module treats media as an opaque
+``binary`` column plus a typed metadata struct, and implements the four
+canonical media operators — decode, feature-extract, resize, frame-sample
+— as Arrow-batched ``mapInPandas`` passes.
+
+Container constraint: no image/audio codecs are installed, so *real*
+format decoding (JPEG/PNG/WAV magic) is a clearly-marked
+``NotImplementedError`` stub. Everything Spark-side is real and tested:
+the binary schema, the 8-byte container header, Arrow batch shapes,
+partitioning behavior, and the row-multiplying frame-sample pass.
+
+Deterministic fake format ``FAKE`` (so every operator is oracle-checkable
+in DuckDB):
+
+    byte 0-3   magic b"FAKE"
+    byte 4     version (1)
+    byte 5     media-type code (1=image, 2=audio, 3=video)
+    byte 6     n_frames
+    byte 7     frame_bytes (16)
+    byte 8..   payload: n_frames frames, frame i = unhex(md5(doc_id || ':' || i))
+
+Because frame i's bytes ARE the md5 digest of ``"{doc_id}:{i}"``, a SQL
+oracle can reproduce every byte of the payload from the hex digest string
+— no binary support needed on the oracle side.
+
+Scale notes: every operator here is a map-only pass (zero shuffles); the
+binary column never moves through a shuffle, and ``mapInPandas`` streams
+Arrow batches so a 100 TB media corpus is bounded by scan + Python batch
+throughput, not memory. Frame sampling multiplies rows *within* a
+partition — no exchange.
+"""
+
+from __future__ import annotations
+
+import binascii
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
+
+MAGIC = b"FAKE"
+VERSION = 1
+FRAME_BYTES = 16
+TYPE_CODES = {"image": 1, "audio": 2, "video": 3}
+CODE_TYPES = {v: k for k, v in TYPE_CODES.items()}
+
+# Real-format magics we recognize but cannot decode in this container.
+_REAL_MAGICS = {
+    b"\xff\xd8\xff": "jpeg",
+    b"\x89PNG": "png",
+    b"RIFF": "wav/avi",
+    b"\x00\x00\x00\x18ftyp": "mp4",
+}
+
+
+# ---------------------------------------------------------------------------
+# Synthetic media attachment (deterministic — the testbed's media table)
+# ---------------------------------------------------------------------------
+
+def media_type_col(doc_id: Column) -> Column:
+    """doc_id % 3 → image / audio / video (deterministic round-robin)."""
+    return F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (doc_id % 3 + 1).cast("int"),
+    )
+
+
+def n_frames_col(doc_id: Column) -> Column:
+    """image → 1 frame, audio → 3 chunks, video → 4 + doc_id % 8 frames."""
+    m = doc_id % 3
+    return (
+        F.when(m == 0, F.lit(1))            # image
+        .when(m == 1, F.lit(3))             # audio
+        .otherwise(4 + (doc_id % 8))        # video
+        .cast("int")
+    )
+
+
+def attach_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic binary media column + typed metadata to a
+    table keyed by ``id_col``.
+
+    Columnar construction: the whole container (header + frames) is one
+    hex string built from md5 digests, unhex'd once — stays inside
+    whole-stage codegen, no UDF, no shuffle. This is the testbed stand-in
+    for a real bronze media table (parquet with a binary column).
+    """
+    doc_id = F.col(id_col)
+    n_frames = n_frames_col(doc_id)
+    header_hex = F.concat(
+        F.lit(MAGIC.hex().upper()),
+        F.lit(f"{VERSION:02X}"),
+        F.lpad(F.hex(doc_id % 3 + 1), 2, "0"),
+        F.lpad(F.hex(n_frames), 2, "0"),
+        F.lit(f"{FRAME_BYTES:02X}"),
+    )
+    # payload hex = md5(doc_id:0) || md5(doc_id:1) || ... (one per frame)
+    frames_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda i: F.md5(F.concat(doc_id.cast("string"), F.lit(":"), i.cast("string"))),
+        ),
+        "",
+    )
+    meta = F.struct(
+        media_type_col(doc_id).alias("media_type"),
+        n_frames.alias("n_frames"),
+        # image-ish spatial dims / audio-ish rate, all derived arithmetic
+        (8 * (2 + doc_id % 7)).cast("int").alias("width"),
+        (8 * (2 + (doc_id / 7).cast("bigint") % 7)).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+    )
+    return df.withColumn("media_meta", meta).withColumn(
+        "content", F.unhex(F.concat(header_hex, frames_hex))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode (header parse; real codecs stubbed)
+# ---------------------------------------------------------------------------
+
+def _parse_header(buf: bytes) -> tuple[int, int, int]:
+    """Parse the FAKE container header → (type_code, n_frames, frame_bytes).
+
+    Real media formats are detected and rejected with a clearly-marked
+    stub error — the decode *plumbing* (schema, batching) is what this
+    module exercises in this container.
+    """
+    for magic, fmt in _REAL_MAGICS.items():
+        if buf[: len(magic)] == magic:
+            raise NotImplementedError(
+                f"STUB: real {fmt} decoding needs a codec library not present "
+                "in this container; only the FAKE container format is decodable"
+            )
+    if buf[:4] != MAGIC or buf[4] != VERSION:
+        raise ValueError("not a FAKE v1 container")
+    _, _, type_code, n_frames, frame_bytes = struct.unpack("4sBBBB", buf[:8])
+    return type_code, n_frames, frame_bytes
+
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("content_len", T.IntegerType()),
+    T.StructField("payload_len", T.IntegerType()),
+])
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Parse every container header → typed metadata (Arrow-batched).
+
+    Input needs ``doc_id`` + ``content``; output is DECODED_SCHEMA.
+    Map-only: one Python pass per Arrow batch, no shuffle.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                buf = bytes(buf)
+                type_code, n_frames, frame_bytes = _parse_header(buf)
+                rows.append((
+                    int(doc_id), CODE_TYPES[type_code], n_frames,
+                    len(buf), len(buf) - 8,
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return df.select("doc_id", "content").mapInPandas(run, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (byte statistics — the codec-free feature pass)
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("byte_sum", T.LongType()),
+    T.StructField("mean_byte", T.DoubleType()),
+    T.StructField("h0", T.IntegerType()),  # bytes in [0, 64)
+    T.StructField("h1", T.IntegerType()),  # [64, 128)
+    T.StructField("h2", T.IntegerType()),  # [128, 192)
+    T.StructField("h3", T.IntegerType()),  # [192, 256)
+])
+
+
+def media_features(df: DataFrame) -> DataFrame:
+    """Payload byte statistics per media row: count, sum, mean, and a
+    4-bin histogram. Stands in for pixel/sample feature extraction; the
+    numpy path is the exact shape a real feature pass (mean pixel,
+    color histogram, loudness) would take. Vectorized per Arrow batch.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                payload = np.frombuffer(bytes(buf), dtype=np.uint8)[8:]
+                s = int(payload.sum())
+                hist = np.bincount(payload >> 6, minlength=4)
+                rows.append((
+                    int(doc_id), int(payload.size), s,
+                    s / payload.size if payload.size else 0.0,
+                    int(hist[0]), int(hist[1]), int(hist[2]), int(hist[3]),
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return df.select("doc_id", "content").mapInPandas(run, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize (metadata-level plan; pixel kernel stubbed)
+# ---------------------------------------------------------------------------
+
+def resize_plan(df: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Resize planning for image rows: target dims + scale factors as
+    columnar arithmetic. The pixel resampling kernel itself requires a
+    codec (STUB — see ``_parse_header``); at scale the kernel slots into
+    the same ``mapInPandas`` shape as ``media_features``.
+    """
+    w = F.col("media_meta.width").cast("double")
+    h = F.col("media_meta.height").cast("double")
+    return (
+        df.where(F.col("media_meta.media_type") == "image")
+        .select(
+            "doc_id",
+            F.col("media_meta.width").alias("src_w"),
+            F.col("media_meta.height").alias("src_h"),
+            F.lit(target_w).alias("dst_w"),
+            F.lit(target_h).alias("dst_h"),
+            (F.lit(float(target_w)) / w).alias("scale_x"),
+            (F.lit(float(target_h)) / h).alias("scale_y"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (row-multiplying pass — the video keyframe extractor)
+# ---------------------------------------------------------------------------
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_hex", T.StringType()),
+])
+
+
+def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
+    """Sample every ``every``-th frame from video containers → one row
+    per sampled frame (doc_id, frame_idx, frame bytes as hex).
+
+    ``mapInPandas`` returning more rows than it receives is Spark's
+    UDTF-shaped escape hatch — rows multiply *within* the partition, so
+    there is no shuffle and no skew risk beyond the input's own.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple[int, int, str]] = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                buf = bytes(buf)
+                type_code, n_frames, frame_bytes = _parse_header(buf)
+                if type_code != TYPE_CODES["video"]:
+                    continue
+                for i in range(0, n_frames, every):
+                    frame = buf[8 + i * frame_bytes: 8 + (i + 1) * frame_bytes]
+                    out.append((int(doc_id), i, binascii.hexlify(frame).decode()))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return df.select("doc_id", "content").mapInPandas(run, FRAMES_SCHEMA)

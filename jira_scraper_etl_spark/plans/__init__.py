@@ -8,3 +8,4 @@ from . import scalar_funcs  # noqa: F401,E402
 from . import event_time  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import jira_parity  # noqa: F401,E402
+from . import multimodal  # noqa: F401,E402

@@ -1,0 +1,130 @@
+"""Multimodal column queries: binary media decode / features / resize /
+frame-sample over a deterministic media table derived from ``documents``.
+
+The reference pipeline is text-only, so these are north-star operators
+(BASELINE.json mandate). The media payload format is engineered so a SQL
+oracle can reproduce every byte from md5 hex digests — see
+operators/multimodal.py for the container layout. The Spark side goes
+through real binary columns + Arrow-batched ``mapInPandas``; the oracle
+models the same bytes with hex-digit arithmetic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators import multimodal as MM
+from .registry import register
+
+# -- shared DuckDB fragments (mirror operators/multimodal.py exactly) -------
+
+SQL_NFRAMES = ("CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 "
+               "ELSE 4 + doc_id % 8 END")
+SQL_MEDIA_TYPE = ("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+                  "ELSE 'video' END")
+
+# one md5 hex digest per frame: md5('{doc_id}:{i}')
+SQL_FRAME_DIGESTS = ("list_transform(generate_series(0, nf - 1), "
+                     "i -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)))")
+
+# hex pair at 1-based position p of digest m → byte value 0..255
+_HEXD = "(strpos('0123456789abcdef', substring(m, {p}, 1)) - 1)"
+SQL_FRAME_BYTES = ("list_transform(generate_series(1, 16), "
+                   f"k -> {_HEXD.format(p='2*k-1')} * 16 + {_HEXD.format(p='2*k')})")
+
+
+@register(
+    "mm_decode_meta",
+    oracle=f"""
+    SELECT doc_id,
+           {SQL_MEDIA_TYPE} AS media_type,
+           CAST({SQL_NFRAMES} AS INTEGER) AS n_frames,
+           CAST(8 + 16 * ({SQL_NFRAMES}) AS INTEGER) AS content_len,
+           CAST(16 * ({SQL_NFRAMES}) AS INTEGER) AS payload_len
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container decode: header parse of every binary media row →
+    media type, frame count, byte lengths. Spark side actually builds
+    the binary column and parses it back in ``mapInPandas`` (the oracle
+    models the header arithmetic). Map-only at any scale."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM.decode_media(MM.attach_media(d))
+
+
+@register(
+    "mm_byte_stats",
+    oracle=f"""
+    WITH nf AS (SELECT doc_id, {SQL_NFRAMES} AS nf FROM documents),
+    by AS (
+        SELECT doc_id,
+               flatten(list_transform({SQL_FRAME_DIGESTS},
+                       m -> {SQL_FRAME_BYTES})) AS bys
+        FROM nf
+    )
+    SELECT doc_id,
+           CAST(len(bys) AS INTEGER) AS n_bytes,
+           CAST(list_sum(bys) AS BIGINT) AS byte_sum,
+           CAST(list_sum(bys) AS DOUBLE) / len(bys) AS mean_byte,
+           CAST(len(list_filter(bys, b -> b < 64)) AS INTEGER) AS h0,
+           CAST(len(list_filter(bys, b -> b >= 64 AND b < 128)) AS INTEGER) AS h1,
+           CAST(len(list_filter(bys, b -> b >= 128 AND b < 192)) AS INTEGER) AS h2,
+           CAST(len(list_filter(bys, b -> b >= 192)) AS INTEGER) AS h3
+    FROM by
+    """,
+    tags=("multimodal",),
+)
+def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads: byte count/sum/mean and a
+    4-bin histogram per row, computed with numpy over Arrow batches —
+    the exact shape of a real pixel/sample feature pass. The oracle
+    rebuilds the identical bytes from md5 hex digits."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM.media_features(MM.attach_media(d))
+
+
+@register(
+    "mm_resize_plan",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (2 + doc_id % 7) AS INTEGER) AS src_w,
+           CAST(8 * (2 + (doc_id // 7) % 7) AS INTEGER) AS src_h,
+           32 AS dst_w, 32 AS dst_h,
+           32.0 / (8 * (2 + doc_id % 7)) AS scale_x,
+           32.0 / (8 * (2 + (doc_id // 7) % 7)) AS scale_y
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    tags=("multimodal",),
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize planning: source/target dims + scale factors for
+    every image row (pixel kernel is a documented stub — no codecs in
+    this container). Pure columnar arithmetic, pushdown-friendly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM.resize_plan(MM.attach_media(d), 32, 32)
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH v AS (
+        SELECT doc_id, {SQL_NFRAMES} AS nf FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS frame_hex
+    FROM v, LATERAL unnest(generate_series(0, nf - 1, 2)) AS t(i)
+    """,
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe sampling: every 2nd frame of each video container
+    → one row per sampled frame with the frame bytes hex-encoded. The
+    ``mapInPandas`` pass multiplies rows within partitions (UDTF shape,
+    no shuffle) — the 100 TB path for frame extraction."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM.sample_frames(MM.attach_media(d), every=2)
