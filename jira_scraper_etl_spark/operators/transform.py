@@ -95,6 +95,52 @@ def transform_issues(raw: DataFrame) -> DataFrame:
         .withColumn("is_valid", F.size("validation_errors") == 0)
 
 
+def transform_flat_issues(flat: DataFrame) -> DataFrame:
+    """Silver transform over the REST source's already-projected rows
+    (sources/jira_rest.ISSUE_SCHEMA). Same semantics as
+    ``transform_issues`` minus the nested-field projection the source
+    performed at scan time — the pipeline composition
+    ``jira_rest scan → this → sink`` is the engine's two-phase analog of
+    the reference's extract+transform (main.py:160-186), still one
+    map-only plan end to end."""
+    title = X.clean_text(F.col("summary"))
+    description = X.clean_text(F.col("description"))
+    comments = F.transform(
+        F.filter(F.col("comments"), lambda c: c.isNotNull()),
+        lambda c: F.struct(
+            F.coalesce(c["author"], F.lit("Unknown")).alias("author"),
+            X.clean_text(c["body"]).alias("body"),
+            c["created"].alias("created"),
+        ),
+    )
+    out = flat.select(
+        F.coalesce(F.col("key"), F.lit("UNKNOWN")).alias("id"),
+        F.col("project"),
+        title.alias("title"),
+        description.alias("description"),
+        F.coalesce(F.col("status"), F.lit("Unknown")).alias("status"),
+        F.col("priority"),
+        F.col("reporter"),
+        F.col("assignee"),
+        F.col("created"),
+        F.col("updated"),
+        F.coalesce(F.col("labels"), F.array().cast("array<string>")).alias("labels"),
+        F.coalesce(F.col("components"), F.array().cast("array<string>")).alias("components"),
+        comments.alias("comments"),
+        F.struct(
+            X.generate_summary(title, description).alias("summary"),
+            X.classify_issue(F.col("summary"), F.col("labels"),
+                             F.col("issuetype")).alias("classifications"),
+            X.qa_pairs(description, comments).alias("qa_pairs"),
+        ).alias("derived_tasks"),
+    )
+    errors = X.validation_errors(
+        F.col("id"), F.col("title"), F.col("created"), F.col("updated"),
+        F.col("comments"))
+    return out.withColumn("validation_errors", errors) \
+        .withColumn("is_valid", F.size("validation_errors") == 0)
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S6 JSONL sink: Spark's JSON writer is line-delimited by default.
     Unlike the reference's single open("w") handle (transformer.py:359 —

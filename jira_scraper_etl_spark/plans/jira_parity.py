@@ -119,3 +119,48 @@ def jira_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("priority").isNull()).alias("n_no_priority"),
         F.sum(F.size("comments")).cast("long").alias("n_comments"),
     )
+
+
+@register(
+    "jira_source_scan",
+    oracle="""
+    SELECT 'SPARK-' || i AS key,
+           'Issue ' || i || ' needs attention' AS summary,
+           ['Open', 'In Progress', 'Resolved', 'Closed'][i % 4 + 1] AS status,
+           CASE WHEN i % 7 = 0 THEN NULL ELSE
+             ['Blocker', 'Critical', 'Major', 'Minor', 'Trivial'][i % 5 + 1]
+           END AS priority,
+           'user' || (i % 11) AS reporter,
+           CASE WHEN i % 3 = 0 THEN NULL ELSE 'dev' || (i % 6) END AS assignee,
+           ['Bug', 'Improvement', 'New Feature', 'Task'][i % 4 + 1] AS issuetype,
+           '2025-03-' || lpad(CAST(i % 28 + 1 AS VARCHAR), 2, '0')
+             || 'T' || lpad(CAST(i % 24 AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST(i % 60 AS VARCHAR), 2, '0')
+             || ':00.000+0000' AS updated,
+           CAST(CASE WHEN i % 2 = 0 THEN 0 ELSE 1 END AS INTEGER) AS n_labels,
+           1 AS n_components,
+           CAST(i % 3 AS INTEGER) AS n_comments
+    FROM (SELECT unnest(generate_series(0, 249)) AS i)
+    """,
+    tags=("jira", "source"),
+)
+def jira_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end scan through the custom Python Data Source
+    (sources/jira_rest.py) against its deterministic synthetic server:
+    partition-per-page-range planning, per-partition fetch with
+    retry/backoff, nested-issue projection. The oracle reproduces the
+    arithmetic corpus with generate_series — the one query in the suite
+    whose *scan* is custom code rather than a parquet reader."""
+    from ..sources import register_jira_source
+
+    register_jira_source(spark)
+    df = (spark.read.format("jira_rest")
+          .option("transport", "synthetic").option("total", 250)
+          .option("max_results", 50).option("project", "SPARK").load())
+    return df.select(
+        "key", "summary", "status", "priority", "reporter", "assignee",
+        "issuetype", "updated",
+        F.size("labels").alias("n_labels"),
+        F.size("components").cast("int").alias("n_components"),
+        F.size("comments").alias("n_comments"),
+    )

@@ -587,3 +587,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(norm), 1, 8).alias("short_fp"),
         F.array_join(kmin, ",").alias("kmin_sketch"),
     )
+
+
+@register("similarity_ann_ivf", oracle=None, tags=("similarity", "ml"))
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: seeded KMeans partitions the corpus into 8
+    inverted lists; each query probes only its own cell, then exact
+    quantized-cosine top-5 within the cell.
+
+    This is the production shape for embedding search at 100 TB: the
+    coarse quantizer is trained on a sample (here: the corpus — it is
+    tiny at test SF), cell assignment is a broadcast-model map pass,
+    and candidate generation is an equi-join on cell id — shuffle keyed
+    on 1 byte, never all-pairs. Multi-probe = join on ARRAY of nearest
+    cells; the operator shape is unchanged. No oracle: KMeans centroids
+    are Spark-internal (rows-only check); similarity_ann_signlsh is the
+    oracle-checked bucketed variant."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"),
+                     array_to_vector(
+                         F.transform("embedding", lambda x: x.cast("double"))
+                     ).alias("features"))
+            .withColumn("n2", V.qnorm2(F.col("q"))))
+    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
+    assigned = km.fit(base).transform(base).drop("features")
+    queries = assigned.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"), F.col("cell").alias("qcell"))
+    cos = (V.qdot(F.col("qq"), F.col("q")).cast("double")
+           / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double"))))
+    scored = (
+        assigned.join(F.broadcast(queries),
+                      (F.col("cell") == F.col("qcell"))
+                      & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5))

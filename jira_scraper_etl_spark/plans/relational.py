@@ -568,3 +568,32 @@ def filter_project_shipped_window(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           COUNT(*) AS n, {rev}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """.format(rev=o_dsum("o_totalprice", "rev")),
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 grouping-set family: explicit GROUPING SETS — per-priority
+    totals, per-status totals, and the grand total in ONE aggregation
+    pass (Catalyst expands to a single shuffle with a grouping-id
+    column, not three scans). COALESCE markers as in agg_cube."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets([["o_orderpriority"], ["o_orderstatus"], []],
+                       "o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "rev"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "n", "rev",
+        )
+    )

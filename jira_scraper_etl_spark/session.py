@@ -31,6 +31,8 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for pandas UDFs / toPandas — the only sane Python<->JVM path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let Python data sources (sources/jira_rest.py) receive pushed filters.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -1,0 +1,106 @@
+"""Orchestration tests: two-phase batch run, per-project error
+isolation, phase gating, worker status reporting, and the streaming
+silver drain — the engine's analog of the reference's main.py/worker.py
+lifecycle (SURVEY.md §3)."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+
+from jira_scraper_etl_spark.sources import offsets as OFF
+from jira_scraper_etl_spark.streaming import (
+    PipelineConfig,
+    run_pipeline,
+    run_streaming_silver,
+    run_worker,
+)
+
+
+def make_cfg(tmp_path, **kw) -> PipelineConfig:
+    base = dict(projects=["SPARK", "KAFKA"], data_dir=str(tmp_path),
+                transport="synthetic", synthetic_total=120, max_results=50)
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
+def test_two_phase_run(spark, tmp_path):
+    cfg = make_cfg(tmp_path)
+    report = run_pipeline(spark, cfg)
+    assert report["success"]
+    for p in cfg.projects:
+        assert report["projects"][p]["extracted"] == 120
+        assert report["projects"][p]["transformed"] == 120
+    # silver output is readable and carries derived tasks
+    silver = spark.read.parquet(cfg.dir("silver", "project=SPARK"))
+    row = silver.where(silver.id == "SPARK-3").first()
+    assert row.derived_tasks.summary.startswith("Issue 3 needs attention")
+    assert row.is_valid
+    # offsets advanced (write-then-checkpoint ordering)
+    assert OFF.load(cfg.dir("checkpoints"), "SPARK").start_at == 120
+    # JSONL corpus mirror exists
+    jl = spark.read.json(cfg.dir("processed", "SPARK_issues.jsonl"))
+    assert jl.count() == 120
+
+
+def test_transform_gated_on_extract_failure(spark, tmp_path, monkeypatch):
+    cfg = make_cfg(tmp_path)
+
+    import jira_scraper_etl_spark.streaming.pipeline as P
+
+    real = P.extract_project
+
+    def flaky(spark_, cfg_, project):
+        if project == "KAFKA":
+            raise RuntimeError("server melted")
+        return real(spark_, cfg_, project)
+
+    monkeypatch.setattr(P, "extract_project", flaky)
+    report = P.run_pipeline(spark, cfg)
+    assert not report["success"]
+    assert report["projects"]["SPARK"]["extracted"] == 120   # isolation
+    assert "server melted" in report["projects"]["KAFKA"]["extract_error"]
+    assert report.get("transform_skipped") == "extraction failed"  # main.py:175
+
+
+def test_config_from_json_ignores_unknown_keys(tmp_path):
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps({"projects": ["HADOOP"], "max_results": 25,
+                             "jira_base_url_legacy": "x"}))
+    cfg = PipelineConfig.from_json(str(p))
+    assert cfg.projects == ["HADOOP"] and cfg.max_results == 25
+
+
+def test_worker_runs_and_status(spark, tmp_path):
+    cfg = make_cfg(tmp_path, projects=["SPARK"], synthetic_total=60)
+    out = run_worker(spark, cfg, interval_seconds=0.01, max_runs=2,
+                     poll_seconds=0.01)
+    assert out["runs"] == 2
+    status = json.loads((tmp_path / "worker_status.json").read_text())
+    assert status["healthy"] is True
+    assert status["message"] == "worker stopped"
+    assert out["last_successful_run"] is not None
+
+
+def test_worker_stop_event(spark, tmp_path):
+    cfg = make_cfg(tmp_path, projects=["SPARK"], synthetic_total=10)
+    stop = threading.Event()
+    stop.set()  # stop before any run — graceful-shutdown path (T8)
+    out = run_worker(spark, cfg, interval_seconds=3600, stop_event=stop)
+    assert out["runs"] == 0
+    status = json.loads((tmp_path / "worker_status.json").read_text())
+    assert status["message"] == "worker stopped"
+
+
+def test_streaming_silver_drain_and_resume(spark, tmp_path):
+    cfg = make_cfg(tmp_path, projects=["SPARK"], synthetic_total=120,
+                   max_results=50)
+    run_streaming_silver(spark, cfg, "SPARK")
+    out = spark.read.parquet(cfg.dir("silver_stream", "project=SPARK"))
+    assert out.count() == 120
+    assert out.select("id").distinct().count() == 120
+    # rerun: checkpointed offsets mean no duplicate appends
+    run_streaming_silver(spark, cfg, "SPARK")
+    assert spark.read.parquet(cfg.dir("silver_stream", "project=SPARK")).count() == 120
