@@ -141,3 +141,79 @@ def events_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "events_funnel_1h",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS first_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, s.first_signup, MIN(e.ts) AS first_purchase_after
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.first_signup
+        GROUP BY e.user_id, s.first_signup
+    )
+    SELECT s.user_id, s.first_signup, p.first_purchase_after,
+           COALESCE(p.first_purchase_after <= s.first_signup + INTERVAL '1 hour',
+                    FALSE) AS converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, first signup → first purchase at or
+    after it; converted iff within 1 hour. Two keyed aggregations plus a
+    join — at 100 TB both aggregate map-side first, and the join keys on
+    user_id (already the natural partitioning of an events table)."""
+    e = load_events(spark, sf_dir)
+    s = (e.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("first_signup")))
+    p = (e.where(F.col("event_type") == "purchase")
+         .join(s, "user_id")
+         .where(F.col("ts") >= F.col("first_signup"))
+         .groupBy("user_id", "first_signup")
+         .agg(F.min("ts").alias("first_purchase_after")))
+    return (
+        s.join(p, ["user_id", "first_signup"], "left")
+        .select(
+            "user_id", "first_signup", "first_purchase_after",
+            F.coalesce(
+                F.col("first_purchase_after")
+                <= F.col("first_signup") + F.expr("INTERVAL 1 HOUR"),
+                F.lit(False),
+            ).alias("converted"),
+        )
+    )
+
+
+@register(
+    "events_trailing_1h_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS trailing_qsum
+    FROM events
+    """,
+    tags=("events", "window-frame"),
+)
+def events_trailing_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 RANGE frame: per event, the quantized-value sum of the same
+    user's events in the trailing hour — ``rangeBetween`` on epoch
+    seconds (value-based frame, so equal timestamps land in the same
+    frame on every engine regardless of tie order). The moving-window
+    feature a monitoring pipeline computes per entity."""
+    e = load_events(spark, sf_dir)
+    qv = F.floor(F.col("value").cast("double") * 100).cast("bigint")
+    epoch = F.unix_timestamp("ts")
+    w = (Window.partitionBy("user_id").orderBy(epoch)
+         .rangeBetween(-3600, Window.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        F.sum(qv).over(w).alias("trailing_qsum"),
+    )

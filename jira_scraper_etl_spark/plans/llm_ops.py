@@ -628,3 +628,106 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= 5))
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT t AS token, COUNT(*) AS n
+    FROM (SELECT {SQL_TOKS} AS toks FROM documents), LATERAL unnest(toks) AS u(t)
+    GROUP BY t
+    ORDER BY n DESC, t ASC
+    LIMIT 100
+    """,
+    tags=("textstats", "topk"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary: top-100 tokens by corpus frequency (ties
+    broken by token, so the order is total and engine-portable).
+
+    The canonical tokenizer-training precursor. Shape at 100 TB:
+    explode → hash aggregate with map-side partial combine (shuffle
+    carries one row per *distinct* token per partition, not per
+    occurrence) → TakeOrderedAndProject for the top-k — no global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(H.word_tokens(F.col("text"))).alias("token"))
+    return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("token")).limit(100))
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE th AS (
+        SELECT doc_id, list_transform(toks, t -> {SQL_TOKHASH}) AS th
+        FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+    ),
+    fp AS (SELECT doc_id, CAST({SQL_SIMHASH} AS INTEGER) AS simhash FROM th),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r
+    ),
+    clustered AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size
+    FROM clustered
+    """,
+    tags=("dedup", "iterative"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the (exact)
+    SimHash pair graph via iterative min-label propagation; each doc in
+    a component gets the component's minimum doc_id as its cluster id
+    (the canonical representative) plus the component size.
+
+    This is the step that turns pairwise near-dup evidence into
+    keep/drop decisions. The Spark side is a driver-coordinated loop of
+    join + min-aggregate rounds (the standard large-graph CC shape —
+    O(diameter) rounds, every round a shuffle keyed on doc_id; at
+    100 TB you persist each round and checkpoint every ~5 to cut
+    lineage). The oracle reproduces it with a recursive CTE — one of
+    the few genuinely iterative algorithms in the suite that is still
+    SQL-expressible.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    # localCheckpoint (not persist): iterative loops double the logical
+    # plan per round (labels is referenced twice), and Catalyst
+    # re-analyzes the FULL lineage each iteration — exponential planning
+    # time by round ~15. Checkpointing truncates the plan to the
+    # materialized partitions, keeping every round O(1) to plan.
+    edges = (pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+             .unionByName(pairs.select(F.col("doc_b").alias("s"),
+                                       F.col("doc_a").alias("d")))
+             ).localCheckpoint()
+    labels = (edges.select(F.col("s").alias("id")).distinct()
+              .withColumn("label", F.col("id")).localCheckpoint())
+    for _ in range(20):  # bound ≥ any real component diameter here
+        neighbor_min = (edges.join(labels, edges.s == labels.id)
+                        .groupBy(F.col("d").alias("id"))
+                        .agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min, "id", "left")
+                      .select("id", F.least("label", "nmin").alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels
+                   .join(labels.select("id", F.col("label").alias("old")), "id")
+                   .where(F.col("label") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"),
+                    F.col("cluster_size").cast("int")))
