@@ -28,6 +28,7 @@ def test_oracle_coverage():
     assert rows_only == {
         "agg_approx_count_distinct",
         "similarity_ann_mllsh",
+        "similarity_ann_ivf",
         "jira_transform_silver",
         "jira_corpus_stats",
     }
