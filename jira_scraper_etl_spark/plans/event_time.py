@@ -193,11 +193,11 @@ def events_funnel_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_trailing_1h_sum",
     oracle="""
     SELECT event_id, user_id,
-           SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT)) OVER (
                PARTITION BY user_id
                ORDER BY CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-           ) AS trailing_qsum
+           ) AS BIGINT) AS trailing_qsum
     FROM events
     """,
     tags=("events", "window-frame"),
