@@ -11,11 +11,11 @@ as a parallel, partitioned scan:
   throughput scales with executors while per-connection politeness is
   preserved.
 * **Retry / backoff / rate-limit** inside ``read()`` exactly per the
-  reference: HTTP 429 → sleep ``rate_limit_sleep_seconds`` and retry
-  (`extract.py:232-236`); 5xx/network → exponential ``backoff_base **
-  attempt`` up to ``max_retries`` (`extract.py:238-273`), then
-  ``RuntimeError``. Spark task retries (`spark.task.maxFailures`) form
-  the outer layer.
+  reference: HTTP 429 → sleep ``rate_limit_sleep_seconds``, counted
+  against the retry budget (`extract.py:232-236` increments ``attempt``
+  on 429 too); 5xx/network → exponential ``backoff_base ** attempt`` up
+  to ``max_retries`` (`extract.py:238-273`), then ``RuntimeError``.
+  Spark task retries (`spark.task.maxFailures`) form the outer layer.
 * **Column pruning at the protocol level** — the reference requests
   ``fields=*all`` and uses ~12 of 132 fields (the anti-pattern called
   out in SURVEY.md §4.1); this source requests exactly the fields the
@@ -23,10 +23,17 @@ as a parallel, partitioned scan:
 * **Predicate pushdown** — ``pushFilters`` folds
   ``updated >= X`` / ``project = Y`` into the JQL so the *server*
   filters (the reference builds the same JQL by hand,
-  `extract.py:179-188`).
+  `extract.py:179-188`). Only ``project = Y`` is *consumed*: the JQL
+  cutoff is date-truncated (a superset), so ``updated`` filters are
+  yielded back for Spark to re-apply exactly post-scan.
 * **Incremental resume** — batch mode reads the per-project offset file
-  (sources/offsets.py) and starts from ``start_at`` with
-  ``updated >= last_updated``-date JQL; streaming mode implements
+  (sources/offsets.py). When the JQL carries an ``updated >= date``
+  cutoff the server renumbers the filtered result set from 0, so the
+  scan starts at ``startAt=0`` and relies on the cutoff plus downstream
+  dedup-by-key; the saved ``start_at`` is used only to resume an
+  interrupted *non-cutoff* scan (the reference combines both and
+  silently fetches nothing after a completed full scan — a defect, not
+  parity worth keeping). Streaming mode implements
   ``SimpleDataSourceStreamReader`` (one page per micro-batch, offsets
   owned by Spark's checkpoint log once running).
 
@@ -116,6 +123,9 @@ class SourceConfig:
     transport: str = "requests"         # "requests" | "synthetic"
     total: int = 200                    # synthetic corpus size
     updated_since: str | None = None    # pushed-down predicate (date or ISO ts)
+    record_params_path: str | None = None  # test hook: synthetic transport
+    # appends each request's params as a JSON line here (plan + executor
+    # processes are separate, so a file is the only reliable channel)
 
     @classmethod
     def from_options(cls, options: dict) -> "SourceConfig":
@@ -141,6 +151,7 @@ class SourceConfig:
             transport=get("transport", str, "requests"),
             total=get("total", int, 200),
             updated_since=options.get("updated_since"),
+            record_params_path=options.get("record_params_path"),
         )
 
 
@@ -227,13 +238,41 @@ def synthetic_issue(project: str, i: int) -> dict:
     }
 
 
+_JQL_CUTOFF_RE = None  # compiled lazily (module import stays regex-free)
+
+
+def _jql_cutoff(jql: str) -> str | None:
+    """Extract the ``updated >= 'date'`` cutoff from a JQL string."""
+    global _JQL_CUTOFF_RE
+    if _JQL_CUTOFF_RE is None:
+        import re
+        _JQL_CUTOFF_RE = re.compile(r"updated\s*>=\s*'([^']+)'")
+    m = _JQL_CUTOFF_RE.search(jql or "")
+    return m.group(1) if m else None
+
+
 def synthetic_transport(cfg: SourceConfig) -> Callable[[dict], tuple[int, Any]]:
+    """Deterministic in-process server. Honors the JQL like real Jira:
+    an ``updated >= 'date'`` cutoff filters the corpus server-side and
+    **renumbers** the result set from 0 (which is why batch incremental
+    scans must not combine a cutoff with a saved ``startAt``)."""
     def call(params: dict) -> tuple[int, Any]:
+        if cfg.record_params_path:
+            with open(cfg.record_params_path, "a") as f:
+                f.write(json.dumps(params) + "\n")
         start = int(params.get("startAt", 0))
         n = int(params.get("maxResults", cfg.max_results))
-        issues = [synthetic_issue(cfg.project, i)
-                  for i in range(start, min(start + n, cfg.total))]
-        return 200, {"issues": issues, "total": cfg.total, "startAt": start}
+        cutoff = _jql_cutoff(str(params.get("jql", "")))
+        if cutoff:
+            # ISO timestamps here are lexicographically ordered, so a
+            # plain string compare implements the server's >= filter.
+            idx = [i for i in range(cfg.total)
+                   if synthetic_issue(cfg.project, i)["fields"]["updated"] >= cutoff]
+        else:
+            idx = range(cfg.total)
+        page = list(idx)[start:start + n]
+        issues = [synthetic_issue(cfg.project, i) for i in page]
+        return 200, {"issues": issues, "total": len(list(idx)), "startAt": start}
 
     return call
 
@@ -270,15 +309,18 @@ def fetch_page(transport: Callable[[dict], tuple[int, Any]],
             status, body = -1, exc
         if status == 200 and isinstance(body, dict):
             return body.get("issues", []), int(body.get("total", 0))
-        if status == 429:
-            sleep(cfg.rate_limit_sleep_seconds)
-            continue  # rate-limit sleeps don't consume retry budget
         attempt += 1
         if attempt > cfg.max_retries:
             raise RuntimeError(
                 f"Jira fetch failed after {cfg.max_retries} retries "
                 f"(last status {status}) at startAt={start_at}")
-        sleep(cfg.retry_backoff_base ** (attempt - 1))
+        if status == 429:
+            # Rate-limit: fixed sleep, but it consumes the retry budget —
+            # a server that 429s forever must not hang an executor task
+            # (extract.py:232-236 increments attempt on 429 too).
+            sleep(cfg.rate_limit_sleep_seconds)
+        else:
+            sleep(cfg.retry_backoff_base ** (attempt - 1))
 
 
 def issue_to_row(raw: dict) -> tuple:
@@ -334,19 +376,37 @@ class JiraRestReader(DataSourceReader):
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Fold supported predicates into the JQL (server-side filter —
-        the Python-DS analog of parquet PushedFilters). Everything else
-        is returned for Spark to evaluate post-scan."""
+        the Python-DS analog of parquet PushedFilters).
+
+        Only ``project = Y`` is exact in JQL and therefore *consumed*.
+        ``updated >/>= X`` narrows the JQL, but the JQL cutoff is
+        date-truncated and always ``>=`` — a superset of the true
+        predicate — so those filters are **yielded back** for Spark to
+        re-apply exactly post-scan (strict ``>`` and time-of-day
+        cutoffs stay correct). Everything else is yielded unchanged."""
         cfg = self.cfg
         for flt in filters:
             attr = getattr(flt, "attribute", None)  # Not(...) has no attribute
             col = attr[0] if attr and len(attr) == 1 else None
             if isinstance(flt, EqualTo) and col == "project":
                 cfg.project = str(flt.value)
-            elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)) and col == "updated":
-                cfg.updated_since = str(flt.value)
-            else:
-                yield flt
+                continue  # exact in JQL: consumed
+            if isinstance(flt, (GreaterThan, GreaterThanOrEqual)) and col == "updated":
+                # Tightest superset wins if several are pushed (ISO
+                # strings compare lexicographically).
+                v = str(flt.value)
+                if cfg.updated_since is None or v > cfg.updated_since:
+                    cfg.updated_since = v
+            yield flt
         self._jql = build_jql(cfg, self._base_offset.last_updated)
+
+    def _cutoff_active(self) -> bool:
+        """True when the JQL carries an ``updated >=`` cutoff — the
+        server renumbers the filtered result set from 0, so the saved
+        ``start_at`` must not be combined with it (the reference does,
+        and silently fetches nothing after a completed full scan)."""
+        return bool(self.cfg.updated_since or
+                    (self.cfg.incremental and self._base_offset.last_updated))
 
     def partitions(self) -> Sequence[PageRange]:
         """Driver-side plan: one cheap probe for ``total``, then page
@@ -354,7 +414,7 @@ class JiraRestReader(DataSourceReader):
         ``max_partitions`` (ranges grow instead — bounded task count on
         a 1000-executor cluster, arbitrarily large total)."""
         cfg = self.cfg
-        start = self._base_offset.start_at
+        start = 0 if self._cutoff_active() else self._base_offset.start_at
         _, total = fetch_page(make_transport(cfg), cfg, self._jql, start,
                               max_results=1)
         if total <= start:
@@ -414,6 +474,24 @@ class JiraRestStreamReader(SimpleDataSourceStreamReader):
             OFF.save(cfg.checkpoint_dir, cfg.project,
                      OFF.Offset(start_at + len(rows), latest))
         return iter(rows), {"start_at": start_at + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        """Deterministically re-read a committed-but-unprocessed batch
+        during failure recovery (Spark calls this when restarting from a
+        checkpoint mid-batch; the base class raises otherwise). The
+        paged source is deterministic by range, so this is a loop over
+        ``fetch_page`` from ``start.start_at`` to ``end.start_at``."""
+        cfg = self.cfg
+        transport = make_transport(cfg)
+        s, e = int(start["start_at"]), int(end["start_at"])
+        while s < e:
+            issues, _ = fetch_page(transport, cfg, self._jql, s,
+                                   max_results=min(cfg.max_results, e - s))
+            if not issues:
+                break  # corpus shrank under us; yield what exists
+            for raw in issues:
+                yield issue_to_row(raw)
+            s += len(issues)
 
     def commit(self, end: dict) -> None:
         pass  # offset file already mirrored in read(); Spark log is canonical

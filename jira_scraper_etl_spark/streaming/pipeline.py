@@ -234,9 +234,13 @@ def run_streaming_silver(spark: SparkSession, cfg: PipelineConfig, project: str,
                          timeout_seconds: float = 120.0,
                          max_rounds: int = 1000) -> int:
     """Drain the source as micro-batches: one page per batch through the
-    silver transform into an append-only parquet sink. Spark's
-    checkpointLocation provides exactly-once offsets (§2.9 T2); reruns
-    resume where the last stream stopped.
+    silver transform into a parquet sink. Spark's checkpointLocation
+    provides exactly-once *offsets* (§2.9 T2); the sink makes the
+    *writes* exactly-once too by writing every micro-batch to its own
+    ``batch_id=N`` partition directory with ``overwrite`` — a retried
+    batch (failure between sink write and offset commit) overwrites its
+    own directory instead of appending duplicates. Readers of the sink
+    path see ``batch_id`` as an ordinary partition column.
 
     ``SimpleDataSourceStreamReader`` under ``Trigger.AvailableNow``
     prefetches a single batch per query run, so draining an existing
@@ -247,7 +251,11 @@ def run_streaming_silver(spark: SparkSession, cfg: PipelineConfig, project: str,
     ckpt = cfg.dir("stream_checkpoints", project)
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        transform_flat_issues(batch_df).write.mode("append").parquet(out_path)
+        # Idempotent per-batch write: deterministic directory keyed by
+        # batch_id, overwritten on retry — at-least-once foreachBatch
+        # becomes exactly-once at rest.
+        (transform_flat_issues(batch_df).write.mode("overwrite")
+         .parquet(os.path.join(out_path, f"batch_id={batch_id}")))
 
     def sink_count() -> int:
         try:

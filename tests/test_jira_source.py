@@ -6,6 +6,8 @@ cannot do (it reads pages sequentially, extract.py:200-370)."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from jira_scraper_etl_spark.sources import jira_rest as J
@@ -85,6 +87,17 @@ def test_network_exception_counts_as_retry():
         J.fetch_page(boom, cfg(max_retries=1), "jql", 0, sleep=lambda s: None)
 
 
+def test_persistent_429_exhausts_retry_budget():
+    """A server that 429s forever must raise, not hang the executor
+    (extract.py:232-236 increments attempt on 429 too)."""
+    sleeps = []
+    t = ScriptedTransport([(429, None)] * 10)
+    with pytest.raises(RuntimeError, match="after 3 retries"):
+        J.fetch_page(t, cfg(max_retries=3), "jql", 0, sleep=sleeps.append)
+    assert t.calls == 4  # initial + 3 rate-limited retries
+    assert sleeps == [30, 30, 30]  # fixed rate-limit sleep, not backoff
+
+
 # -- checkpoint store (test_extract.py:155-201) -----------------------------
 
 def test_offset_roundtrip_and_legacy_txt(tmp_path):
@@ -137,6 +150,83 @@ def test_partition_planning_caps_task_count():
     assert parts[-1].end_at == 100000
 
 
+# -- filter pushdown semantics ----------------------------------------------
+
+def test_pushfilters_consumes_project_yields_updated_back():
+    """Only `project = Y` is exact in JQL; `updated` filters narrow the
+    JQL (date-truncated superset) but must be yielded back so Spark
+    re-applies the exact predicate (strict `>`/time-of-day cutoffs)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+    r = J.JiraRestReader({"transport": "synthetic", "total": "60"})
+    flts = [EqualTo(("project",), "KAFKA"),
+            GreaterThan(("updated",), "2025-03-15T10:00:00")]
+    remaining = list(r.pushFilters(flts))
+    assert remaining == [flts[1]]             # project consumed, updated yielded
+    assert "project = KAFKA" in r._jql
+    assert "updated >= '2025-03-15'" in r._jql  # narrowed, date-truncated
+
+
+def test_pushfilters_tightest_cutoff_wins():
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    r = J.JiraRestReader({"transport": "synthetic", "total": "60"})
+    flts = [GreaterThanOrEqual(("updated",), "2025-03-10"),
+            GreaterThanOrEqual(("updated",), "2025-03-20")]
+    assert list(r.pushFilters(flts)) == flts  # both yielded back
+    assert "updated >= '2025-03-20'" in r._jql
+
+
+def test_spark_pushdown_jql_reaches_server_and_results_exact(spark, tmp_path):
+    """End-to-end through the DS API: the server-side JQL actually
+    carries the cutoff (recorded params), Spark re-applies the exact
+    predicate, and strict `>` is not silently treated as `>=`."""
+    J.register_jira_source(spark)
+    rec = str(tmp_path / "params.jsonl")
+    df = (spark.read.format("jira_rest")
+          .option("transport", "synthetic").option("total", 120)
+          .option("record_params_path", rec).load())
+    import pyspark.sql.functions as F
+    cut = "2025-03-15T00:00:00"
+    got = {r.key for r in df.where(F.col("updated") > cut).collect()}
+    exp = {f"SPARK-{i}" for i in range(120)
+           if J.synthetic_issue("SPARK", i)["fields"]["updated"] > cut}
+    assert got == exp and got  # exact strict-> semantics
+    recorded = [json.loads(l) for l in open(rec)]
+    assert any("updated >= '2025-03-15'" in p["jql"] for p in recorded)
+    # server-side narrowing engaged: no request ever paged the full corpus
+    day_lt_15 = sum(1 for i in range(120)
+                    if J.synthetic_issue("SPARK", i)["fields"]["updated"] <= "2025-03-15")
+    assert day_lt_15 > 0  # the narrowing excluded something
+
+
+def test_incremental_cutoff_scan_restarts_from_zero(tmp_path):
+    """After a completed full scan (start_at == total in the offset
+    file), an incremental run with an `updated >=` cutoff must renumber
+    from 0 — the server renumbers the filtered result set — instead of
+    silently planning an empty scan (the reference's defect)."""
+    ck = str(tmp_path)
+    OFF.save(ck, "SPARK", OFF.Offset(120, "2025-03-15T00:00:00.000+0000"))
+    r = J.JiraRestReader({"transport": "synthetic", "total": "120",
+                          "incremental": "true", "checkpoint_dir": ck})
+    parts = r.partitions()
+    assert parts[0].start_at == 0
+    n_filtered = sum(1 for i in range(120)
+                     if J.synthetic_issue("SPARK", i)["fields"]["updated"] >= "2025-03-15")
+    assert parts[-1].end_at == n_filtered > 0
+    rows = [row for p in parts for row in r.read(p)]
+    assert len(rows) == n_filtered
+
+
+def test_non_cutoff_resume_still_uses_start_at(tmp_path):
+    """start_at remains the resume cursor for interrupted *non-cutoff*
+    scans (no renumbering without a JQL filter)."""
+    ck = str(tmp_path)
+    OFF.save(ck, "SPARK", OFF.Offset(50, None))
+    r = J.JiraRestReader({"transport": "synthetic", "total": "120",
+                          "incremental": "true", "checkpoint_dir": ck})
+    parts = r.partitions()
+    assert parts[0].start_at == 50 and parts[-1].end_at == 120
+
+
 # -- end-to-end Spark scan (the thing the reference can't: parallel pages) --
 
 def test_spark_batch_scan_synthetic(spark):
@@ -176,3 +266,18 @@ def test_stream_reader_pages_and_offsets(tmp_path):
     assert list(rows4) == [] and off4 == {"start_at": 120}
     # offset file mirrored for operability
     assert OFF.load(str(tmp_path), "SPARK").start_at == 120
+
+
+def test_stream_read_between_offsets_recovery():
+    """Failure recovery: Spark re-reads a committed-but-unprocessed
+    batch via readBetweenOffsets; the paged source is deterministic by
+    range, so the replay must equal the original read."""
+    r = J.JiraRestStreamReader({"transport": "synthetic", "total": "120",
+                                "max_results": "50"})
+    original, _ = r.read({"start_at": 50})
+    replay = r.readBetweenOffsets({"start_at": 50}, {"start_at": 100})
+    assert list(replay) == list(original)
+    # partial range replays exactly that slice
+    assert len(list(r.readBetweenOffsets({"start_at": 0}, {"start_at": 30}))) == 30
+    # empty range
+    assert list(r.readBetweenOffsets({"start_at": 10}, {"start_at": 10})) == []
