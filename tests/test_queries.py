@@ -34,6 +34,20 @@ def test_oracle_coverage():
     }
 
 
+def test_embedding_dedup_bucketed_subset_and_recall(spark, sf_dir):
+    """The banded operator's pairs are a subset of the all-pairs truth
+    (same threshold), and at test SFs recall is 100% (measured; the
+    banding width/count are the recall dials — see docstring)."""
+    import pyspark.sql.functions as F
+
+    banded = plans.QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir)
+    exact = plans.QUERIES["dedup_embedding_cosine_exact"].fn(spark, sf_dir)
+    got = {(r.vec_a, r.vec_b) for r in banded.where(F.col("vec_a") < 300)
+           .where(F.col("vec_b") < 300).collect()}
+    want = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    assert got == want and isinstance(want, set)
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as entrymod
 
