@@ -17,7 +17,7 @@ mirror the same arithmetic digit-for-digit.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from ..functions.hashing import shingles_from_tokens, word_tokens
 
@@ -101,18 +101,59 @@ def band_keys_df(sig: DataFrame, id_col: str = "doc_id",
             .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")))
 
 
-def candidate_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def candidate_pairs(banded: DataFrame, id_col: str = "doc_id",
+                    max_bucket_size: int = 256,
+                    chain_width: int = 2) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any LSH bucket. The join is
-    keyed on (band, key) — bucket-local quadratic only; at scale, salt
-    or cap pathological buckets (boilerplate corpora) before this join."""
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+    keyed on (band, key) — bucket-local quadratic only.
+
+    Pathological buckets (boilerplate corpora: thousands of docs
+    sharing a band key) would make even the bucket-local join O(n²), so
+    buckets larger than ``max_bucket_size`` degrade to a *chain*: the
+    bucket's members are ranked by id and each pairs only with its next
+    ``chain_width`` neighbors — O(n·W) pairs, and every member still
+    lands in one connected component downstream (consecutive pairs keep
+    the bucket connected), which is what dedup clustering needs. Buckets
+    at or under the cap produce exactly the same pairs as the plain
+    self-join (the oracle models the uncapped form; measured max bucket
+    size at sf0.1 is far below the default cap, so both agree at test
+    scale).
+
+    Shape: ONE window over (band, key) annotates every row with its
+    bucket size and in-bucket rank (a single exchange, reused by every
+    consumer below — ReusedExchange — so the signature pipeline runs
+    once). Small buckets self-join on (band, key) exactly as before.
+    Big buckets join on (band, key, rank): the probe side explodes each
+    row into its ``chain_width`` successor ranks, so the join *key*
+    bounds the work at O(n·W) — the chain is not a residual filter over
+    an O(n²) probe."""
+    w = Window.partitionBy("band", "key")
+    annotated = banded.select(
+        "band", "key", F.col(id_col),
+        F.count("*").over(w).alias("bsz"),
+        F.row_number().over(w.orderBy(id_col)).alias("rn"),
+    )
+    small = annotated.where(F.col("bsz") <= max_bucket_size)
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.key") == F.col("b.key"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    big = annotated.where(F.col("bsz") > max_bucket_size)
+    probe = big.select(
+        "band", "key", F.col(id_col).alias("id_a"),
+        F.explode(F.array(*[(F.col("rn") + j) for j in range(1, chain_width + 1)]))
+        .alias("rn_b"),
+    )
+    big_pairs = (
+        probe.join(big.select("band", "key", F.col(id_col).alias("id_b"),
+                              F.col("rn").alias("rn_b")),
+                   ["band", "key", "rn_b"])
+        .select("id_a", "id_b")
+    )
+    return small_pairs.unionByName(big_pairs).dropDuplicates(["id_a", "id_b"])
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
