@@ -16,7 +16,8 @@ from jira_scraper_etl_spark import plans
 from jira_scraper_etl_spark.session import get_spark
 
 # Headline set: one per operator family — agg, join, window, event-time,
-# dedup-sketch, similarity, text analysis.
+# dedup-sketch, similarity, text analysis, iterative clustering,
+# top-k aggregation, and the custom-source scan path.
 HEADLINE = [
     "q1_pricing_summary",
     "join_revenue_by_nation",
@@ -25,6 +26,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "text_quality_score",
+    "dedup_cluster_canonical",
+    "text_vocab_topk",
+    "jira_source_scan",
 ]
 
 

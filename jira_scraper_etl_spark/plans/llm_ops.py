@@ -725,7 +725,12 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence) → TakeOrderedAndProject for the top-k — no global sort.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(H.word_tokens(F.col("text"))).alias("token"))
+    # fan the single-file scan out before interpreted tokenization
+    # (same rationale + measurement as operators/dedup.shingled_docs:
+    # 5.6s -> sub-second at sf0.1 when tokenize runs on all cores)
+    par = spark.sparkContext.defaultParallelism
+    toks = (d.select("text").repartition(par)
+            .select(F.explode(H.word_tokens(F.col("text"))).alias("token")))
     return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("token")).limit(100))
 
@@ -767,41 +772,90 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the canonical representative) plus the component size.
 
     This is the step that turns pairwise near-dup evidence into
-    keep/drop decisions. The Spark side is a driver-coordinated loop of
-    join + min-aggregate rounds (the standard large-graph CC shape —
-    O(diameter) rounds, every round a shuffle keyed on doc_id; at
-    100 TB you persist each round and checkpoint every ~5 to cut
-    lineage). The oracle reproduces it with a recursive CTE — one of
-    the few genuinely iterative algorithms in the suite that is still
-    SQL-expressible.
+    keep/drop decisions. The Spark side contracts the graph to distinct
+    fingerprints first (docs sharing a fingerprint are hamming-0
+    connected), then runs a driver-coordinated loop of join +
+    min-aggregate rounds over the contracted graph (the standard
+    large-graph CC shape — O(diameter) rounds, every round a shuffle
+    keyed on the node id), and finally expands components back to docs.
+    Contraction is what survives scale: the doc-pair graph is
+    near-quadratic inside fingerprint near-cliques (1.57M pairs at
+    sf0.1, 47 s end-to-end) while the fingerprint graph is bounded by
+    min(corpus, 2^16) nodes (5.0 s end-to-end, identical output). The
+    oracle reproduces the doc-level semantics with a recursive CTE —
+    one of the few genuinely iterative algorithms in the suite that is
+    still SQL-expressible.
     """
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    par = spark.sparkContext.defaultParallelism
+    # GRAPH CONTRACTION before CC — the scale-defining step. Docs with
+    # the same 16-bit fingerprint are trivially connected (hamming 0),
+    # so the doc-pair graph (which is near-quadratic inside fingerprint
+    # near-cliques: 1.57M pairs / 14.5 s at sf0.1) collapses to the
+    # DISTINCT-fingerprint graph: one node per fingerprint value,
+    # bounded by min(corpus, 2^16) nodes, edges via the same lossless
+    # nibble banding. Components of docs == components of fingerprints,
+    # because doc adjacency depends only on the fingerprints.
+    fp = D.simhash_fingerprints(
+        d.select("doc_id", "text").repartition(par)).localCheckpoint()
+    nodes = fp.groupBy("simhash").agg(F.min("doc_id").alias("fp_min"),
+                                      F.count(F.lit(1)).alias("n_docs"))
+    blocks = nodes.select(
+        "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright("simhash", i * 4).bitwiseAND(F.lit(0xF)).alias("nib"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("simhash", "b.blk", "b.nib")
+    xa, xb = blocks.alias("a"), blocks.alias("b")
+    fp_pairs = (
+        xa.join(xb, (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.nib") == F.col("b.nib"))
+                & (F.col("a.simhash") < F.col("b.simhash")))
+        .select(F.col("a.simhash").alias("fa"), F.col("b.simhash").alias("fb"))
+        .dropDuplicates(["fa", "fb"])
+        .where(F.bit_count(F.col("fa").cast("long")
+                           .bitwiseXOR(F.col("fb").cast("long"))) <= 3)
+    )
     # localCheckpoint (not persist): iterative loops double the logical
     # plan per round (labels is referenced twice), and Catalyst
     # re-analyzes the FULL lineage each iteration — exponential planning
     # time by round ~15. Checkpointing truncates the plan to the
     # materialized partitions, keeping every round O(1) to plan.
-    edges = (pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-             .unionByName(pairs.select(F.col("doc_b").alias("s"),
-                                       F.col("doc_a").alias("d")))
+    edges = (fp_pairs.select(F.col("fa").alias("s"), F.col("fb").alias("d"))
+             .unionByName(fp_pairs.select(F.col("fb").alias("s"),
+                                          F.col("fa").alias("d")))
              ).localCheckpoint()
-    labels = (edges.select(F.col("s").alias("id")).distinct()
-              .withColumn("label", F.col("id")).localCheckpoint())
+    # graph nodes = fingerprints that yield any doc pair: an internal
+    # pair (≥2 docs share the fingerprint) or an edge to another
+    # fingerprint — matching the oracle's nodes-from-edges semantics.
+    linked = edges.select(F.col("s").alias("simhash")).distinct()
+    members = (nodes.join(linked, "simhash", "left_semi")
+               .unionByName(nodes.where(F.col("n_docs") >= 2))
+               .dropDuplicates(["simhash"])
+               .localCheckpoint())
+    labels = members.select(F.col("simhash").alias("id"),
+                            F.col("fp_min").alias("label")).localCheckpoint()
     for _ in range(20):  # bound ≥ any real component diameter here
         neighbor_min = (edges.join(labels, edges.s == labels.id)
                         .groupBy(F.col("d").alias("id"))
                         .agg(F.min("label").alias("nmin")))
+        # `improved` rides along so convergence is a cheap scan of the
+        # checkpointed result, not an extra join against the old labels
         new_labels = (labels.join(neighbor_min, "id", "left")
-                      .select("id", F.least("label", "nmin").alias("label"))
+                      .select("id", F.least("label", "nmin").alias("label"),
+                              (F.col("nmin") < F.col("label")).alias("improved"))
                       .localCheckpoint())
-        changed = (new_labels
-                   .join(labels.select("id", F.col("label").alias("old")), "id")
-                   .where(F.col("label") != F.col("old")).count())
-        labels = new_labels
+        changed = new_labels.where("improved").count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (labels.join(sizes, "label")
-            .select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"),
-                    F.col("cluster_size").cast("int")))
+    # expand back: every doc of a member fingerprint gets its
+    # component's canonical (minimum) doc_id and the doc-level size
+    docs_out = (fp.join(labels, fp.simhash == labels.id)
+                .select("doc_id", F.col("label").alias("cluster_id")))
+    sizes = docs_out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (docs_out.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", F.col("cluster_size").cast("int")))
