@@ -1,0 +1,248 @@
+"""Training-data curation operators: deterministic splits, stratified
+sampling, sequence packing, benchmark decontamination, and length
+percentiles over the ``documents`` table.
+
+These are the dataset-assembly steps that sit between the dedup/quality
+operators (plans/llm_ops.py) and an actual training run. Every operator
+here is hash-deterministic — no RNG state — so results are reproducible
+across engines (the DuckDB oracles mirror the md5 arithmetic
+digit-for-digit, the same portability trick as functions/hashing.py)
+and across cluster sizes (nothing depends on partitioning).
+
+Scale notes per operator in the docstrings; the common theme: splits
+and samples are map-only (hash of the id — no shuffle at all), packing
+windows are sharded (never a global sort), and decontamination
+broadcasts the benchmark's n-gram set instead of joining corpus×eval.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..functions import hashing as H
+from .llm_ops import SQL_TOKS, _doc_shingled
+from .registry import register
+
+# Split-bucket arithmetic shared by split/sample: first 4 md5 hex chars
+# of the decimal doc_id -> uint16 -> mod 100. Same construction as the
+# 16-bit token hash (functions/hashing.hex4_to_int).
+_HEXP = "(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+SQL_DOC_BUCKET = (f"({_HEXP.format(i=1)}*4096 + {_HEXP.format(i=2)}*256 + "
+                  f"{_HEXP.format(i=3)}*16 + {_HEXP.format(i=4)}) % 100")
+
+
+def doc_bucket(doc_id: F.Column) -> F.Column:
+    """Deterministic 0..99 bucket from md5 of the decimal doc id."""
+    return H.hex4_to_int(F.substring(F.md5(doc_id.cast("string")), 1, 4)) % 100
+
+
+@register(
+    "split_train_test",
+    oracle=f"""
+    SELECT doc_id, CAST({SQL_DOC_BUCKET} AS BIGINT) AS bucket,
+           CASE WHEN {SQL_DOC_BUCKET} < 90 THEN 'train'
+                WHEN {SQL_DOC_BUCKET} < 95 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("curation", "split"),
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/valid/test assignment by hashing the document id.
+
+    Hash-based (not random) on purpose: the assignment is a pure
+    function of the id, so re-running on a grown corpus never moves an
+    old document between splits (no leakage of former training docs
+    into test). Map-only — no shuffle, no RNG state; at 100 TB this is
+    a free column on the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = doc_bucket(F.col("doc_id"))
+    return d.select(
+        "doc_id", b.cast("bigint").alias("bucket"),
+        F.when(b < 90, "train").when(b < 95, "valid").otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM (SELECT doc_id, lang, source, {SQL_DOC_BUCKET} AS bucket FROM documents)
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 25 ELSE 50 END)
+    """,
+    tags=("curation", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: keep 25% of English docs
+    and 50% of every other language (downweighting the dominant
+    stratum — the standard data-mixing move).
+
+    Same hash-bucket as split_train_test, so sampling composes with the
+    split without correlation surprises only if the rates differ per
+    stratum (they do here); an independent sample would re-hash with a
+    salt. Map-only, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 25).otherwise(50)
+    return (d.select("doc_id", "lang", "source",
+                     doc_bucket(F.col("doc_id")).alias("bucket"))
+            .where(F.col("bucket") < rate)
+            .select("doc_id", "lang", "source"))
+
+
+PACK_BUDGET = 256   # tokens per packed sequence
+PACK_SHARDS = 32    # packing parallelism — window runs per shard
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+               CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_start
+        FROM toks
+    )
+    SELECT doc_id, shard, n_tokens, tok_start,
+           CAST(FLOOR(tok_start / {PACK_BUDGET}) AS BIGINT) AS seq_first,
+           CAST(FLOOR((tok_start + n_tokens - 1) / {PACK_BUDGET}) AS BIGINT) AS seq_last
+    FROM packed
+    """,
+    tags=("curation", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    id order and cut every PACK_BUDGET tokens; each doc learns its
+    token offset and the first/last sequence it lands in (docs may
+    straddle a boundary — the standard LLM pretraining packing).
+
+    Sharded by ``doc_id % PACK_SHARDS`` so the running-sum window is
+    per-shard — parallel, never a global sort/single-partition window.
+    At 100 TB the shard count scales with the cluster; sequence ids are
+    (shard, seq) pairs so no coordination between shards is needed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(H.word_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = toks.withColumn(
+        "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"))
+    return packed.select(
+        "doc_id", "shard", "n_tokens", "tok_start",
+        F.floor(F.col("tok_start") / PACK_BUDGET).cast("bigint").alias("seq_first"),
+        F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / PACK_BUDGET)
+        .cast("bigint").alias("seq_last"),
+    )
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH sh AS ({_doc_shingled()}),
+    eval_grams AS (
+        SELECT DISTINCT t FROM (SELECT unnest(sh) AS t FROM sh WHERE doc_id < 10)
+    ),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 10),
+    hits AS (
+        SELECT e.doc_id, COUNT(*) AS n_overlap
+        FROM (SELECT doc_id, unnest(sh) AS t FROM corpus) e
+        JOIN eval_grams g ON e.t = g.t
+        GROUP BY e.doc_id
+    )
+    SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / len(c.sh) AS contamination,
+           (CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / len(c.sh)) >= 0.5
+               AS is_contaminated
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+    tags=("curation", "decontamination"),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs (doc_id ≥ 10) whose
+    3-gram shingle overlap with the held-out eval set (doc_id < 10)
+    exceeds 50% of their shingles.
+
+    The eval set's distinct n-gram table is tiny relative to the corpus
+    (benchmarks are ~10⁴ items; corpora are ~10¹⁰), so it is broadcast
+    and the overlap is a map-side semi-count — the corpus never
+    shuffles its shingles. At 100 TB the eval grams would be hashed
+    (xxhash64) to shrink the broadcast further; shape unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = (d.where(F.col("text").isNotNull())
+          .select("doc_id", "text").repartition(par)
+          .select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh")))
+    eval_grams = (sh.where(F.col("doc_id") < 10)
+                  .select(F.explode("sh").alias("t")).distinct())
+    corpus = sh.where(F.col("doc_id") >= 10)
+    hits = (corpus.select("doc_id", F.explode("sh").alias("t"))
+            .join(F.broadcast(eval_grams), "t")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    out = (corpus.select("doc_id", F.size("sh").cast("bigint").alias("n_shingles"))
+           .join(hits, "doc_id", "left")
+           .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("bigint")))
+    contamination = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return out.select(
+        "doc_id", "n_shingles", "n_overlap",
+        contamination.alias("contamination"),
+        (contamination >= 0.5).alias("is_contaminated"),
+    )
+
+
+@register(
+    "text_length_percentiles",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(FLOOR(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY n_tokens) * 100)
+                AS BIGINT) AS p50_c,
+           CAST(FLOOR(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY n_tokens) * 100)
+                AS BIGINT) AS p90_c,
+           CAST(FLOOR(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY n_tokens) * 100)
+                AS BIGINT) AS p99_c
+    FROM (SELECT lang, CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents)
+    GROUP BY lang
+    """,
+    tags=("curation", "stats"),
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-length percentiles (p50/p90/p99) per language —
+    the curation dashboard numbers behind truncation/packing budgets.
+
+    Exact percentile is a per-group sort; groups here are languages
+    (small cardinality, each fits an executor). At 100 TB you'd switch
+    to approx_percentile (t-digest sketch, map-side mergeable — no
+    per-group sort) and keep this exact form for validation samples.
+    Results are fixed-point floored (×100) so the linear-interpolation
+    doubles hash identically across engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang",
+                    F.size(H.word_tokens(F.col("text"))).cast("bigint")
+                    .alias("n_tokens"))
+    pct = F.expr("percentile(n_tokens, array(0.5D, 0.9D, 0.99D))")
+    agg = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), pct.alias("p"))
+    return agg.select(
+        "lang", "n_docs",
+        F.floor(F.element_at("p", 1) * 100).cast("bigint").alias("p50_c"),
+        F.floor(F.element_at("p", 2) * 100).cast("bigint").alias("p90_c"),
+        F.floor(F.element_at("p", 3) * 100).cast("bigint").alias("p99_c"),
+    )
