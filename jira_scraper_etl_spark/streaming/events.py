@@ -1,0 +1,142 @@
+"""Structured Streaming over the ``events`` table: file-stream source,
+watermarked event-time windows, and a custom stateful operator.
+
+The batch plans in plans/event_time.py use the exact operators
+Structured Streaming executes (``F.window`` / ``F.session_window``), so
+each streaming pipeline here has an oracle-checked batch twin — the
+tests drain the stream with ``Trigger.AvailableNow`` and diff the
+result against the batch plan (differential testing, same idea as
+functions/text_pandas.py).
+
+Scale notes: the file source is the stand-in for Kafka — swap
+``readStream.parquet`` for ``readStream.format("kafka")`` and the plans
+are unchanged. Watermarks bound state: the tumbling aggregation keeps
+only windows newer than the watermark; the stateful operator keeps one
+small struct per user (no per-event history), so state size is O(keys),
+not O(events).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..catalog import EVENTS_RAW_SCHEMA
+from ..session import apply_runtime_confs
+
+
+def stream_events(spark: SparkSession, source_dir: str,
+                  glob: str = "events.parquet",
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """``readStream`` over parquet event files in ``source_dir`` with
+    the same nanos→micros columnar conversion as catalog.load_events
+    (the generator wrote TIMESTAMP(NANOS)). ``max_files_per_trigger``
+    bounds each micro-batch — with AvailableNow this replays a backlog
+    as several batches, which is how the tests exercise cross-batch
+    state."""
+    apply_runtime_confs(spark)
+    reader = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .option("pathGlobFilter", glob))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(source_dir)
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling aggregation — the streaming twin of
+    events_tumbling_1h (plans/event_time.py): same window operator,
+    same output columns, plus the watermark that lets the engine drop
+    state for closed windows and emit them in append mode."""
+    from ..plans.registry import dsum
+
+    # Watermarks require TIMESTAMP (not NTZ); the session TZ is pinned
+    # UTC (session.py), so the cast is value-preserving, and the window
+    # bound is cast back to NTZ to match the batch twin's schema.
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+                "event_type", "n", "total_value")
+    )
+
+
+# Output/state schemas for the stateful per-user aggregate. last_ts is
+# int64 microseconds (not a timestamp column) so state round-trips
+# through Arrow without tz coercion.
+USER_STATE_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("last_event_id", T.LongType()),
+    T.StructField("last_event_type", T.StringType()),
+    T.StructField("last_ts_micros", T.LongType()),
+])
+
+USER_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("last_event_id", T.LongType()),
+    T.StructField("last_event_type", T.StringType()),
+    T.StructField("last_ts_micros", T.LongType()),
+])
+
+
+def _update_user_state(key: Any, pdfs: Iterator, state) -> Iterator:
+    """Per-user running aggregate: event count + latest event (by
+    (ts, event_id), so out-of-order arrival within and across batches
+    converges to the same answer). Emits the updated aggregate once per
+    batch the key appears in — CDC-style update stream."""
+    import pandas as pd
+
+    (user_id,) = key
+    n, last_id, last_type, last_us = (
+        state.get if state.exists else (0, -1, None, -1))
+    for pdf in pdfs:
+        for eid, etype, us in zip(pdf["event_id"], pdf["event_type"],
+                                  pdf["ts_micros"]):
+            n += 1
+            if (us, eid) > (last_us, last_id):
+                last_id, last_type, last_us = int(eid), etype, int(us)
+    state.update((n, last_id, last_type, last_us))
+    yield pd.DataFrame([{
+        "user_id": user_id, "n_events": n, "last_event_id": last_id,
+        "last_event_type": last_type, "last_ts_micros": last_us,
+    }])
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: one
+    state struct per user carrying (count, latest event), updated every
+    micro-batch — the engine analog of the reference worker's
+    re-fetch-and-overwrite bookkeeping, kept incrementally instead of
+    recomputed. State is O(distinct users); no timeout (users never
+    expire here — production would set an event-time timeout keyed to
+    the watermark to reap idle keys)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (events
+            .select("user_id", "event_id", "event_type",
+                    F.expr("unix_micros(cast(ts as timestamp))").alias("ts_micros"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_user_state,
+                outputStructType=USER_STATE_OUTPUT,
+                stateStructType=USER_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
+
+
+def drain_query(writer_start, timeout_seconds: float = 120.0):
+    """Start a streaming query and block until AvailableNow finishes."""
+    q = writer_start()
+    q.awaitTermination(timeout_seconds)
+    if q.isActive:
+        q.stop()
+    return q

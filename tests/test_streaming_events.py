@@ -1,0 +1,109 @@
+"""Structured Streaming differential tests: every streaming pipeline is
+drained with Trigger.AvailableNow and compared against its
+oracle-checked batch twin from plans/event_time.py. Multi-file inputs +
+maxFilesPerTrigger=1 force several micro-batches, so cross-batch state
+(watermark advance, per-user state structs) is genuinely exercised."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from jira_scraper_etl_spark import plans
+from jira_scraper_etl_spark.catalog import load_events
+from jira_scraper_etl_spark.streaming import events as SE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """The sf events split into 3 TIME-RANGE parquet files with
+    ascending modification times — a realistic backlog replay (file N
+    holds the next time slice), so watermark semantics are exercised
+    without whole-batch late-drops."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Window
+
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    raw = (spark.read.schema(SE.EVENTS_RAW_SCHEMA)
+           .parquet(f"{sf_dir}/events.parquet"))
+    nt = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    chunked = raw.withColumn("nt", nt)
+    for i in (1, 2, 3):  # sequential writes -> ascending mtimes
+        tmp = f"{d}/_stage{i}"
+        chunked.where(F.col("nt") == i).drop("nt").coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{d}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+    return d
+
+
+def test_streaming_tumbling_complete_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = SE.stream_events(spark, events_dir, glob="*.parquet",
+                              max_files_per_trigger=1)
+    agg = SE.tumbling_counts(stream)
+    q = SE.drain_query(lambda: (
+        agg.writeStream.format("memory").queryName("tumbling_all")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()))
+    got = {tuple(r) for r in spark.table("tumbling_all").collect()}
+    want = {tuple(r)
+            for r in plans.QUERIES["events_tumbling_1h"].fn(spark, sf_dir).collect()}
+    assert got == want and want
+
+
+def test_streaming_tumbling_append_watermark_subset(spark, sf_dir, events_dir, tmp_path):
+    """Append mode only emits windows the watermark has closed: the
+    emitted set must be a consistent subset of the batch result (exact
+    rows, never partial counts — late data inside the watermark was
+    still merged before emission)."""
+    stream = SE.stream_events(spark, events_dir, glob="*.parquet",
+                              max_files_per_trigger=1)
+    agg = SE.tumbling_counts(stream, watermark="2 hours")
+    SE.drain_query(lambda: (
+        agg.writeStream.format("memory").queryName("tumbling_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()))
+    got = {tuple(r) for r in spark.table("tumbling_append").collect()}
+    want = {tuple(r)
+            for r in plans.QUERIES["events_tumbling_1h"].fn(spark, sf_dir).collect()}
+    assert got <= want
+    assert got  # multi-batch drain must have closed some windows
+
+
+def test_stateful_user_stats_converges_to_batch(spark, sf_dir, events_dir, tmp_path):
+    """The applyInPandasWithState running aggregate, after draining all
+    batches, must equal the batch groupBy: count + latest event per
+    user (latest by (ts, event_id) — robust to out-of-order files)."""
+    stream = SE.stream_events(spark, events_dir, glob="*.parquet",
+                              max_files_per_trigger=1)
+    out = SE.stateful_user_stats(stream)
+    updates = []
+
+    def collect_batch(df, batch_id):
+        updates.append((batch_id, df.collect()))
+
+    SE.drain_query(lambda: (
+        out.writeStream.foreachBatch(collect_batch)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()))
+    assert len(updates) >= 2  # cross-batch state actually exercised
+    final = {}
+    for _, rows in updates:  # batch ids ascend; later update wins
+        for r in rows:
+            final[r.user_id] = (r.n_events, r.last_event_id,
+                                r.last_event_type, r.last_ts_micros)
+
+    e = load_events(spark, sf_dir)
+    batch = (e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.struct(F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+                       F.col("event_id"), F.col("event_type"))).alias("m")))
+    want = {r.user_id: (r.n, r.m.event_id, r.m.event_type, r.m.us)
+            for r in batch.collect()}
+    assert final == want
