@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the scale-critical properties the
+docstrings claim — column pruning into the scan, no cartesian products,
+broadcast dims, top-k without a global sort — asserted on the actual
+executed plan so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from jira_scraper_etl_spark import plans
+
+
+def executed_plan(spark, sf_dir, name: str) -> str:
+    df = plans.QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(spark, sf_dir, name: str) -> str:
+    df = plans.QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+# Queries whose candidate generation must be keyed joins, never a
+# cartesian/broadcast-nested-loop product (the all-pairs ground-truth
+# twins are gated and excluded by design).
+BUCKETED = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_ann_signlsh",
+    "dedup_cluster_canonical",
+]
+
+
+@pytest.mark.parametrize("name", BUCKETED)
+def test_no_cartesian_in_bucketed_operators(spark, sf_dir, name):
+    plan = executed_plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """split_train_test consumes only doc_id — the parquet ReadSchema
+    must not carry text (the wide column)."""
+    plan = executed_plan(spark, sf_dir, "split_train_test")
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines
+    assert all("text" not in l for l in scan_lines)
+    assert any("doc_id" in l for l in scan_lines)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """The gated ground-truth twin's doc_id/vec_id gate must push into
+    the parquet scan, not filter post-scan."""
+    plan = executed_plan(spark, sf_dir, "dedup_embedding_cosine_exact")
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,300)" in plan
+
+
+def test_dims_broadcast_in_star_join(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "join_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "topk_expensive_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
+    df = plans.QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" is the whole-stage-codegen stage marker in plan strings;
+    # both the partial and final aggregate must sit inside codegen
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+    assert "isFinalPlan=true" in plan
+
+
+def test_packing_window_is_sharded(spark, sf_dir):
+    """pack_sequences must partition its running-sum window by shard —
+    a global (single-partition) window would serialize the corpus."""
+    exec_plan = executed_plan(spark, sf_dir, "pack_sequences")
+    win = [l for l in exec_plan.splitlines() if "Window" in l]
+    assert win and all("shard" in l for l in win)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
