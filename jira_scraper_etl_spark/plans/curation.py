@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..functions import hashing as H
-from .llm_ops import SQL_TOKS, _doc_shingled
+from .llm_ops import SQL_TOKS, _HITS, _doc_shingled
 from .registry import register
 
 # Split-bucket arithmetic shared by split/sample: first 4 md5 hex chars
@@ -203,6 +203,81 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_shingles", "n_overlap",
         contamination.alias("contamination"),
         (contamination >= 0.5).alias("is_contaminated"),
+    )
+
+
+@register(
+    "curate_pretrain_corpus",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, text, {SQL_TOKS} AS toks FROM documents),
+    scored AS (
+        SELECT doc_id, lang, text, CAST(len(toks) AS BIGINT) AS n_toks,
+               0.5 * (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.25 END)
+               + 0.25 * (CAST({_HITS['en']} AS DOUBLE) / 10.0)
+               + 0.25 * (1.0 - LEAST(1.0,
+                     CAST(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                       / GREATEST(LENGTH(text), 1) * 4
+                   + CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                       / GREATEST(LENGTH(text), 1) * 4)) AS quality
+        FROM t
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.78),
+    hashed AS (
+        SELECT *, md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                   '[^a-z0-9]+', ' ', 'g'), ' {{2,}}', ' ', 'g'))) AS content_hash
+        FROM kept
+    ),
+    canon AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        FROM hashed
+    ),
+    final AS (
+        SELECT lang, n_toks,
+               CASE WHEN {SQL_DOC_BUCKET} < 90 THEN 'train'
+                    WHEN {SQL_DOC_BUCKET} < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM canon WHERE rn = 1
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM final GROUP BY split, lang
+    """,
+    tags=("curation", "pipeline"),
+)
+def curate_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed flagship curation pipeline: quality-filter
+    (threshold 0.78) → exact-dedup to canonical docs → hash split →
+    per-(split, lang) doc and token counts. This is the query a user of
+    the engine runs end-to-end before a training job.
+
+    Scale shape: every stage except the dedup is map-only (filters,
+    hashes, token counts fuse into one codegen'd scan pass); the dedup
+    is a single shuffle on the 32-hex content hash (same as
+    dedup_exact); the final rollup aggregates to a handful of rows with
+    map-side partial combine. One shuffle total.
+    """
+    from ..functions.textstats import normalize_for_fingerprint, quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        F.size(H.word_tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        F.md5(normalize_for_fingerprint(F.col("text"))).alias("content_hash"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    kept = scored.where(F.col("quality") >= 0.78)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    canon = (kept.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1))
+    b = doc_bucket(F.col("doc_id"))
+    final = canon.select(
+        "lang", "n_toks",
+        F.when(b < 90, "train").when(b < 95, "valid").otherwise("test")
+        .alias("split"),
+    )
+    return final.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
     )
 
 
