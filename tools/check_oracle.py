@@ -44,6 +44,61 @@ def normalize(rows, cols):
     )
 
 
+# --- column-type audit -------------------------------------------------------
+# The driver hashes TYPED values, so a DuckDB column materializing as a
+# different physical type than Spark's (the round-1 failure: windowed
+# SUM(BIGINT) -> HUGEINT vs Spark int64) hash-mismatches even when the
+# Python-level values compare equal. Canonicalize both engines' types
+# and flag any divergence.
+
+_SPARK_CANON = {
+    "tinyint": "i64", "smallint": "i64", "int": "i64", "bigint": "i64",
+    "float": "f64", "double": "f64", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+    "binary": "bin",
+}
+
+_DUCK_CANON = {
+    "TINYINT": "i64", "SMALLINT": "i64", "INTEGER": "i64", "BIGINT": "i64",
+    "HUGEINT": "i128", "UBIGINT": "i128", "UINTEGER": "i64",
+    "FLOAT": "f64", "DOUBLE": "f64", "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts", "BLOB": "bin",
+}
+# int widths below 64 canonicalize together: both engines surface them
+# as plain Python ints and the driver upcasts via Arrow to the declared
+# width per engine... which agree for <=64-bit. The audit exists to
+# catch the types that do NOT agree: HUGEINT/UBIGINT (128-bit paths).
+
+
+def _canon(t: str, table: dict) -> str:
+    t = t.strip()
+    if t.lower().startswith("decimal") or t.upper().startswith("DECIMAL"):
+        scale = t.rstrip(")").rsplit(",", 1)[-1].strip()
+        return f"dec({scale})"
+    if t.endswith("[]"):
+        return f"arr<{_canon(t[:-2], table)}>"
+    if t.lower().startswith("array<") and t.endswith(">"):
+        return f"arr<{_canon(t[6:-1], table)}>"
+    return table.get(t, table.get(t.upper(), t))
+
+
+def type_mismatches(s_dtypes, con, oracle_sql) -> list[str]:
+    try:
+        desc = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    except Exception:
+        return []  # DESCRIBE unsupported for this statement shape
+    duck = {row[0]: row[1] for row in desc}
+    out = []
+    for col, st in s_dtypes:
+        if col not in duck:
+            continue  # column-name diff reported separately
+        cs, cd = _canon(st, _SPARK_CANON), _canon(duck[col], _DUCK_CANON)
+        if cs != cd:
+            out.append(f"{col}: spark={st}({cs}) duckdb={duck[col]}({cd})")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -81,6 +136,10 @@ def main() -> int:
             continue
         checked += 1
         msgs = []
+        tm = type_mismatches(sdf.dtypes, con, q.oracle)
+        if tm:
+            msgs.append("TYPE MISMATCH (driver hashes typed values): "
+                        + "; ".join(tm))
         if sorted(s_cols) != sorted(o_cols):
             msgs.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         elif len(s_rows) != len(o_rows):
