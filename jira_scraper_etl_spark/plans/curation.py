@@ -116,7 +116,10 @@ PACK_SHARDS = 32    # packing parallelism — window runs per shard
     )
     SELECT doc_id, shard, n_tokens, tok_start,
            CAST(FLOOR(tok_start / {PACK_BUDGET}) AS BIGINT) AS seq_first,
-           CAST(FLOOR((tok_start + n_tokens - 1) / {PACK_BUDGET}) AS BIGINT) AS seq_last
+           -- GREATEST guards empty docs: n_tokens=0 on an exact chunk
+           -- boundary would otherwise put seq_last before seq_first
+           CAST(FLOOR((tok_start + GREATEST(n_tokens, 1) - 1) / {PACK_BUDGET})
+                AS BIGINT) AS seq_last
     FROM packed
     """,
     tags=("curation", "packing"),
@@ -145,8 +148,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "shard", "n_tokens", "tok_start",
         F.floor(F.col("tok_start") / PACK_BUDGET).cast("bigint").alias("seq_first"),
-        F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / PACK_BUDGET)
-        .cast("bigint").alias("seq_last"),
+        # greatest() guards empty docs (see oracle comment)
+        F.floor((F.col("tok_start") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / PACK_BUDGET).cast("bigint").alias("seq_last"),
     )
 
 

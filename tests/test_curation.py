@@ -1,0 +1,73 @@
+"""Curation-operator invariants beyond the value-level oracle checks:
+structural properties that must hold for ANY corpus, asserted on the
+registered queries plus constructed edge cases."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+
+from jira_scraper_etl_spark import plans
+from jira_scraper_etl_spark.plans.curation import PACK_BUDGET, PACK_SHARDS
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    rows = plans.QUERIES["pack_sequences"].fn(spark, sf_dir).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    assert set(by_shard) <= set(range(PACK_SHARDS))
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in docs:
+            assert r.tok_start == offset  # contiguous concat per shard
+            assert r.seq_first == r.tok_start // PACK_BUDGET
+            assert r.seq_first <= r.seq_last
+            end = r.tok_start + max(r.n_tokens, 1) - 1
+            assert r.seq_last == end // PACK_BUDGET
+            offset += r.n_tokens
+
+
+def test_pack_sequences_empty_doc_on_boundary(spark, monkeypatch):
+    """An empty doc landing exactly on a chunk boundary must not invert
+    its sequence span (seq_last < seq_first was possible pre-guard)."""
+    import jira_scraper_etl_spark.plans.curation as C
+
+    docs = spark.createDataFrame(
+        [(0, "tok " * PACK_BUDGET), (32, ""), (64, "tail")],  # same shard 0
+        "doc_id long, text string")
+    monkeypatch.setattr(C, "load_table", lambda sp, sf, name: docs)
+    rows = {r.doc_id: r for r in C.pack_sequences(spark, "ignored").collect()}
+    empty = rows[32]
+    assert empty.n_tokens == 0
+    assert empty.tok_start == PACK_BUDGET  # exactly on the boundary
+    assert empty.seq_first == empty.seq_last == 1
+    assert rows[64].tok_start == PACK_BUDGET
+
+
+def test_split_fractions_and_determinism(spark, sf_dir):
+    df = plans.QUERIES["split_train_test"].fn(spark, sf_dir)
+    counts = {r.split: r.n for r in
+              df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.8 <= counts["train"] / total <= 0.97  # ~90% with hash noise
+    # determinism: a second run assigns identically
+    again = plans.QUERIES["split_train_test"].fn(spark, sf_dir)
+    assert df.subtract(again).count() == 0 and again.subtract(df).count() == 0
+
+
+def test_curate_pipeline_consistent_with_parts(spark, sf_dir):
+    """The composed pipeline's totals must be explainable by its parts:
+    kept+deduped doc count equals the sum over the rollup."""
+    rollup = plans.QUERIES["curate_pretrain_corpus"].fn(spark, sf_dir)
+    n_rollup = rollup.agg(F.sum("n_docs")).first()[0]
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.functions.textstats import (
+        normalize_for_fingerprint, quality_score)
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.where(quality_score(F.col("text")) >= 0.78)
+    n_canon = (kept.select(F.md5(normalize_for_fingerprint(F.col("text")))
+                           .alias("h")).distinct().count())
+    assert n_rollup == n_canon > 0
