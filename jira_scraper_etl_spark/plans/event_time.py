@@ -190,6 +190,52 @@ def events_funnel_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(DATE_DIFF('day', f.cohort_day, DATE_TRUNC('day', e.ts))
+                AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "cohort"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, then
+    distinct active users per (cohort, day-offset) — the standard
+    product-analytics retention matrix.
+
+    Scale shape: first-seen is one keyed aggregation on user_id
+    (map-side combined); the join back is keyed on user_id; the final
+    COUNT(DISTINCT user_id) per (cohort, offset) is Spark's two-stage
+    distinct expansion — every shuffle keyed, the widest one carrying
+    (cohort, offset, user_id) triples. At 100 TB the events table is
+    already partitioned by user_id or date, so the first two shuffles
+    piggyback on the native layout.
+    """
+    e = load_events(spark, sf_dir)
+    # to_date, not date_trunc: Spark's date_trunc returns TIMESTAMP
+    # while DuckDB's returns DATE — the typed hash would diverge
+    first_seen = (e.groupBy("user_id")
+                  .agg(F.to_date(F.min("ts")).alias("cohort_day")))
+    return (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff(F.to_date(F.col("ts")), F.col("cohort_day"))
+            .cast("bigint").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
+@register(
     "events_trailing_1h_sum",
     oracle="""
     SELECT event_id, user_id,
