@@ -78,6 +78,16 @@ def test_worker_cli_no_initial_run_and_stop(spark, tmp_path):
     assert status["message"] == "worker stopped"
 
 
+def test_worker_cli_executes_a_run(spark, tmp_path):
+    """End-to-end: the worker CLI performs an immediate run (initial_run
+    default), reports it, and writes healthy status."""
+    cfgp = write_config(tmp_path, projects=["SPARK"], synthetic_total=20)
+    out = cli.worker_main(["--interval", "1", "--config", cfgp],
+                          spark=spark, max_runs=1)
+    assert out["runs"] == 1 and out["last_successful_run"] is not None
+    assert (tmp_path / "data" / "silver" / "project=SPARK").exists()
+
+
 def test_worker_signal_handler_sets_stop_event():
     """SIGINT/SIGTERM handlers set the stop event (worker.py:118-128)
     and the previous handlers are restorable."""

@@ -48,6 +48,28 @@ def test_embedding_dedup_bucketed_subset_and_recall(spark, sf_dir):
     assert got == want and isinstance(want, set)
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """similarity_ann_ivf is rows-only (seeded KMeans is Spark-internal),
+    so pin its QUALITY instead: every reported neighbor must carry the
+    true cosine, and mean recall@5 against the exact top-5 (restricted
+    to queries both report) must clear a floor — single-probe IVF with 8
+    cells can miss cross-cell neighbors, but not most of them."""
+    import pyspark.sql.functions as F
+
+    ivf = plans.QUERIES["similarity_ann_ivf"].fn(spark, sf_dir)
+    got = {}
+    for r in ivf.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exact = plans.QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir)
+    want = {}
+    for r in exact.where(F.col("rk") <= 5).collect():
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    common = set(got) & set(want)
+    assert common
+    recall = sum(len(got[q] & want[q]) / len(want[q]) for q in common) / len(common)
+    assert recall >= 0.4, recall
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as entrymod
 
