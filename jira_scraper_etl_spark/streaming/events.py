@@ -133,6 +133,19 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             ))
 
 
+def dedup_within_watermark(events: DataFrame, key: str = "event_id",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming ingest dedup: drop re-deliveries of the same ``key``
+    arriving within the watermark delay (``dropDuplicatesWithinWatermark``
+    keeps state per key only until the watermark passes, so state is
+    bounded by the delay window × arrival rate, not by history — the
+    property that makes at-least-once upstream delivery exactly-once
+    downstream at any scale)."""
+    return (events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark([key]))
+
+
 def drain_query(writer_start, timeout_seconds: float = 120.0):
     """Start a streaming query and block until AvailableNow finishes."""
     q = writer_start()

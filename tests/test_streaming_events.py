@@ -75,6 +75,33 @@ def test_streaming_tumbling_append_watermark_subset(spark, sf_dir, events_dir, t
     assert got  # multi-batch drain must have closed some windows
 
 
+def test_streaming_dedup_within_watermark(spark, sf_dir, events_dir, tmp_path):
+    """At-least-once delivery (every chunk delivered twice, duplicates
+    in a later batch) must come out exactly-once: the drained sink holds
+    each event_id exactly once, matching the batch distinct count."""
+    import shutil
+
+    d = str(tmp_path / "dup_events")
+    import os
+    os.makedirs(d)
+    for i in (1, 2, 3):  # original then its redelivery, per time slice
+        shutil.copy(f"{events_dir}/{i:02d}.parquet", f"{d}/{i:02d}a.parquet")
+        shutil.copy(f"{events_dir}/{i:02d}.parquet", f"{d}/{i:02d}b.parquet")
+    stream = SE.stream_events(spark, d, glob="*.parquet",
+                              max_files_per_trigger=2)
+    deduped = SE.dedup_within_watermark(stream)
+    SE.drain_query(lambda: (
+        deduped.writeStream.format("memory").queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()))
+    out = spark.table("dedup_sink")
+    n_distinct_src = (spark.read.parquet(f"{sf_dir}/events.parquet")
+                      .select("event_id").distinct().count())
+    assert out.count() == out.select("event_id").distinct().count()
+    assert out.count() == n_distinct_src
+
+
 def test_stateful_user_stats_converges_to_batch(spark, sf_dir, events_dir, tmp_path):
     """The applyInPandasWithState running aggregate, after draining all
     batches, must equal the batch groupBy: count + latest event per
