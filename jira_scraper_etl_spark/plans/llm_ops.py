@@ -665,36 +665,59 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_ann_ivf", oracle=None, tags=("similarity", "ml"))
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: seeded KMeans partitions the corpus into 8
-    inverted lists; each query probes only its own cell, then exact
-    quantized-cosine top-5 within the cell.
+    """IVF-style ANN with multi-probe: seeded KMeans partitions the
+    corpus into 8 inverted lists; each query probes its 2 nearest cells
+    (nprobe=2), then exact quantized-cosine top-5 within the probed
+    cells.
 
     This is the production shape for embedding search at 100 TB: the
     coarse quantizer is trained on a sample (here: the corpus — it is
     tiny at test SF), cell assignment is a broadcast-model map pass,
     and candidate generation is an equi-join on cell id — shuffle keyed
-    on 1 byte, never all-pairs. Multi-probe = join on ARRAY of nearest
-    cells; the operator shape is unchanged. No oracle: KMeans centroids
-    are Spark-internal (rows-only check); similarity_ann_signlsh is the
+    on 1 byte, never all-pairs. Multi-probe explodes each query into
+    its nprobe nearest cells (centroid table is k rows — driver-side by
+    construction, k ≪ corpus) so recall climbs without changing the
+    join shape. No oracle: KMeans centroids are Spark-internal
+    (rows-only check + recall floor vs brute force in
+    tests/test_queries.py); similarity_ann_signlsh is the
     oracle-checked bucketed variant."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    NPROBE = 2
     e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
     base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"),
-                     array_to_vector(
-                         F.transform("embedding", lambda x: x.cast("double"))
-                     ).alias("features"))
+                     emb_d.alias("emb"),
+                     array_to_vector(emb_d).alias("features"))
             .withColumn("n2", V.qnorm2(F.col("q"))))
-    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
-    assigned = km.fit(base).transform(base).drop("features")
-    queries = assigned.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
-        F.col("n2").alias("qn2"), F.col("cell").alias("qcell"))
+    km = KMeans(k=8, seed=42, featuresCol="cfeat", predictionCol="cell")
+    model = km.fit(base.select(F.col("features").alias("cfeat")))
+    assigned = (model.transform(base.withColumn("cfeat", F.col("features")))
+                .drop("features", "cfeat"))
+    # centroid table: k rows, driver-side by construction
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>")
+    # nprobe nearest cells per query: tiny cross product (queries × k)
+    d2 = F.aggregate(
+        F.zip_with("emb", "center", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        assigned.where(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
+                F.col("n2").alias("qn2"), "emb")
+        .crossJoin(F.broadcast(centers))
+        .withColumn("d2", d2)
+        .withColumn("prk", F.row_number().over(wq))
+        .where(F.col("prk") <= NPROBE)
+        .select("query_id", "qq", "qn2", F.col("cell").alias("qcell"))
+    )
     cos = (V.qdot(F.col("qq"), F.col("q")).cast("double")
            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double"))))
     scored = (
-        assigned.join(F.broadcast(queries),
+        assigned.join(F.broadcast(probes),
                       (F.col("cell") == F.col("qcell"))
                       & (F.col("vec_id") != F.col("query_id")))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
