@@ -1,0 +1,28 @@
+"""The driver runs bench.py as a subprocess and parses its single JSON
+stdout line — pin that contract so a refactor can't break the round
+recording."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_single_json_line_on_stdout():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        cwd="/root/repo", env=env, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, lines
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "headline_suite_wall_clock"
+    assert payload["unit"] == "sec" and payload["value"] > 0
+    assert payload["sf"] == 0.001
+    assert set(payload["queries"]) >= {
+        "q1_pricing_summary", "dedup_minhash_lsh", "dedup_cluster_canonical",
+        "text_vocab_topk", "jira_source_scan"}
+    assert all(v >= 0 for v in payload["queries"].values())
