@@ -84,10 +84,15 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     same values via explode + min-aggregate, which is the shape that
     scales. Empty shingle sets produce nulls (filtered by callers)."""
     ms = F.transform(shingles, lambda s: F.md5(s))
-    return F.array(*[
-        F.array_min(F.transform(ms, lambda m, i=i: km_hash(m, i)))
-        for i in range(k)
-    ])
+
+    def member(i: int) -> Column:
+        # one-arg lambda on purpose: a two-arg transform lambda is
+        # (element, ARRAY INDEX) in PySpark — binding the family id via
+        # a default arg silently turned i into the element position
+        # (caught by tests/test_hashing_differential.py)
+        return F.array_min(F.transform(ms, lambda m: km_hash(m, i)))
+
+    return F.array(*[member(i) for i in range(k)])
 
 
 def band_keys(signature: Column, bands: int, rows: int) -> Column:
