@@ -45,12 +45,14 @@ def qnorm2(a: Column) -> Column:
     return qdot(a, a)
 
 
-def qcosine(a: Column, b: Column) -> Column:
-    """Cosine over quantized vectors: exact int dot / sqrt of exact int
-    norms — a deterministic double on every engine."""
+def qcosine(a: Column, b: Column, scale: int = SCALE) -> Column:
+    """Deterministic cosine of two RAW float-array columns: quantizes
+    both sides, then exact int dot / sqrt of exact int norms — the same
+    double on every engine and partitioning."""
+    qa, qb = quantize(a, scale), quantize(b, scale)
     return (
-        qdot(a, b).cast("double")
-        / (F.sqrt(qnorm2(a).cast("double")) * F.sqrt(qnorm2(b).cast("double")))
+        qdot(qa, qb).cast("double")
+        / (F.sqrt(qnorm2(qa).cast("double")) * F.sqrt(qnorm2(qb).cast("double")))
     )
 
 

@@ -1,0 +1,65 @@
+"""Differential fuzz of the quantized vector math vs numpy twins —
+every embedding dedup/similarity operator rides on these primitives."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from jira_scraper_etl_spark.functions import vectors as V
+
+
+def random_vectors(n: int, dim: int = 32, seed: int = 13):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        # mix magnitudes, exact-representable values, and negatives
+        v = [rng.choice([
+            rng.uniform(-1, 1),
+            rng.uniform(-100, 100),
+            rng.randint(-5, 5) * 0.25,   # exactly representable
+            0.0,
+        ]) for _ in range(dim)]
+        out.append((i, [float(x) for x in v]))
+    return out
+
+
+def test_quantized_math_matches_numpy(spark):
+    vecs = random_vectors(300)
+    df = spark.createDataFrame(vecs, "vid long, v array<float>")
+    pairs = df.alias("a").join(df.alias("b"),
+                               F.col("a.vid") + 1 == F.col("b.vid"))
+    got = pairs.select(
+        F.col("a.vid").alias("vid"),
+        V.quantize(F.col("a.v")).alias("qa"),
+        V.qdot(V.quantize(F.col("a.v")), V.quantize(F.col("b.v"))).alias("qd"),
+        V.qnorm2(V.quantize(F.col("a.v"))).alias("qn"),
+        V.qcosine(F.col("a.v"), F.col("b.v")).alias("qc"),
+        V.cosine(F.col("a.v"), F.col("b.v")).alias("c"),
+    ).collect()
+    by_id = {i: np.array(v, dtype=np.float32) for i, v in vecs}
+    assert len(got) == len(vecs) - 1
+    for r in got:
+        a64 = by_id[r.vid].astype(np.float64)
+        b64 = by_id[r.vid + 1].astype(np.float64)
+        qa = np.floor(a64 * 1000).astype(np.int64)
+        qb = np.floor(b64 * 1000).astype(np.int64)
+        assert list(r.qa) == qa.tolist(), r.vid
+        assert r.qd == int(qa @ qb), r.vid
+        assert r.qn == int(qa @ qa), r.vid
+        want_qc = (qa @ qb) / (math.sqrt(qa @ qa) * math.sqrt(qb @ qb))
+        assert r.qc == want_qc, r.vid  # exact: same double ops both sides
+        want_c = float(a64 @ b64) / (np.linalg.norm(a64) * np.linalg.norm(b64))
+        assert abs(r.c - want_c) < 1e-9, r.vid
+    # quantized cosine tracks true cosine within the documented margin
+    errs = []
+    for r in got:
+        a64 = by_id[r.vid].astype(np.float64)
+        b64 = by_id[r.vid + 1].astype(np.float64)
+        na, nb = np.linalg.norm(a64), np.linalg.norm(b64)
+        if na > 1 and nb > 1:
+            errs.append(abs(r.qc - (a64 @ b64) / (na * nb)))
+    assert errs and max(errs) < 0.02
