@@ -860,17 +860,23 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                .localCheckpoint())
     labels = members.select(F.col("simhash").alias("id"),
                             F.col("fp_min").alias("label")).localCheckpoint()
+    # Self-loop edges make each round ONE join + ONE aggregation: the
+    # self-loop row carries the node's own label into the same groupBy
+    # that computes the neighbor minimum (min picks the better of the
+    # two), and `min(label) FILTER (s = d)` recovers the old label so
+    # the convergence check is a scan, not a second join.
+    eplus = (edges.unionByName(
+        labels.select(F.col("id").alias("s"), F.col("id").alias("d")))
+        .localCheckpoint())
     for _ in range(20):  # bound ≥ any real component diameter here
-        neighbor_min = (edges.join(labels, edges.s == labels.id)
-                        .groupBy(F.col("d").alias("id"))
-                        .agg(F.min("label").alias("nmin")))
-        # `improved` rides along so convergence is a cheap scan of the
-        # checkpointed result, not an extra join against the old labels
-        new_labels = (labels.join(neighbor_min, "id", "left")
-                      .select("id", F.least("label", "nmin").alias("label"),
-                              (F.col("nmin") < F.col("label")).alias("improved"))
-                      .localCheckpoint())
-        changed = new_labels.where("improved").count()
+        new_labels = (
+            eplus.join(labels, eplus.s == labels.id)
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("label").alias("label"),
+                 F.min(F.when(F.col("s") == F.col("d"), F.col("label")))
+                 .alias("old"))
+            .localCheckpoint())
+        changed = new_labels.where(F.col("label") < F.col("old")).count()
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
