@@ -126,6 +126,9 @@ class SourceConfig:
     record_params_path: str | None = None  # test hook: synthetic transport
     # appends each request's params as a JSON line here (plan + executor
     # processes are separate, so a file is the only reliable channel)
+    flaky_dir: str | None = None  # test hook: fail each distinct startAt
+    # once with a 503 before succeeding (marker files track attempts
+    # across executor processes) — proves retry through the real scan
 
     @classmethod
     def from_options(cls, options: dict) -> "SourceConfig":
@@ -152,6 +155,7 @@ class SourceConfig:
             total=get("total", int, 200),
             updated_since=options.get("updated_since"),
             record_params_path=options.get("record_params_path"),
+            flaky_dir=options.get("flaky_dir"),
         )
 
 
@@ -260,6 +264,13 @@ def synthetic_transport(cfg: SourceConfig) -> Callable[[dict], tuple[int, Any]]:
         if cfg.record_params_path:
             with open(cfg.record_params_path, "a") as f:
                 f.write(json.dumps(params) + "\n")
+        if cfg.flaky_dir:
+            import os
+            marker = os.path.join(cfg.flaky_dir,
+                                  f"seen_{params.get('startAt', 0)}")
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                return 503, None  # transient failure, once per startAt
         start = int(params.get("startAt", 0))
         n = int(params.get("maxResults", cfg.max_results))
         cutoff = _jql_cutoff(str(params.get("jql", "")))

@@ -227,6 +227,24 @@ def test_non_cutoff_resume_still_uses_start_at(tmp_path):
     assert parts[0].start_at == 50 and parts[-1].end_at == 120
 
 
+def test_spark_scan_survives_transient_failures(spark, tmp_path):
+    """Retry through the REAL scan path: every distinct startAt fails
+    once with a 503 inside the executor before succeeding — the scan
+    must still return the complete, correct corpus (backoff sleeps are
+    configured near-zero so the test stays fast)."""
+    J.register_jira_source(spark)
+    df = (spark.read.format("jira_rest")
+          .option("transport", "synthetic").option("total", 120)
+          .option("max_results", 25)
+          .option("flaky_dir", str(tmp_path))
+          .option("retry_backoff_base", "0.001").load())
+    rows = df.collect()
+    assert {r.key for r in rows} == {f"SPARK-{i}" for i in range(120)}
+    # the probe + every page really did fail once first
+    import os
+    assert len(os.listdir(tmp_path)) >= 120 // 25
+
+
 # -- end-to-end Spark scan (the thing the reference can't: parallel pages) --
 
 def test_spark_batch_scan_synthetic(spark):
