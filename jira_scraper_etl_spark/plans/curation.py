@@ -211,6 +211,77 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+    tstats AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+        FROM tc GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+        FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    bstats AS (
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+        FROM bc GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.n_distinct, s.top_token_frac,
+           COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+           CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS distinct_ratio
+    FROM tstats s LEFT JOIN bstats b ON s.doc_id = b.doc_id
+    """,
+    tags=("curation", "textstats"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document: most-frequent
+    token fraction, most-frequent bigram fraction, distinct-token
+    ratio — the standard filters for boilerplate and degenerate
+    repetition in pretraining corpora.
+
+    Shape: explode → count per (doc, gram) with map-side combine →
+    per-doc max/sum. The shuffle key is (doc_id, gram) so hot documents
+    spread across partitions naturally; no per-doc histogram ever
+    materializes as an array. Docs with no tokens are excluded (no
+    denominator), matching the oracle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (d.where(F.col("text").isNotNull())
+            .select("doc_id", "text").repartition(par)
+            .select("doc_id", H.word_tokens(F.col("text")).alias("toks")))
+    tok_counts = (toks.select("doc_id", F.explode("toks").alias("w"))
+                  .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
+    tstats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_token_frac"),
+    )
+    k = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.greatest(k - 1, F.lit(0))),
+        F.slice("toks", 2, F.greatest(k - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg_counts = (toks.where(k >= 2)
+                 .select("doc_id", F.explode(bigrams).alias("b"))
+                 .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c")))
+    bstats = bg_counts.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"))
+    return (tstats.join(bstats, "doc_id", "left")
+            .select("doc_id", "n_tokens", "n_distinct", "top_token_frac",
+                    F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+                    (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+                    .alias("distinct_ratio")))
+
+
+@register(
     "curate_pretrain_corpus",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, text, {SQL_TOKS} AS toks FROM documents),
