@@ -189,6 +189,46 @@ def events_funnel_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_type_counts",
+    oracle="""
+    SELECT user_id,
+           """ + ",\n           ".join(
+               f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+               f" AS n_{t}" for t in _EVENT_TYPES) + """
+    FROM events GROUP BY user_id
+    """,
+    tags=("events", "pivot"),
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 pivot: per-user event-type count matrix via ``groupBy().pivot()``.
+
+    The pivot value list is passed explicitly — otherwise Spark runs an
+    extra distinct-values job over the whole table before it can even
+    plan, which at 100 TB is a full scan spent discovering five strings.
+    With the list pinned, Spark plans two hash aggregations, both
+    map-side combined and keyed: a pre-aggregation on (user_id,
+    event_type) that collapses the raw events, then the pivotfirst
+    rollup on user_id over the already-tiny distinct matrix — so the
+    second shuffle carries at most |users|×|types| rows regardless of
+    input size.
+    """
+    e = load_events(spark, sf_dir)
+    p = (e.groupBy("user_id")
+         .pivot("event_type", list(_EVENT_TYPES))
+         .agg(F.count(F.lit(1))))
+    # pivot yields NULL for (user, type) combos with no rows; the
+    # conditional-count oracle yields 0 — align on 0
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+          for t in _EVENT_TYPES],
+    )
+
+
 @register(
     "events_cohort_retention",
     oracle="""

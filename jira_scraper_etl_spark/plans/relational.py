@@ -464,6 +464,45 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_ntile_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 distribution window functions: ntile / percent_rank / cume_dist.
+
+    The order-by includes the unique o_orderkey as a tiebreaker — ntile
+    assignment at a tie boundary is otherwise partition-order-dependent
+    and would not reproduce across engines. percent_rank and cume_dist
+    are rank arithmetic ((rank-1)/(n-1), rank/n) on exact integers, so
+    the doubles are bit-identical cross-engine.
+
+    Scale note: a window partitioned by a low-cardinality key (5
+    priorities) is a per-key global sort — fine here because the input
+    is pre-filtered to a bounded slice, but at 100 TB distribution
+    statistics over huge groups should use the mergeable sketch path
+    instead (approx_percentile, see text_length_percentiles).
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / top-k (SURVEY.md §2.6)
 # ---------------------------------------------------------------------------

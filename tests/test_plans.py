@@ -88,3 +88,23 @@ def test_packing_window_is_sharded(spark, sf_dir):
 def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     plan = executed_plan(spark, sf_dir, "decontaminate_ngram")
     assert "BroadcastHashJoin" in plan
+
+
+def test_pivot_has_no_distinct_values_job(spark, sf_dir):
+    """events_pivot_type_counts pins the pivot value list, so the plan
+    is exactly the two keyed hash aggregations (pre-agg on
+    (user_id, event_type), pivotfirst on user_id) — no extra
+    distinct-values scan, every exchange hash-keyed and preceded by a
+    map-side partial aggregate."""
+    plan = executed_plan(spark, sf_dir, "events_pivot_type_counts")
+    assert plan.count("Exchange") == 2
+    assert plan.count("hashpartitioning") == 2
+    assert "partial_count" in plan and "partial_pivotfirst" in plan
+
+
+def test_ntile_orders_by_unique_tiebreaker(spark, sf_dir):
+    """window_ntile_distribution must carry o_orderkey in the window
+    sort — ntile at a tie boundary is otherwise nondeterministic."""
+    plan = optimized_plan(spark, sf_dir, "window_ntile_distribution")
+    win = [l for l in plan.splitlines() if "ntile" in l.lower()]
+    assert win and all("o_orderkey" in l for l in win)
