@@ -1,0 +1,223 @@
+"""Second-wave corpus operators over ``documents``: PII redaction,
+cross-document span-level dedup, and corpus-frequency scoring.
+
+These extend the LLM-curation surface (plans/llm_ops.py) with three
+steps a production pretraining pipeline runs between quality filtering
+and dataset assembly:
+
+* **PII redaction** — regex scrub of emails / IPv4 addresses, the
+  mandatory compliance pass. Map-only: no shuffle at any scale.
+* **Span-level dedup** — C4/RefinedWeb-style removal of repeated
+  fixed-size token spans *across* documents (document-level near-dup,
+  plans/llm_ops.py, can't catch boilerplate paragraphs embedded in
+  otherwise-unique pages). Shuffles only on a 128-bit span hash.
+* **Corpus-frequency scoring** — mean corpus term-frequency of each
+  document's tokens: gibberish/OCR-noise docs score near 1 (their
+  tokens appear nowhere else), natural-language docs score high. The
+  classic cheap signal for a first-pass perplexity proxy without a
+  model. All-integer arithmetic, so it cross-checks exactly.
+
+Regex-dialect note: the redaction patterns are written in the common
+subset of Java regex (Spark) and RE2 (the DuckDB oracle) — character
+classes, bounded repetition, ``\\b`` word boundaries; no alternations
+whose leftmost-first (Java) vs leftmost-longest (RE2) semantics could
+diverge, no backreferences or lookaround (RE2 has neither).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from .llm_ops import SQL_TOKS
+from .registry import register
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+# The synthetic documents table carries no real PII, so the redaction
+# query materializes a contact-bearing line from table columns first —
+# that way the oracle comparison actually exercises both regexes on
+# every row instead of vacuously diffing unmodified text.
+_SQL_CONTACT = (
+    "'reach user' || CAST(doc_id AS VARCHAR) || '@' || source || "
+    "'.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST(doc_id % 100 AS VARCHAR) || '.' || CAST(doc_id % 50 AS VARCHAR) || "
+    "' re: ' || substring(text, 1, 40)"
+)
+
+
+def _contact_col() -> F.Column:
+    return F.concat(
+        F.lit("reach user"), F.col("doc_id").cast("string"),
+        F.lit("@"), F.col("source"), F.lit(".example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        (F.col("doc_id") % 100).cast("string"), F.lit("."),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(" re: "), F.substring("text", 1, 40),
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH c AS (SELECT doc_id, {_SQL_CONTACT} AS contact FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(contact, '{EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(contact, '{IPV4_RE}')) AS INTEGER)
+             AS n_ips,
+           regexp_replace(regexp_replace(contact, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{IPV4_RE}', '<IP>', 'g') AS redacted
+    FROM c
+    """,
+    tags=("privacy", "textstats"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: replace emails and IPv4 addresses with typed
+    placeholder tokens and count what was removed.
+
+    Pure map-only columnar pass (regexp_count / regexp_replace are
+    JVM-side, inside whole-stage codegen) — zero shuffles, so at 100 TB
+    this is scan-bound and embarrassingly parallel. Email is replaced
+    before IPv4 so a dotted host in an address can't be double-counted.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select("doc_id", _contact_col().alias("contact"))
+    return c.select(
+        "doc_id",
+        F.regexp_count("contact", F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("contact", F.lit(IPV4_RE)).cast("int").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace("contact", EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>",
+        ).alias("redacted"),
+    )
+
+
+SPAN = 8  # tokens per dedup span
+
+
+@register(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(toks[(i*{SPAN}+1):(i*{SPAN}+{SPAN})], ' ') AS chunk
+        FROM (SELECT doc_id, toks,
+                     unnest(range(CAST(ceil(len(toks)/{SPAN}.0) AS BIGINT))) AS i
+              FROM t WHERE len(toks) > 0)
+    ),
+    kept AS (
+        SELECT doc_id, chunk_idx, chunk FROM (
+            SELECT doc_id, chunk_idx, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                      ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks
+        ) WHERE rn = 1
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_deduped,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+    """,
+    tags=("dedup", "span"),
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span dedup: split every document into consecutive
+    8-token spans, keep only the corpus-wide FIRST occurrence of each
+    distinct span (ordered by doc_id, position), and reassemble the
+    surviving spans per document. This removes boilerplate
+    (headers, license blocks, navigation chrome) that document-level
+    near-dup can't see because the surrounding page is unique; docs
+    whose every span is repeated elsewhere drop out entirely.
+
+    Scale shape: two keyed shuffles. (1) first-occurrence election
+    partitions on md5(span) — a 128-bit key, so hot spans (the same
+    boilerplate everywhere) are single keys; AQE skew-split handles
+    them because row_number only needs partition-local order.
+    (2) reassembly re-keys the survivors on doc_id. Span text rides
+    both shuffles because the winner must be re-emitted verbatim;
+    at 100 TB the spans column would be dictionary-encoded parquet
+    between the two stages rather than held in one job (same plan,
+    materialized seam).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(SPAN))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice("toks", i * SPAN + 1, SPAN), " "),
+    )
+    # posexplode position == chunk index (transform preserves order)
+    chunks = t.select(
+        "doc_id", F.posexplode(spans).alias("chunk_idx", "chunk"))
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    kept = (chunks.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s.chunk),
+            " ").alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+@register(
+    "text_corpus_freq_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(toks) AS tok
+        FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY tok)
+    SELECT doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_toks,
+           CAST(SUM(tf.tf * vocab.ctf) AS BIGINT) AS sum_freq,
+           CAST(CAST(SUM(tf.tf * vocab.ctf) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(tf.tf) AS BIGINT) AS mean_tok_freq
+    FROM tf JOIN vocab USING (tok)
+    GROUP BY doc_id
+    """,
+    tags=("textstats", "quality"),
+)
+def text_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus term-frequency of each document's tokens — the cheap
+    perplexity proxy: a doc of tokens nobody else uses (OCR garbage,
+    base64 blobs) averages ~1, natural text averages high.
+
+    Two-pass by construction (the corpus vocabulary must exist before
+    docs can be scored), but every stage is keyed and partially
+    aggregated: per-(doc, token) counts collapse the explode output
+    BEFORE the token-keyed stages, so the vocabulary aggregation and
+    the scoring join both process distinct (doc, token) pairs — orders
+    of magnitude smaller than the raw token stream. Stop-word-grade hot
+    tokens skew the join key; AQE skew-split keeps those partitions
+    bounded. All counts are exact integers; the only double is the
+    final int/int division, which is bit-identical cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    # repartition before the interpreted split/filter: a single-file
+    # scan otherwise runs the explode on one core (see operators/dedup)
+    t = (d.select("doc_id", toks.alias("toks")).repartition(par)
+         .select("doc_id", F.explode("toks").alias("tok")))
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("ctf"))
+    return (
+        tf.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_toks"),
+            F.sum(F.col("tf") * F.col("ctf")).cast("long").alias("sum_freq"),
+            (F.sum(F.col("tf") * F.col("ctf")).cast("long").cast("double")
+             / F.sum("tf").cast("long")).alias("mean_tok_freq"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Unit tests for plans/corpus_ops.py on handmade corpora: PII
+redaction actually scrubs, span dedup removes cross-document
+boilerplate (first occurrence wins), corpus-frequency scores match
+hand-computed exact values."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from jira_scraper_etl_spark.plans import QUERIES
+from jira_scraper_etl_spark.plans.corpus_ops import EMAIL_RE, IPV4_RE
+
+
+def docs_dir(spark, tmp_path, rows):
+    """Write a documents.parquet with the real table's schema."""
+    df = spark.createDataFrame(
+        [(i, t, "en", f"src{i}", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_pii_redact_scrubs_every_row(spark, tmp_path):
+    d = docs_dir(spark, tmp_path, [(i, f"body text {i}") for i in range(5)])
+    out = {r.doc_id: r for r in QUERIES["text_pii_redact"].fn(spark, d).collect()}
+    assert len(out) == 5
+    for r in out.values():
+        assert r.n_emails == 1 and r.n_ips == 1
+        assert "<EMAIL>" in r.redacted and "<IP>" in r.redacted
+        assert not re.search(EMAIL_RE, r.redacted)
+        assert not re.search(IPV4_RE, r.redacted)
+
+
+def test_pii_regexes_on_adversarial_strings(spark):
+    cases = [
+        ("mail a.b-c_d%e@sub.domain.co now", 1, 0),
+        ("ip 192.168.0.1 and 10.0.0.255 twice", 0, 2),
+        ("both x@y.io at 8.8.8.8", 1, 1),
+        ("neither plain text 1234 nor a.b", 0, 0),
+        # \b rejects a leading word char: v→1 is not a boundary, and
+        # no 4-group suffix starts on one (verified identical in RE2)
+        ("v1.2.3.4 release", 0, 0),
+    ]
+    df = spark.createDataFrame([(c,) for c, _, _ in cases], "contact string")
+    got = df.select(
+        F.regexp_count("contact", F.lit(EMAIL_RE)).alias("ne"),
+        F.regexp_count("contact", F.lit(IPV4_RE)).alias("ni"),
+    ).collect()
+    assert [(r.ne, r.ni) for r in got] == [(e, i) for _, e, i in cases]
+
+
+BOILER = "all rights reserved see license file for details"  # 8 tokens
+UNIQ_A = "alpha beta gamma delta epsilon zeta eta theta"     # 8 tokens
+UNIQ_B = "one two three four five six seven eight"           # 8 tokens
+
+
+def test_span_dedup_first_occurrence_wins(spark, tmp_path):
+    d = docs_dir(spark, tmp_path, [
+        (1, f"{UNIQ_A} {BOILER}"),
+        (2, f"{UNIQ_B} {BOILER}"),   # boiler span repeated -> dropped
+        (3, BOILER),                 # every span repeated -> doc vanishes
+    ])
+    out = {r.doc_id: r for r in QUERIES["dedup_span_exact"].fn(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].text_deduped == f"{UNIQ_A} {BOILER}" and out[1].n_kept == 2
+    assert out[2].text_deduped == UNIQ_B and out[2].n_kept == 1
+
+
+def test_span_dedup_reassembles_in_order(spark, tmp_path):
+    # 3 spans, middle one stolen by an earlier doc: order must survive
+    d = docs_dir(spark, tmp_path, [
+        (1, BOILER),
+        (2, f"{UNIQ_A} {BOILER} {UNIQ_B}"),
+    ])
+    out = {r.doc_id: r for r in QUERIES["dedup_span_exact"].fn(spark, d).collect()}
+    assert out[2].text_deduped == f"{UNIQ_A} {UNIQ_B}"
+
+
+def test_corpus_freq_exact_values(spark, tmp_path):
+    # ctf: a=2 b=2 c=1
+    d = docs_dir(spark, tmp_path, [(1, "a a b"), (2, "b c")])
+    out = {r.doc_id: r
+           for r in QUERIES["text_corpus_freq_score"].fn(spark, d).collect()}
+    assert (out[1].n_toks, out[1].sum_freq, out[1].mean_tok_freq) == (3, 6, 2.0)
+    assert (out[2].n_toks, out[2].sum_freq, out[2].mean_tok_freq) == (2, 3, 1.5)

@@ -108,3 +108,24 @@ def test_ntile_orders_by_unique_tiebreaker(spark, sf_dir):
     plan = optimized_plan(spark, sf_dir, "window_ntile_distribution")
     win = [l for l in plan.splitlines() if "ntile" in l.lower()]
     assert win and all("o_orderkey" in l for l in win)
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """The redaction pass must be a pure scan+project — any Exchange
+    means a shuffle snuck into a compliance pass that runs over the
+    full corpus."""
+    plan = executed_plan(spark, sf_dir, "text_pii_redact")
+    assert "Exchange" not in plan
+    assert "FileScan" in plan
+
+
+def test_span_dedup_shuffles_are_keyed(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "dedup_span_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_freq_join_is_keyed(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "text_corpus_freq_score")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
