@@ -396,3 +396,57 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.element_at("p", 2) * 100).cast("bigint").alias("p90_c"),
         F.floor(F.element_at("p", 3) * 100).cast("bigint").alias("p99_c"),
     )
+
+
+@register(
+    "sample_mixture_weights",
+    oracle=f"""
+    WITH t AS (SELECT source, {{toks}} AS toks FROM documents),
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+            FROM t GROUP BY source),
+    tot AS (SELECT list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE))
+                                    ORDER BY source),
+                               (a, b) -> a + b) AS total FROM per)
+    SELECT source, n_docs, n_tokens,
+           sqrt(CAST(n_tokens AS DOUBLE)) AS weight,
+           sqrt(CAST(n_tokens AS DOUBLE)) / total AS share
+    FROM per, tot
+    """.format(toks=SQL_TOKS),
+    tags=("curation", "sampling"),
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture: per-source token counts and a
+    sqrt-damped (temperature 2) sampling share — the standard recipe
+    for upweighting small high-quality sources in a pretraining mix.
+
+    Cross-engine float determinism is the interesting part. sqrt is
+    IEEE-754 correctly rounded in every engine, but SUMming the
+    per-source weights is order-dependent in the last bits, and Spark's
+    partial aggregation order is nondeterministic. So the total is NOT
+    a SUM: the weights are collected into a source-sorted array and
+    left-folded sequentially (F.aggregate here, list_reduce in the
+    oracle) — same order, bit-identical total on both engines. The fold
+    materializes one array of |sources| doubles on one task; for
+    millions of domains you'd fold fixed-size sorted blocks then fold
+    the block totals (still deterministic, still tiny). The broadcast
+    of the 1-row total back onto per-source rows is the plan's only
+    non-keyed join and carries 8 bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    per = (d.select("source", F.size(toks).alias("n"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n").cast("long").alias("n_tokens")))
+    weight = F.sqrt(F.col("n_tokens").cast("double"))
+    total = per.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", weight.alias("w")))),
+                lambda s: s.w),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("total"))
+    return (per.crossJoin(F.broadcast(total))
+            .select("source", "n_docs", "n_tokens", weight.alias("weight"),
+                    (weight / F.col("total")).alias("share")))

@@ -230,6 +230,44 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("events", "sequence"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path analytics: count (event → next event) transitions per
+    user timeline — the input to funnel discovery and Markov-chain user
+    models. event_id breaks timestamp ties so the successor is
+    well-defined cross-engine.
+
+    One window shuffle keyed on user_id (the natural events layout, so
+    at 100 TB this often rides the existing partitioning), then a
+    map-side-combined count whose output is at most |types|² rows.
+    """
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "event_type",
+                 F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "events_cohort_retention",
     oracle="""
     WITH first_seen AS (

@@ -86,3 +86,27 @@ def test_corpus_freq_exact_values(spark, tmp_path):
            for r in QUERIES["text_corpus_freq_score"].fn(spark, d).collect()}
     assert (out[1].n_toks, out[1].sum_freq, out[1].mean_tok_freq) == (3, 6, 2.0)
     assert (out[2].n_toks, out[2].sum_freq, out[2].mean_tok_freq) == (2, 3, 1.5)
+
+
+def test_mixture_weights_exact_small_corpus(spark, tmp_path):
+    # srcA: 4 tokens -> weight 2.0; srcB: 9 tokens -> weight 3.0
+    df = spark.createDataFrame(
+        [(1, "a b c d", "en", "srcA", 7),
+         (2, "a b c d e f g h i", "en", "srcB", 17)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r.source: r
+           for r in QUERIES["sample_mixture_weights"].fn(spark, d).collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert (a.n_docs, a.n_tokens, a.weight, a.share) == (1, 4, 2.0, 0.4)
+    assert (b.n_docs, b.n_tokens, b.weight, b.share) == (1, 9, 3.0, 0.6)
+
+
+def test_transition_counts_invariant(spark, sf_dir):
+    """Every event except each user's last contributes exactly one
+    transition: sum(n) == |events| - |users|."""
+    out = QUERIES["events_transition_matrix"].fn(spark, sf_dir)
+    total = sum(r.n for r in out.collect())
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert total == e.count() - e.select("user_id").distinct().count()
