@@ -113,6 +113,63 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_concurrency",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         < INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_sess,
+               event_id
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, MIN(ts) AS s, MAX(ts) + INTERVAL '30 minutes' AS e
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT h AS hour, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM (
+        SELECT unnest(generate_series(
+                   date_trunc('hour', s),
+                   date_trunc('hour', e - INTERVAL '1 microsecond'),
+                   INTERVAL '1 hour')) AS h
+        FROM sessions
+    ) GROUP BY h
+    """,
+    tags=("events", "interval-join"),
+)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session load curve: how many 30-minute-gap sessions
+    are active in each hour — the interval-overlap problem every
+    telemetry store answers.
+
+    The scale-defining trick: interval overlap is NOT a join with a
+    range predicate (which degenerates to per-bucket cross products or
+    a global sweep-line sort). Each session interval [start, end) is
+    exploded to the hour buckets it covers, turning overlap membership
+    into plain equi-keys; the count per bucket is then an ordinary
+    map-side-combined aggregation. Cost is O(session-hours), keyed
+    end-to-end: one shuffle to sessionize (user_id), one to aggregate
+    (hour). Hot hours are partial-aggregated before the shuffle, so
+    peak load doesn't concentrate on one reducer.
+    """
+    e = load_events(spark, sf_dir)
+    sess = (e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    hours = sess.select(F.explode(F.sequence(
+        F.date_trunc("hour", F.col("w.start")),
+        F.date_trunc("hour", F.col("w.end") - F.expr("INTERVAL 1 MICROSECOND")),
+        F.expr("INTERVAL 1 HOUR"),
+    )).alias("hour"))
+    return hours.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_sessions"))
+
+
+@register(
     "events_latest_state_per_user",
     oracle="""
     SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,

@@ -110,3 +110,24 @@ def test_transition_counts_invariant(spark, sf_dir):
     total = sum(r.n for r in out.collect())
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert total == e.count() - e.select("user_id").distinct().count()
+
+
+def test_session_concurrency_matches_bruteforce(spark, sf_dir):
+    """Differential: explode-to-buckets result == Python sweep over the
+    session intervals from the (independently oracle-checked)
+    session-window query."""
+    from collections import Counter
+    from datetime import timedelta
+
+    sess = QUERIES["events_session_30m"].fn(spark, sf_dir).collect()
+    expected = Counter()
+    for r in sess:
+        h = r.session_start.replace(minute=0, second=0, microsecond=0)
+        last = (r.session_end - timedelta(microseconds=1)).replace(
+            minute=0, second=0, microsecond=0)
+        while h <= last:
+            expected[h] += 1
+            h += timedelta(hours=1)
+    got = {r.hour: r.n_sessions
+           for r in QUERIES["events_session_concurrency"].fn(spark, sf_dir).collect()}
+    assert got == dict(expected)
