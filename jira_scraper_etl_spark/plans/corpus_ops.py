@@ -30,7 +30,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
-from .llm_ops import SQL_TOKS
+from ..functions import vectors as V
+from .llm_ops import SQL_QUANT, SQL_TOKS
 from .registry import register
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -220,4 +221,43 @@ def text_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("tf") * F.col("ctf")).cast("long").cast("double")
              / F.sum("tf").cast("long")).alias("mean_tok_freq"),
         )
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qv) AS BIGINT) AS sum_q,
+           CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_q
+    FROM (SELECT label, unnest(q) AS qv, generate_subscripts(q, 1) AS i
+          FROM (SELECT label, {q} AS q FROM embeddings))
+    GROUP BY label, i
+    """.format(q=SQL_QUANT),
+    tags=("embeddings", "centroids"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per
+    (label, dimension) — the building block of IVF cell refresh,
+    class prototypes, and drift monitoring.
+
+    Mean-of-floats is order-dependent, so the centroid is computed in
+    fixed-point: quantize each component (floor(x*1000), matching
+    functions/vectors.quantize), sum exact BIGINTs keyed on
+    (label, dim), divide once at the end — bit-identical on any
+    partitioning and engine. Explode-then-aggregate keeps the shuffle
+    rows (label, dim, long) regardless of vector width; the map-side
+    partial sum collapses each partition to |labels|×|dims| rows before
+    the exchange, so at 100 TB shuffle volume is independent of row
+    count.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("label", F.posexplode(V.quantize(F.col("embedding")))
+                 .alias("dim", "qv"))
+    return q.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").cast("long").alias("sum_q"),
+        (F.sum("qv").cast("long").cast("double") / F.count(F.lit(1)))
+        .alias("mean_q"),
     )

@@ -131,3 +131,19 @@ def test_session_concurrency_matches_bruteforce(spark, sf_dir):
     got = {r.hour: r.n_sessions
            for r in QUERIES["events_session_concurrency"].fn(spark, sf_dir).collect()}
     assert got == dict(expected)
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    """Differential: quantized per-label centroid == numpy mean of the
+    quantized vectors, exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    got = {(r.label, r.dim): (r.n, r.sum_q, r.mean_q)
+           for r in QUERIES["embedding_label_centroids"].fn(spark, sf_dir).collect()}
+    for label, grp in t.groupby("label"):
+        q = np.floor(np.stack(grp["embedding"].to_numpy()).astype("float64") * 1000)
+        sums, n = q.sum(axis=0), len(grp)
+        for dim in range(q.shape[1]):
+            assert got[(label, dim)] == (n, int(sums[dim]), sums[dim] / n)
