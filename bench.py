@@ -29,6 +29,8 @@ HEADLINE = [
     "dedup_cluster_canonical",
     "text_vocab_topk",
     "jira_source_scan",
+    "dedup_span_exact",
+    "text_corpus_freq_score",
 ]
 
 
