@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..functions import vectors as V
-from .llm_ops import SQL_QUANT, SQL_TOKS
+from .curation import SQL_DOC_BUCKET
+from .llm_ops import SQL_QUANT, SQL_SIMHASH, SQL_TOKHASH, SQL_TOKS
 from .registry import register
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -261,3 +262,101 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("qv").cast("long").cast("double") / F.count(F.lit(1)))
         .alias("mean_q"),
     )
+
+
+_SQL_NORM = ("TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), "
+             "'[^a-z0-9]+', ' ', 'g'), ' {2,}', ' ', 'g'))")
+
+
+@register(
+    "dedup_incremental_novel",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, text, {SQL_DOC_BUCKET} AS bucket FROM documents),
+    oldc AS (SELECT doc_id, text FROM b WHERE bucket < 90),
+    newc AS (SELECT doc_id, text FROM b WHERE bucket >= 90),
+    oh AS (SELECT DISTINCT md5({_SQL_NORM}) AS h FROM oldc),
+    nh AS (SELECT doc_id, md5({_SQL_NORM}) AS h FROM newc),
+    tho AS (SELECT doc_id, list_transform(toks, t -> {SQL_TOKHASH}) AS th
+            FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM oldc)),
+    thn AS (SELECT doc_id, list_transform(toks, t -> {SQL_TOKHASH}) AS th
+            FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM newc)),
+    fpo AS (SELECT DISTINCT CAST({SQL_SIMHASH} AS INTEGER) AS s FROM tho),
+    fpn AS (SELECT doc_id, CAST({SQL_SIMHASH} AS INTEGER) AS s FROM thn)
+    SELECT n.doc_id,
+           n.h NOT IN (SELECT h FROM oh) AS exact_novel,
+           NOT EXISTS (
+               SELECT 1 FROM fpo o
+               WHERE bit_count(xor(CAST(f.s AS BIGINT), CAST(o.s AS BIGINT))) <= 3
+           ) AS near_novel
+    FROM nh n JOIN fpn f USING (doc_id)
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation: which documents of a NEW batch are novel
+    against the EXISTING corpus — the daily-ingest form of dedup (a
+    production pipeline rarely re-dedups 100 TB; it checks deltas).
+    The corpus split reuses the deterministic 90/10 hash-bucket
+    assignment from split_train_test, so 'old corpus' and 'new batch'
+    are stable subsets of the documents table.
+
+    Per new doc: ``exact_novel`` — its normalized content hash appears
+    nowhere in the old corpus; ``near_novel`` — no old SimHash
+    fingerprint within hamming ≤ 3 (lossless nibble banding, same
+    pigeonhole argument as dedup_simhash, but the bucket join is
+    new×old instead of a self-join — candidate volume scales with the
+    BATCH, not the corpus).
+
+    Scale shape: the old side reduces to two compact indexes (distinct
+    16-byte hashes; ≤ 2^16 distinct fingerprints after collapsing) that
+    at 100 TB would be precomputed once and reused per batch; every
+    join here is keyed on those short keys, and new-batch rows ride
+    through map-side. Nothing is O(old × new).
+    """
+    from ..operators.dedup import simhash_fingerprints
+    from ..functions import textstats as TS
+    from .curation import doc_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    b = d.withColumn("bucket", doc_bucket(F.col("doc_id")))
+    old = b.where(F.col("bucket") < 90)
+    new = b.where(F.col("bucket") >= 90)
+
+    old_hashes = (old.select(
+        F.md5(TS.normalize_for_fingerprint(F.col("text"))).alias("h"))
+        .distinct())
+    new_hashed = new.select(
+        "doc_id", F.md5(TS.normalize_for_fingerprint(F.col("text"))).alias("h"))
+    exact = (new_hashed.join(old_hashes.withColumn("seen", F.lit(1)), "h", "left")
+             .select("doc_id", F.col("seen").isNull().alias("exact_novel")))
+
+    par = spark.sparkContext.defaultParallelism
+    # collapse the old corpus to its DISTINCT fingerprints: the near-dup
+    # test only depends on fingerprint values (≤ 2^16 of them)
+    fp_old = (simhash_fingerprints(old.select("doc_id", "text").repartition(par))
+              .select("simhash").distinct())
+    fp_new = simhash_fingerprints(new.select("doc_id", "text").repartition(par))
+
+    def blocks(fp, cols):
+        return fp.select(
+            *cols,
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("blk"),
+                         F.shiftright("simhash", i * 4).bitwiseAND(F.lit(0xF))
+                         .alias("nib"))
+                for i in range(4)
+            ])).alias("bb"),
+        ).select(*cols, "bb.blk", "bb.nib")
+
+    nb = blocks(fp_new, ["doc_id", "simhash"])
+    ob = (blocks(fp_old, ["simhash"])
+          .select(F.col("simhash").alias("old_sh"), "blk", "nib"))
+    matched = (
+        nb.join(ob, (nb.blk == ob.blk) & (nb.nib == ob.nib))
+        .where(F.bit_count(F.col("simhash").cast("long")
+                           .bitwiseXOR(F.col("old_sh").cast("long"))) <= 3)
+        .select("doc_id").distinct()
+        .withColumn("hit", F.lit(1)))
+    near = (fp_new.join(matched, "doc_id", "left")
+            .select("doc_id", F.col("hit").isNull().alias("near_novel")))
+    return exact.join(near, "doc_id")

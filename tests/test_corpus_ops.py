@@ -147,3 +147,24 @@ def test_label_centroids_match_numpy(spark, sf_dir):
         sums, n = q.sum(axis=0), len(grp)
         for dim in range(q.shape[1]):
             assert got[(label, dim)] == (n, int(sums[dim]), sums[dim] / n)
+
+
+def test_incremental_novelty_semantics(spark, tmp_path):
+    """doc_id buckets (md5 % 100): 1,2,3 -> old corpus; 0,8,14 -> new
+    batch. A new exact copy is non-novel both ways; a near-copy (one
+    token changed) is exact-novel but not near-novel; gibberish is
+    novel both ways."""
+    base = "the quick brown fox jumps over the lazy dog and keeps running far"
+    near = base.replace("lazy", "sleepy")
+    d = docs_dir(spark, tmp_path, [
+        (1, base), (2, "completely different old text here"), (3, "more old"),
+        (0, base),                     # exact copy of old doc 1
+        (8, near),                     # near-dup of old doc 1
+        (14, "zxqv jkwp mnbv qwer"),   # novel
+    ])
+    out = {r.doc_id: (r.exact_novel, r.near_novel)
+           for r in QUERIES["dedup_incremental_novel"].fn(spark, d).collect()}
+    assert set(out) == {0, 8, 14}
+    assert out[0] == (False, False)
+    assert out[8] == (True, False)
+    assert out[14] == (True, True)

@@ -29,6 +29,7 @@ BUCKETED = [
     "dedup_embedding_cosine",
     "similarity_ann_signlsh",
     "dedup_cluster_canonical",
+    "dedup_incremental_novel",
 ]
 
 
