@@ -503,6 +503,38 @@ def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_first_last_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 navigation functions: first/last/nth order value per
+    customer history. The frame is pinned to the FULL partition —
+    last_value over the default frame (up to CURRENT ROW) is the
+    classic silent-wrong-answer; making the frame explicit gives the
+    same well-defined result in every engine. One shuffle on o_custkey.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / top-k (SURVEY.md §2.6)
 # ---------------------------------------------------------------------------
