@@ -27,7 +27,7 @@ diverge, no backreferences or lookaround (RE2 has neither).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..functions import vectors as V
@@ -136,15 +136,19 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup can't see because the surrounding page is unique; docs
     whose every span is repeated elsewhere drop out entirely.
 
-    Scale shape: two keyed shuffles. (1) first-occurrence election
-    partitions on md5(span) — a 128-bit key, so hot spans (the same
-    boilerplate everywhere) are single keys; AQE skew-split handles
-    them because row_number only needs partition-local order.
-    (2) reassembly re-keys the survivors on doc_id. Span text rides
-    both shuffles because the winner must be re-emitted verbatim;
-    at 100 TB the spans column would be dictionary-encoded parquet
-    between the two stages rather than held in one job (same plan,
-    materialized seam).
+    Scale shape: two keyed shuffles, both map-side combinable.
+    (1) first-occurrence election is a ``groupBy(md5(span))`` with
+    ``min(struct(doc_id, chunk_idx, span))`` — NOT a window: a window
+    partitioned by the span hash would funnel every copy of a hot span
+    (the same boilerplate in millions of docs) through one reducer,
+    while min() partial-aggregates each partition down to ONE row per
+    distinct span before the exchange, so shuffle volume is
+    O(distinct spans) and a degenerate corpus costs nothing extra.
+    The struct min orders by (doc_id, chunk_idx) and carries the span
+    text along, so the winner row needs no join back.
+    (2) reassembly re-keys the winners on doc_id. At 100 TB the
+    winner set would be dictionary-encoded parquet between the two
+    stages rather than held in one job (same plan, materialized seam).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
@@ -157,9 +161,12 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posexplode position == chunk index (transform preserves order)
     chunks = t.select(
         "doc_id", F.posexplode(spans).alias("chunk_idx", "chunk"))
-    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
-    kept = (chunks.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1))
+    kept = (chunks
+            .groupBy(F.md5("chunk").alias("h"))
+            .agg(F.min(F.struct("doc_id", "chunk_idx", "chunk")).alias("win"))
+            .select(F.col("win.doc_id").alias("doc_id"),
+                    F.col("win.chunk_idx").alias("chunk_idx"),
+                    F.col("win.chunk").alias("chunk")))
     return kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

@@ -168,3 +168,12 @@ def test_incremental_novelty_semantics(spark, tmp_path):
     assert out[0] == (False, False)
     assert out[8] == (True, False)
     assert out[14] == (True, True)
+
+
+def test_span_dedup_degenerate_corpus(spark, tmp_path):
+    """500 identical docs: the election collapses map-side; only the
+    lowest doc_id survives with its full text."""
+    d = docs_dir(spark, tmp_path, [(i, f"{UNIQ_A} {BOILER}") for i in range(500)])
+    out = QUERIES["dedup_span_exact"].fn(spark, d).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 0 and out[0].n_kept == 2

@@ -130,3 +130,13 @@ def test_corpus_freq_join_is_keyed(spark, sf_dir):
     plan = executed_plan(spark, sf_dir, "text_corpus_freq_score")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_election_is_partial_aggregated(spark, sf_dir):
+    """The first-occurrence election must be a hash aggregation with a
+    map-side partial (shuffle volume O(distinct spans)), not a window
+    over the span hash (which funnels every copy of a hot span through
+    one reducer)."""
+    plan = executed_plan(spark, sf_dir, "dedup_span_exact")
+    assert "partial_min" in plan
+    assert "Window" not in plan.split("collect_list")[0]
