@@ -140,3 +140,15 @@ def test_span_dedup_election_is_partial_aggregated(spark, sf_dir):
     plan = executed_plan(spark, sf_dir, "dedup_span_exact")
     assert "partial_min" in plan
     assert "Window" not in plan.split("collect_list")[0]
+
+
+def test_corpus_freq_tokenize_runs_once(spark, sf_dir):
+    """Both consumers of the (doc, token) counts — the vocabulary
+    aggregation and the scoring join — must read the persisted tf, not
+    re-run the tokenize+explode pipeline (Catalyst doesn't reuse the
+    exchange across the two subtrees)."""
+    plan = executed_plan(spark, sf_dir, "text_corpus_freq_score")
+    # (FileScan strings still appear inside the InMemoryRelation's
+    # cached-build description; the executed readers are the two
+    # InMemoryTableScans.)
+    assert plan.count("InMemoryTableScan") >= 2
