@@ -758,6 +758,83 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n"), F.asc("token")).limit(100))
 
 
+def _cc_union_find(spark: SparkSession, member_rows, edge_rows) -> DataFrame:
+    """Connected components of a BOUNDED graph on the driver:
+    path-compressing union-find over the collected node/edge lists.
+    Component label = min fp_min among members; cluster_size = sum of
+    per-fingerprint doc counts over the component (so the expand join
+    needs no doc-level re-aggregation). Only valid because the
+    contracted fingerprint graph is ≤ 2^16 nodes by construction (and
+    edge count is capped by the hamming-≤3 ball: ≤ 697 neighbors per
+    node) — constants that do NOT grow with the corpus. Returns an
+    (id, label, cluster_size) DataFrame small enough to broadcast into
+    the expand join."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in member_rows:
+        parent[r.simhash] = r.simhash
+    for e in edge_rows:
+        ra, rb = find(e.s), find(e.d)
+        if ra != rb:
+            parent[ra] = rb
+    best: dict[int, int] = {}
+    size: dict[int, int] = {}
+    for r in member_rows:
+        root = find(r.simhash)
+        if root not in best or r.fp_min < best[root]:
+            best[root] = r.fp_min
+        size[root] = size.get(root, 0) + r.n_docs
+    out = [(r.simhash, best[find(r.simhash)], size[find(r.simhash)])
+           for r in member_rows]
+    return spark.createDataFrame(out, "id int, label long, cluster_size long")
+
+
+def _cc_label_loop(members: DataFrame, edges: DataFrame,
+                   max_rounds: int = 20) -> DataFrame:
+    """Distributed CC via min-label propagation, for contracted graphs
+    too large to collect (e.g. wider-fingerprint variants): one join +
+    one min-aggregate per round, O(diameter) rounds, every round a
+    shuffle keyed on the node id.
+
+    localCheckpoint (not persist) each round: iterative loops double
+    the logical plan per round (labels is referenced twice), and
+    Catalyst re-analyzes the FULL lineage each iteration — exponential
+    planning time by round ~15. Checkpointing truncates the plan to the
+    materialized partitions, keeping every round O(1) to plan.
+    Self-loop edges make each round ONE join + ONE aggregation: the
+    self-loop row carries the node's own label into the same groupBy
+    that computes the neighbor minimum (min picks the better of the
+    two), and ``min(label) FILTER (s = d)`` recovers the old label so
+    the convergence check is a scan, not a second join."""
+    labels = members.select(F.col("simhash").alias("id"),
+                            F.col("fp_min").alias("label")).localCheckpoint()
+    eplus = (edges.unionByName(
+        labels.select(F.col("id").alias("s"), F.col("id").alias("d")))
+        .localCheckpoint())
+    for _ in range(max_rounds):  # bound ≥ any real component diameter
+        new_labels = (
+            eplus.join(labels, eplus.s == labels.id)
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("label").alias("label"),
+                 F.min(F.when(F.col("s") == F.col("d"), F.col("label")))
+                 .alias("old"))
+            .localCheckpoint())
+        changed = new_labels.where(F.col("label") < F.col("old")).count()
+        labels = new_labels.select("id", "label")
+        if changed == 0:
+            break
+    return labels
+
+
+
 @register(
     "dedup_cluster_canonical",
     oracle=f"""
@@ -788,26 +865,34 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "iterative"),
 )
-def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str,
+                            cc_max_driver_nodes: int = 1 << 17) -> DataFrame:
     """Near-dup clustering: connected components over the (exact)
-    SimHash pair graph via iterative min-label propagation; each doc in
-    a component gets the component's minimum doc_id as its cluster id
-    (the canonical representative) plus the component size.
+    SimHash pair graph; each doc in a component gets the component's
+    minimum doc_id as its cluster id (the canonical representative)
+    plus the component size.
 
     This is the step that turns pairwise near-dup evidence into
     keep/drop decisions. The Spark side contracts the graph to distinct
     fingerprints first (docs sharing a fingerprint are hamming-0
-    connected), then runs a driver-coordinated loop of join +
-    min-aggregate rounds over the contracted graph (the standard
-    large-graph CC shape — O(diameter) rounds, every round a shuffle
-    keyed on the node id), and finally expands components back to docs.
-    Contraction is what survives scale: the doc-pair graph is
-    near-quadratic inside fingerprint near-cliques (1.57M pairs at
-    sf0.1, 47 s end-to-end) while the fingerprint graph is bounded by
-    min(corpus, 2^16) nodes (5.0 s end-to-end, identical output). The
-    oracle reproduces the doc-level semantics with a recursive CTE —
-    one of the few genuinely iterative algorithms in the suite that is
-    still SQL-expressible.
+    connected), solves CC on the contracted graph, and expands
+    components back to docs. Contraction is what survives scale: the
+    doc-pair graph is near-quadratic inside fingerprint near-cliques
+    (1.57M pairs at sf0.1, 47 s end-to-end) while the fingerprint graph
+    is bounded by min(corpus, 2^16) nodes (identical output).
+
+    CC itself is two-path. The contracted graph is bounded at 2^16
+    nodes BY CONSTRUCTION — independent of corpus size — so the default
+    path collects it and runs union-find on the driver (O(2^16 α), sub-
+    millisecond, a constant-size problem at ANY corpus scale; the
+    collect is the same kind of driver materialization as broadcasting
+    a dim table). The distributed min-label-propagation loop
+    (_cc_label_loop: join + min-aggregate per round, O(diameter)
+    rounds, localCheckpoint lineage truncation) is retained and tested
+    for graphs that exceed ``cc_max_driver_nodes`` — e.g. a 32/64-bit
+    fingerprint variant where contraction no longer bounds the node
+    count. The oracle reproduces the doc-level semantics with a
+    recursive CTE.
     """
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
@@ -841,45 +926,31 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.bit_count(F.col("fa").cast("long")
                            .bitwiseXOR(F.col("fb").cast("long"))) <= 3)
     )
-    # localCheckpoint (not persist): iterative loops double the logical
-    # plan per round (labels is referenced twice), and Catalyst
-    # re-analyzes the FULL lineage each iteration — exponential planning
-    # time by round ~15. Checkpointing truncates the plan to the
-    # materialized partitions, keeping every round O(1) to plan.
+    # checkpoint fp_pairs, the shared upstream of BOTH edge directions
+    # and the member set — one materialization instead of two (edges,
+    # members) plus it truncates lineage for the loop path
+    fp_pairs = fp_pairs.localCheckpoint()
     edges = (fp_pairs.select(F.col("fa").alias("s"), F.col("fb").alias("d"))
              .unionByName(fp_pairs.select(F.col("fb").alias("s"),
-                                          F.col("fa").alias("d")))
-             ).localCheckpoint()
+                                          F.col("fa").alias("d"))))
     # graph nodes = fingerprints that yield any doc pair: an internal
     # pair (≥2 docs share the fingerprint) or an edge to another
     # fingerprint — matching the oracle's nodes-from-edges semantics.
     linked = edges.select(F.col("s").alias("simhash")).distinct()
     members = (nodes.join(linked, "simhash", "left_semi")
                .unionByName(nodes.where(F.col("n_docs") >= 2))
-               .dropDuplicates(["simhash"])
-               .localCheckpoint())
-    labels = members.select(F.col("simhash").alias("id"),
-                            F.col("fp_min").alias("label")).localCheckpoint()
-    # Self-loop edges make each round ONE join + ONE aggregation: the
-    # self-loop row carries the node's own label into the same groupBy
-    # that computes the neighbor minimum (min picks the better of the
-    # two), and `min(label) FILTER (s = d)` recovers the old label so
-    # the convergence check is a scan, not a second join.
-    eplus = (edges.unionByName(
-        labels.select(F.col("id").alias("s"), F.col("id").alias("d")))
-        .localCheckpoint())
-    for _ in range(20):  # bound ≥ any real component diameter here
-        new_labels = (
-            eplus.join(labels, eplus.s == labels.id)
-            .groupBy(F.col("d").alias("id"))
-            .agg(F.min("label").alias("label"),
-                 F.min(F.when(F.col("s") == F.col("d"), F.col("label")))
-                 .alias("old"))
-            .localCheckpoint())
-        changed = new_labels.where(F.col("label") < F.col("old")).count()
-        labels = new_labels.select("id", "label")
-        if changed == 0:
-            break
+               .dropDuplicates(["simhash"]))
+    member_rows = (members.collect()
+                   if cc_max_driver_nodes > 0 else None)
+    if member_rows is not None and len(member_rows) <= cc_max_driver_nodes:
+        # labels carry the component doc-count too, so the expand is a
+        # single broadcast join — no doc-level re-aggregation
+        labels = F.broadcast(
+            _cc_union_find(spark, member_rows, edges.collect()))
+        return (fp.join(labels, fp.simhash == labels.id)
+                .select("doc_id", F.col("label").alias("cluster_id"),
+                        F.col("cluster_size").cast("int")))
+    labels = _cc_label_loop(members.localCheckpoint(), edges)
     # expand back: every doc of a member fingerprint gets its
     # component's canonical (minimum) doc_id and the doc-level size
     docs_out = (fp.join(labels, fp.simhash == labels.id)

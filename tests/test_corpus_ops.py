@@ -177,3 +177,17 @@ def test_span_dedup_degenerate_corpus(spark, tmp_path):
     out = QUERIES["dedup_span_exact"].fn(spark, d).collect()
     assert len(out) == 1
     assert out[0].doc_id == 0 and out[0].n_kept == 2
+
+
+def test_cluster_canonical_loop_path_matches_driver_path(spark, sf_dir):
+    """The distributed min-label-propagation fallback (for contracted
+    graphs too large to collect) must produce exactly the union-find
+    result."""
+    from jira_scraper_etl_spark.plans.llm_ops import dedup_cluster_canonical
+
+    driver = {(r.doc_id, r.cluster_id, r.cluster_size)
+              for r in dedup_cluster_canonical(spark, sf_dir).collect()}
+    loop = {(r.doc_id, r.cluster_id, r.cluster_size)
+            for r in dedup_cluster_canonical(
+                spark, sf_dir, cc_max_driver_nodes=0).collect()}
+    assert driver == loop and driver
