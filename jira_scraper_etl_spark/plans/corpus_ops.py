@@ -1,9 +1,10 @@
-"""Second-wave corpus operators over ``documents``: PII redaction,
-cross-document span-level dedup, and corpus-frequency scoring.
+"""Second-wave corpus operators: PII redaction, cross-document
+span-level dedup, corpus-frequency scoring, fixed-point embedding
+centroids, and incremental (new-batch) novelty detection.
 
-These extend the LLM-curation surface (plans/llm_ops.py) with three
-steps a production pretraining pipeline runs between quality filtering
-and dataset assembly:
+These extend the LLM-curation surface (plans/llm_ops.py) with steps a
+production pretraining pipeline runs between quality filtering and
+dataset assembly:
 
 * **PII redaction** — regex scrub of emails / IPv4 addresses, the
   mandatory compliance pass. Map-only: no shuffle at any scale.
@@ -16,6 +17,11 @@ and dataset assembly:
   tokens appear nowhere else), natural-language docs score high. The
   classic cheap signal for a first-pass perplexity proxy without a
   model. All-integer arithmetic, so it cross-checks exactly.
+* **Label centroids** — per-label embedding means in fixed-point so the
+  result is independent of accumulation order (IVF refresh, prototypes).
+* **Incremental novelty** — exact + SimHash near-dup checks of a new
+  batch against the existing corpus; the delta form of dedup a daily
+  ingest actually runs.
 
 Regex-dialect note: the redaction patterns are written in the common
 subset of Java regex (Spark) and RE2 (the DuckDB oracle) — character
