@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..catalog import load_table
+from ..catalog import load_events, load_table
 from .registry import register, money, dsum, o_dsum, davg, o_davg, lsum, o_lsum
 
 
@@ -314,6 +314,40 @@ def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer_entity_activity",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY user_id)
+    SELECT COALESCE(c.c_custkey, e.user_id) AS entity_id,
+           c.c_custkey IS NOT NULL AS is_customer,
+           COALESCE(e.n, 0) AS n_events
+    FROM customer c FULL JOIN ev e ON c.c_custkey = e.user_id
+    """,
+    tags=("join",),
+)
+def join_full_outer_entity_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 full-outer join: reconcile two entity universes (registered
+    customers vs event actors), keeping rows present on either side —
+    the master-data reconciliation shape. Events are pre-aggregated per
+    user BEFORE the join so the outer join touches one row per entity;
+    a full outer can never broadcast (both sides must be preserved), so
+    Spark plans a sort-merge join on the key — correct and keyed at any
+    scale.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ev = (load_events(spark, sf_dir).groupBy("user_id")
+          .agg(F.count(F.lit(1)).alias("n")))
+    return (
+        c.join(ev, c.c_custkey == ev.user_id, "full")
+        .select(
+            F.coalesce("c_custkey", "user_id").alias("entity_id"),
+            F.col("c_custkey").isNotNull().alias("is_customer"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
     )
 
 
