@@ -164,3 +164,46 @@ def jira_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("components").cast("int").alias("n_components"),
         F.size("comments").alias("n_comments"),
     )
+
+
+@register("jira_qa_pairs_udtf", oracle=None, tags=("jira", "udtf"))
+def jira_qa_pairs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 UDTF surface: the QA pairing step (reference
+    transformer.py:92-116) re-expressed as a Python user-defined TABLE
+    function — one (question, answer) row per extracted question via a
+    LATERAL join.
+
+    Like the pandas twin (functions/text_pandas.py), this exists as the
+    row-wise differential-testing mirror of the columnar path, NOT the
+    hot path: the production plan is jira_transform_silver's
+    regexp_extract_all + transform (whole-stage codegen, zero Python).
+    A UDTF pays per-row Python dispatch and breaks codegen — the
+    docstring point IS that the engine supports the API while the
+    columnar form stays the default. tests/test_udtf.py asserts the
+    exploded columnar qa_pairs and this UDTF agree row-for-row on the
+    fixture corpus.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    from ..functions import text as T
+
+    @udtf(returnType="question: string, answer: string")
+    class ExtractQA:
+        def eval(self, description, answer):
+            if description is None or answer is None:
+                return
+            for m in re.finditer(T.QUESTION_PATTERN, description):
+                yield m.group(1).strip(), answer
+
+    spark.udtf.register("extract_qa", ExtractQA)
+    sil = transform_issues(fixture_df(spark))
+    base = sil.select(
+        "id", "description",
+        T.clean_text(T.first_answer(F.col("comments"))).alias("ans"))
+    base.createOrReplaceTempView("qa_udtf_base")
+    return spark.sql("""
+        SELECT b.id, q.question, q.answer
+        FROM qa_udtf_base b, LATERAL extract_qa(b.description, b.ans) q
+    """)
