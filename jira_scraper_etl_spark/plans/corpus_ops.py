@@ -384,3 +384,74 @@ def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = (fp_new.join(matched, "doc_id", "left")
             .select("doc_id", F.col("hit").isNull().alias("near_novel")))
     return exact.join(near, "doc_id")
+
+
+@register(
+    "text_bigram_assoc",
+    oracle=f"""
+    WITH t AS (SELECT {SQL_TOKS} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS tok FROM t),
+    uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+    bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+                                     i -> toks[i])) AS a,
+               unnest(list_transform(generate_series(1, len(toks)-1),
+                                     i -> toks[i+1])) AS b
+        FROM t WHERE len(toks) >= 2
+    ),
+    bgc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+            FROM bg GROUP BY a, b HAVING COUNT(*) >= 5)
+    SELECT a, b, cab,
+           (CAST(cab AS DOUBLE) * CAST(n AS DOUBLE))
+             / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+    FROM bgc JOIN uc ua ON bgc.a = ua.tok
+             JOIN uc ub ON bgc.b = ub.tok, tot
+    ORDER BY lift DESC, a, b LIMIT 50
+    """,
+    tags=("textstats", "assoc"),
+)
+def text_bigram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token bigrams by lift (observed / expected-if-independent)
+    — collocation mining, the association-rule shape behind phrase
+    detection and tokenizer-merge candidates.
+
+    Float determinism: lift is a FIXED expression tree over exact
+    integer counts — two double casts, one multiply, one divide in the
+    same order on both engines — so each value is bit-identical; no
+    order-dependent float aggregation exists anywhere in the plan.
+    Ties (identical lift) are broken by the bigram itself.
+
+    Scale shape: the token arrays are persisted once and feed three
+    consumers (unigram counts, total, bigram counts). All aggregations
+    are map-side combined; the two unigram joins are keyed on the
+    token; top-50 is TakeOrderedAndProject, never a global sort. The
+    ``cab >= 5`` support floor bounds the join input the way every
+    association miner prunes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    t = (d.select(toks.alias("toks")).repartition(par)
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    t.count()
+    uni = t.select(F.explode("toks").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(F.element_at("toks", i).alias("a"),
+                           F.element_at("toks", i + 1).alias("b")))
+    bgc = (t.where(F.size("toks") >= 2)
+           .select(F.explode(bigrams).alias("bg"))
+           .groupBy(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+           .agg(F.count(F.lit(1)).alias("cab"))
+           .where(F.col("cab") >= 5))
+    ua = uc.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    lift = ((F.col("cab").cast("double") * F.col("n").cast("double"))
+            / (F.col("ca").cast("double") * F.col("cb").cast("double")))
+    return (bgc.join(ua, "a").join(ub, "b")
+            .crossJoin(F.broadcast(tot))
+            .select("a", "b", "cab", lift.alias("lift"))
+            .orderBy(F.desc("lift"), "a", "b").limit(50))

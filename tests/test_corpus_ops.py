@@ -191,3 +191,13 @@ def test_cluster_canonical_loop_path_matches_driver_path(spark, sf_dir):
             for r in dedup_cluster_canonical(
                 spark, sf_dir, cc_max_driver_nodes=0).collect()}
     assert driver == loop and driver
+
+
+def test_bigram_assoc_exact_lift(spark, tmp_path):
+    # corpus: 6x "x y" + 1x "x z" -> n=14 tokens, c(x)=7, c(y)=6,
+    # c(x,y)=6 -> lift = 6*14/(7*6) = 2.0; (x,z) cab=1 < 5 support
+    # floor -> excluded
+    d = docs_dir(spark, tmp_path,
+                 [(i, "x y") for i in range(6)] + [(7, "x z")])
+    out = QUERIES["text_bigram_assoc"].fn(spark, d).collect()
+    assert [(r.a, r.b, r.cab, r.lift) for r in out] == [("x", "y", 6, 2.0)]
