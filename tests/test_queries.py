@@ -23,7 +23,8 @@ def test_query_runs(spark, sf_dir, name):
 
 def test_oracle_coverage():
     """Every query has an oracle unless explicitly rows-only (approx
-    sketches, ML-internal LSH, code-defined Jira fixtures)."""
+    sketches, ML-internal LSH, code-defined Jira fixtures, the UDTF
+    differential twin)."""
     rows_only = {name for name, q in plans.QUERIES.items() if q.oracle is None}
     assert rows_only == {
         "agg_approx_count_distinct",
@@ -31,6 +32,7 @@ def test_oracle_coverage():
         "similarity_ann_ivf",
         "jira_transform_silver",
         "jira_corpus_stats",
+        "jira_qa_pairs_udtf",
     }
 
 
