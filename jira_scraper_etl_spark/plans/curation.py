@@ -450,3 +450,30 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per.crossJoin(F.broadcast(total))
             .select("source", "n_docs", "n_tokens", weight.alias("weight"),
                     (weight / F.col("total")).alias("share")))
+
+
+@register("text_length_percentiles_approx", oracle=None,
+          tags=("curation", "stats", "sketch"))
+def text_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path that text_length_percentiles' docstring points
+    to: approx_percentile — a mergeable t-digest-style sketch, so each
+    partition summarizes locally and only sketches shuffle; no
+    per-group sort at any scale. Rows-only in the driver (the sketch is
+    engine-internal, like approx_count_distinct);
+    tests/test_curation.py pins it within rank-error tolerance of the
+    exact per-language percentiles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang",
+                    F.size(H.word_tokens(F.col("text"))).cast("bigint")
+                    .alias("n_tokens"))
+    pct = F.expr(
+        "approx_percentile(n_tokens, array(0.5D, 0.9D, 0.99D), 10000)")
+    agg = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), pct.alias("p"))
+    return agg.select(
+        "lang", "n_docs",
+        F.element_at("p", 1).alias("p50"),
+        F.element_at("p", 2).alias("p90"),
+        F.element_at("p", 3).alias("p99"),
+    )

@@ -71,3 +71,21 @@ def test_curate_pipeline_consistent_with_parts(spark, sf_dir):
     n_canon = (kept.select(F.md5(normalize_for_fingerprint(F.col("text")))
                            .alias("h")).distinct().count())
     assert n_rollup == n_canon > 0
+
+
+def test_approx_percentiles_within_tolerance_of_exact(spark, sf_dir):
+    """The sketch path must agree with the exact path within the
+    accuracy bound (1/10000 rank error is exact at test cardinality,
+    but assert a loose absolute band to stay robust)."""
+    from jira_scraper_etl_spark.plans import QUERIES
+
+    exact = {r.lang: (r.p50_c / 100, r.p90_c / 100, r.p99_c / 100)
+             for r in QUERIES["text_length_percentiles"]
+             .fn(spark, sf_dir).collect()}
+    approx = {r.lang: (r.p50, r.p90, r.p99)
+              for r in QUERIES["text_length_percentiles_approx"]
+              .fn(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for lang in exact:
+        for e, a in zip(exact[lang], approx[lang]):
+            assert abs(e - a) <= max(2.0, 0.05 * e), (lang, e, a)

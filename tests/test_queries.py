@@ -33,6 +33,7 @@ def test_oracle_coverage():
         "jira_transform_silver",
         "jira_corpus_stats",
         "jira_qa_pairs_udtf",
+        "text_length_percentiles_approx",
     }
 
 
