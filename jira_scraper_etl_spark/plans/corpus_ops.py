@@ -157,7 +157,12 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner set would be dictionary-encoded parquet between the two
     stages rather than held in one job (same plan, materialized seam).
     """
-    d = load_table(spark, sf_dir, "documents")
+    return span_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def span_dedup(d: DataFrame) -> DataFrame:
+    """Core of dedup_span_exact over any (doc_id, text) frame — reused
+    by the composed curate_corpus_v2 pipeline."""
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
     t = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
     n_chunks = F.ceil(F.size("toks") / F.lit(float(SPAN))).cast("int")
@@ -455,3 +460,76 @@ def text_bigram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(tot))
             .select("a", "b", "cab", lift.alias("lift"))
             .orderBy(F.desc("lift"), "a", "b").limit(50))
+
+
+@register(
+    "curate_corpus_v2",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(toks[(i*{SPAN}+1):(i*{SPAN}+{SPAN})], ' ') AS chunk
+        FROM (SELECT doc_id, toks,
+                     unnest(range(CAST(ceil(len(toks)/{SPAN}.0) AS BIGINT))) AS i
+              FROM t WHERE len(toks) > 0)
+    ),
+    kept AS (
+        SELECT doc_id, chunk_idx, chunk FROM (
+            SELECT doc_id, chunk_idx, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                      ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks
+        ) WHERE rn = 1
+    ),
+    dedup AS (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_deduped,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    j AS (
+        SELECT doc_id, source, text_deduped, n_kept,
+               CASE WHEN {SQL_DOC_BUCKET} < 90 THEN 'train'
+                    WHEN {SQL_DOC_BUCKET} < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents JOIN dedup USING (doc_id)
+    )
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_kept) AS BIGINT) AS n_spans,
+           CAST(SUM(len(list_filter(string_split_regex(lower(text_deduped),
+                '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+    FROM j GROUP BY split, source
+    """,
+    tags=("curation", "composed"),
+)
+def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation flagship #2: cross-document span dedup →
+    deterministic train/valid/test split → per-(split, source) corpus
+    accounting (docs, surviving spans, post-dedup token budget) — the
+    report a data team reads before launching a training run.
+
+    Composition adds ONE keyed join (source lookup on doc_id) and ONE
+    rollup shuffle on top of span_dedup's two — the split column is a
+    free map-side hash of the id. Every metric is an exact integer, so
+    the composed result cross-checks bit-for-bit against the chained
+    CTE oracle; this is the point of keeping each stage deterministic:
+    pipelines of them stay deterministic.
+    """
+    from .curation import doc_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    dd = span_dedup(d)
+    b = doc_bucket(F.col("doc_id"))
+    toks_d = F.filter(F.split(F.lower("text_deduped"), r"\s+"),
+                      lambda x: x != "")
+    return (
+        d.select("doc_id", "source").join(dd, "doc_id")
+        .withColumn("split",
+                    F.when(b < 90, "train").when(b < 95, "valid")
+                    .otherwise("test"))
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_kept").cast("long").alias("n_spans"),
+             F.sum(F.size(toks_d)).cast("long").alias("n_tokens"))
+    )
