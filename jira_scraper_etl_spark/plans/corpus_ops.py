@@ -533,3 +533,54 @@ def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_kept").cast("long").alias("n_spans"),
              F.sum(F.size(toks_d)).cast("long").alias("n_tokens"))
     )
+
+
+@register(
+    "dedup_pairs_edit_distance",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, list_transform(toks, t -> {SQL_TOKHASH}) AS th
+        FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+              WHERE doc_id < 150)
+    ),
+    fp AS (SELECT doc_id, CAST({SQL_SIMHASH} AS INTEGER) AS s FROM th),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(CAST(a.s AS BIGINT), CAST(b.s AS BIGINT))) <= 3
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_dist,
+           1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+               / GREATEST(LENGTH(ta.text), LENGTH(tb.text), 1) AS sim
+    FROM pairs
+    JOIN documents ta ON pairs.doc_a = ta.doc_id
+    JOIN documents tb ON pairs.doc_b = tb.doc_id
+    """,
+    tags=("dedup", "verify"),
+)
+def dedup_pairs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of SimHash candidate pairs:
+    Levenshtein distance plus a length-normalized similarity — the
+    record-linkage confirmation step that runs AFTER cheap candidate
+    generation, never before (edit distance is O(len²) per pair, so the
+    join that feeds it must already be bucket-bounded; here the input
+    is the nibble-banded simhash pairs on a bounded slice, and at
+    100 TB it is exactly the verify stage of the LSH pipelines).
+    Both engines implement unit-cost Levenshtein identically, and the
+    similarity is a single int/int division — bit-identical.
+    """
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    d = (load_table(spark, sf_dir, "documents")
+         .where(F.col("doc_id") < 150))
+    pairs = simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    return (pairs.join(ta, "doc_a").join(tb, "doc_b")
+            .select("doc_a", "doc_b",
+                    lev.cast("int").alias("edit_dist"),
+                    (F.lit(1.0) - lev.cast("double")
+                     / F.greatest(F.length("text_a"), F.length("text_b"),
+                                  F.lit(1))).alias("sim")))

@@ -201,3 +201,15 @@ def test_bigram_assoc_exact_lift(spark, tmp_path):
                  [(i, "x y") for i in range(6)] + [(7, "x z")])
     out = QUERIES["text_bigram_assoc"].fn(spark, d).collect()
     assert [(r.a, r.b, r.cab, r.lift) for r in out] == [("x", "y", 6, 2.0)]
+
+
+def test_edit_distance_identical_and_near_docs(spark, tmp_path):
+    # ids 1,2 identical -> dist 0, sim 1.0; id 3 one-word edit of 1
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "kappb")
+    d = docs_dir(spark, tmp_path, [(1, base), (2, base), (3, near)])
+    out = {(r.doc_a, r.doc_b): (r.edit_dist, r.sim)
+           for r in QUERIES["dedup_pairs_edit_distance"].fn(spark, d).collect()}
+    assert out[(1, 2)] == (0, 1.0)
+    assert out[(1, 3)][0] == 1
+    assert abs(out[(1, 3)][1] - (1 - 1 / len(base))) < 1e-12
