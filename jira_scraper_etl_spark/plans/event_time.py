@@ -170,6 +170,52 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT DATE_TRUNC('hour', MIN(ts)) AS lo,
+               DATE_TRUNC('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+        FROM bounds
+    ),
+    counts AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT s.hour, COALESCE(c.n, 0) AS n
+    FROM spine s LEFT JOIN counts c ON s.hour = c.hour
+    """,
+    tags=("events", "gapfill"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified hourly event counts: every hour between the corpus min
+    and max appears, zero-filled — the date-spine pattern dashboards
+    and forecasting inputs need (a groupBy alone silently drops empty
+    hours).
+
+    The spine is generated from a 1-row bounds aggregate via sequence +
+    explode — a few thousand rows per year, so it BROADCASTS into the
+    left join against the keyed hourly counts; no shuffle is added over
+    the plain aggregation. (Broadcasting the spine, not the counts,
+    is what survives scale: counts grow with data, the calendar
+    doesn't.)
+    """
+    e = load_events(spark, sf_dir)
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    counts = (e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (F.broadcast(spine).join(counts, "hour", "left")
+            .select("hour", F.coalesce("n", F.lit(0)).alias("n")))
+
+
+@register(
     "events_latest_state_per_user",
     oracle="""
     SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,

@@ -213,3 +213,17 @@ def test_edit_distance_identical_and_near_docs(spark, tmp_path):
     assert out[(1, 2)] == (0, 1.0)
     assert out[(1, 3)][0] == 1
     assert abs(out[(1, 3)][1] - (1 - 1 / len(base))) < 1e-12
+
+
+def test_gapfill_spine_is_dense_and_consistent(spark, sf_dir):
+    """The spine has every hour between min and max exactly once and
+    the non-zero rows agree with the plain aggregation."""
+    from datetime import timedelta
+
+    rows = QUERIES["events_hourly_gapfill"].fn(spark, sf_dir).collect()
+    hours = sorted(r.hour for r in rows)
+    assert len(hours) == len(set(hours))
+    span = int((hours[-1] - hours[0]) / timedelta(hours=1)) + 1
+    assert len(hours) == span
+    assert sum(r.n for r in rows) == spark.read.parquet(
+        f"{sf_dir}/events.parquet").count()
