@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
+from ..functions import hashing as H
 from ..functions import vectors as V
 from .curation import SQL_DOC_BUCKET
 from .llm_ops import SQL_QUANT, SQL_SIMHASH, SQL_TOKHASH, SQL_TOKS
@@ -71,15 +72,17 @@ def _contact_col() -> F.Column:
 @register(
     "text_pii_redact",
     oracle=f"""
-    WITH c AS (SELECT doc_id, {_SQL_CONTACT} AS contact FROM documents)
+    WITH c AS (SELECT doc_id, {_SQL_CONTACT} AS contact FROM documents),
+    e AS (SELECT doc_id, contact,
+                 regexp_replace(contact, '{EMAIL_RE}', '<EMAIL>', 'g') AS em
+          FROM c)
     SELECT doc_id,
            CAST(len(regexp_extract_all(contact, '{EMAIL_RE}')) AS INTEGER)
              AS n_emails,
-           CAST(len(regexp_extract_all(contact, '{IPV4_RE}')) AS INTEGER)
+           CAST(len(regexp_extract_all(em, '{IPV4_RE}')) AS INTEGER)
              AS n_ips,
-           regexp_replace(regexp_replace(contact, '{EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{IPV4_RE}', '<IP>', 'g') AS redacted
-    FROM c
+           regexp_replace(em, '{IPV4_RE}', '<IP>', 'g') AS redacted
+    FROM e
     """,
     tags=("privacy", "textstats"),
 )
@@ -90,18 +93,20 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure map-only columnar pass (regexp_count / regexp_replace are
     JVM-side, inside whole-stage codegen) — zero shuffles, so at 100 TB
     this is scan-bound and embarrassingly parallel. Email is replaced
-    before IPv4 so a dotted host in an address can't be double-counted.
+    before IPv4 AND n_ips is counted on the email-redacted intermediate
+    so a dotted quad inside an email's host (x@1.2.3.4.example.com) is
+    neither double-redacted nor double-counted — the counts always
+    describe exactly what the redacted output removed.
     """
     d = load_table(spark, sf_dir, "documents")
     c = d.select("doc_id", _contact_col().alias("contact"))
-    return c.select(
+    em = F.regexp_replace("contact", EMAIL_RE, "<EMAIL>")
+    e = c.select("doc_id", "contact", em.alias("em"))
+    return e.select(
         "doc_id",
         F.regexp_count("contact", F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
-        F.regexp_count("contact", F.lit(IPV4_RE)).cast("int").alias("n_ips"),
-        F.regexp_replace(
-            F.regexp_replace("contact", EMAIL_RE, "<EMAIL>"),
-            IPV4_RE, "<IP>",
-        ).alias("redacted"),
+        F.regexp_count("em", F.lit(IPV4_RE)).cast("int").alias("n_ips"),
+        F.regexp_replace("em", IPV4_RE, "<IP>").alias("redacted"),
     )
 
 
@@ -163,7 +168,7 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def span_dedup(d: DataFrame) -> DataFrame:
     """Core of dedup_span_exact over any (doc_id, text) frame — reused
     by the composed curate_corpus_v2 pipeline."""
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = H.word_tokens(F.col("text"))
     t = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
     n_chunks = F.ceil(F.size("toks") / F.lit(float(SPAN))).cast("int")
     spans = F.transform(
@@ -225,7 +230,7 @@ def text_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = H.word_tokens(F.col("text"))
     # repartition before the interpreted split/filter: a single-file
     # scan otherwise runs the explode on one core (see operators/dedup)
     t = (d.select("doc_id", toks.alias("toks")).repartition(par)
@@ -436,7 +441,7 @@ def text_bigram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    toks = H.word_tokens(F.col("text"))
     t = (d.select(toks.alias("toks")).repartition(par)
          .persist(StorageLevel.MEMORY_AND_DISK))
     t.count()
@@ -521,8 +526,7 @@ def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     dd = span_dedup(d)
     b = doc_bucket(F.col("doc_id"))
-    toks_d = F.filter(F.split(F.lower("text_deduped"), r"\s+"),
-                      lambda x: x != "")
+    toks_d = H.word_tokens(F.col("text_deduped"))
     return (
         d.select("doc_id", "source").join(dd, "doc_id")
         .withColumn("split",

@@ -434,8 +434,7 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-keyed join and carries 8 bytes.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    per = (d.select("source", F.size(toks).alias("n"))
+    per = (d.select("source", F.size(H.word_tokens(F.col("text"))).alias("n"))
            .groupBy("source")
            .agg(F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n").cast("long").alias("n_tokens")))
