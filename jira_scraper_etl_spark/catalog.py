@@ -4,12 +4,19 @@ All loaders return lazily planned DataFrames straight off the parquet
 scans so Catalyst can push filters and prune columns into the file scan
 (`PushedFilters` / `ReadSchema` in `.explain`). Nothing here collects.
 
-The ``events`` table needs special handling: the generator wrote
-TIMESTAMP(NANOS) which Spark's parquet reader refuses. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as
-int64 nanoseconds and we convert columnar-side — integer division to
-microseconds then ``timestamp_micros`` — keeping the scan vectorized
-(this matches DuckDB's nanos→micros truncation semantics exactly).
+The ``events`` table needs special handling: the data generator has
+emitted its ``ts`` column as TIMESTAMP(NANOS) in some runs and
+TIMESTAMP(MICROS) in others. We sniff the parquet footer (a pure
+metadata read, a few KB regardless of file size — safe at any scale)
+and pick the matching scan:
+
+* micros/millis → Spark's native reader handles it; just normalize to
+  ``timestamp_ntz`` so downstream plans and oracle hashes are stable.
+* nanos → Spark's parquet reader refuses the type outright. With
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as
+  int64 nanoseconds and we convert columnar-side — integer division to
+  microseconds then ``timestamp_micros`` — keeping the scan vectorized
+  (this matches DuckDB's nanos→micros truncation semantics exactly).
 """
 
 from __future__ import annotations
@@ -44,9 +51,30 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _events_ts_unit(path: str) -> str:
+    """Sniff the parquet footer for the ``ts`` column's timestamp unit.
+
+    Footer-only read: O(KB) no matter the data size, done once on the
+    driver before planning the scan. Returns 'ns', 'us', 'ms', or 's'
+    ('us' if anything about the footer is surprising).
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.ParquetFile(path).schema_arrow.field("ts")
+        return getattr(field.type, "unit", "us") or "us"
+    except Exception:
+        return "us"
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
+    if _events_ts_unit(path) != "ns":
+        # Native-unit timestamps: Spark's vectorized reader handles
+        # micro/milli directly; normalize to ntz for stable plans/hashes.
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     try:
         df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
         # integer `div`, not `/`: double division loses microsecond

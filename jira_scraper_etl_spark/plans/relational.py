@@ -242,18 +242,22 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 multi-way equi join: fact ⋈ dims with explicit broadcasts.
+    """J2 multi-way equi join: fact ⋈ dims, broadcasting only true dims.
 
-    customer is bounded (~SF·150k rows) and nation/region are constant-
-    size — all three are broadcast so the only shuffle is the final
-    groupBy. At 100 TB the orders scan never shuffles for the join.
+    nation (25 rows) and region (5 rows) are constant-size regardless of
+    scale factor, so they are explicitly broadcast. customer grows
+    linearly with SF (~SF·150k rows — GBs at SF100), so it must NOT be
+    force-broadcast: at 100 TB a forced broadcast OOMs the executors.
+    The orders⋈customer side is left to AQE, which picks broadcast when
+    customer measures under the threshold and sort-merge otherwise —
+    exactly the adaptive behavior a 1000-executor cluster needs.
     """
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))

@@ -24,27 +24,50 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..catalog import EVENTS_RAW_SCHEMA
+from ..catalog import EVENTS_RAW_SCHEMA, _events_ts_unit
 from ..session import apply_runtime_confs
+
+# Schema for event files whose ts is a native parquet timestamp
+# (micro/milli, isAdjustedToUTC=false) — Spark reads those directly.
+EVENTS_NATIVE_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampNTZType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
 
 
 def stream_events(spark: SparkSession, source_dir: str,
                   glob: str = "events.parquet",
                   max_files_per_trigger: int | None = None) -> DataFrame:
-    """``readStream`` over parquet event files in ``source_dir`` with
-    the same nanos→micros columnar conversion as catalog.load_events
-    (the generator wrote TIMESTAMP(NANOS)). ``max_files_per_trigger``
-    bounds each micro-batch — with AvailableNow this replays a backlog
-    as several batches, which is how the tests exercise cross-batch
-    state."""
+    """``readStream`` over parquet event files in ``source_dir``,
+    normalizing ``ts`` to timestamp_ntz exactly like catalog.load_events:
+    the unit is sniffed from one file's footer (driver-side metadata
+    read; a streaming source's files share one schema). TIMESTAMP(NANOS)
+    files get the nanos-as-long columnar conversion, native micro/milli
+    timestamps stream through Spark's ordinary reader.
+    ``max_files_per_trigger`` bounds each micro-batch — with
+    AvailableNow this replays a backlog as several batches, which is how
+    the tests exercise cross-batch state."""
+    import glob as globmod
+    import os
+
     apply_runtime_confs(spark)
-    reader = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    matches = sorted(globmod.glob(os.path.join(source_dir, glob)))
+    nanos = bool(matches) and _events_ts_unit(matches[0]) == "ns"
+    schema = EVENTS_RAW_SCHEMA if nanos else EVENTS_NATIVE_SCHEMA
+    reader = (spark.readStream.schema(schema)
               .option("pathGlobFilter", glob))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(source_dir)
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    if nanos:
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

@@ -59,8 +59,31 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
 
 def test_dims_broadcast_in_star_join(spark, sf_dir):
     plan = executed_plan(spark, sf_dir, "join_revenue_by_nation")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact
+    assert "BroadcastHashJoin" in plan  # nation/region never shuffle the fact
+
+
+def test_customer_is_not_force_broadcast(spark, sf_dir):
+    """customer grows linearly with SF (GBs at SF100), so the star join
+    must NOT carry an explicit broadcast hint on it — only the
+    constant-size nation/region dims. With the size-based threshold
+    disabled, hinted tables still broadcast but everything else falls
+    back to sort-merge: exactly 2 BroadcastHashJoins (nation, region)
+    and a shuffled customer join proves the hint structure."""
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.enabled":
+            spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = executed_plan(spark, sf_dir, "join_revenue_by_nation")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_topk_avoids_global_sort(spark, sf_dir):

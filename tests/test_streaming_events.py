@@ -26,8 +26,10 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     from pyspark.sql import Window
 
     d = str(tmp_path_factory.mktemp("events_stream"))
-    raw = (spark.read.schema(SE.EVENTS_RAW_SCHEMA)
-           .parquet(f"{sf_dir}/events.parquet"))
+    # load_events normalizes ts to timestamp_ntz whatever unit the
+    # generator used, so the split files are written with a native
+    # parquet timestamp and stream_events takes its non-legacy path.
+    raw = load_events(spark, sf_dir)
     nt = F.ntile(3).over(Window.orderBy("ts", "event_id"))
     chunked = raw.withColumn("nt", nt)
     for i in (1, 2, 3):  # sequential writes -> ascending mtimes
