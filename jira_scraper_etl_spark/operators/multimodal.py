@@ -7,11 +7,16 @@ image/audio/video alongside text. This module treats media as an opaque
 canonical media operators — decode, feature-extract, resize, frame-sample
 — as Arrow-batched ``mapInPandas`` passes.
 
-Container constraint: no image/audio codecs are installed, so *real*
-format decoding (JPEG/PNG/WAV magic) is a clearly-marked
-``NotImplementedError`` stub. Everything Spark-side is real and tested:
-the binary schema, the 8-byte container header, Arrow batch shapes,
-partitioning behavior, and the row-multiplying frame-sample pass.
+Real-format coverage: **PNG** (signature + chunk walk with CRC verify,
+IHDR dims/bit-depth/channels, IDAT payload size) and **WAV** (RIFF/WAVE
+chunk walk, fmt rate/channels/bits, data size → sample-frame count) are
+decoded for real with stdlib ``struct``/``zlib`` — no codec library
+needed for header-level metadata. Pixel/sample *payload* decoding
+(JPEG entropy decode, MP4 demux) genuinely needs codec libraries absent
+from this container and stays a clearly-marked ``NotImplementedError``
+stub. Everything Spark-side is real and tested: the binary schema,
+the container headers, Arrow batch shapes, partitioning behavior, and
+the row-multiplying frame-sample pass.
 
 Deterministic fake format ``FAKE`` (so every operator is oracle-checkable
 in DuckDB):
@@ -51,13 +56,91 @@ FRAME_BYTES = 16
 TYPE_CODES = {"image": 1, "audio": 2, "video": 3}
 CODE_TYPES = {v: k for k, v in TYPE_CODES.items()}
 
-# Real-format magics we recognize but cannot decode in this container.
-_REAL_MAGICS = {
-    b"\xff\xd8\xff": "jpeg",
-    b"\x89PNG": "png",
-    b"RIFF": "wav/avi",
-    b"\x00\x00\x00\x18ftyp": "mp4",
-}
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type (spec §11.2.2): gray, rgb, palette,
+# gray+alpha, rgba
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff_format(buf: bytes) -> str:
+    """Classify a binary payload by magic bytes."""
+    if buf[:4] == MAGIC:
+        return "fake"
+    if buf[:8] == PNG_SIGNATURE:
+        return "png"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return "avi"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if buf[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+def _png_chunks(buf: bytes):
+    """Walk PNG chunks yielding (type, data); verifies each chunk CRC
+    (zlib.crc32 over type+data, per spec §5.3) so corrupt containers
+    fail loudly instead of producing silent garbage metadata."""
+    import zlib
+
+    pos = 8
+    while pos + 8 <= len(buf):
+        (length,), ctype = struct.unpack(">I", buf[pos:pos + 4]), buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", buf[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+
+
+def decode_png(buf: bytes) -> dict:
+    """Real PNG header decode (stdlib only): IHDR width/height/bit-depth/
+    color-type and total IDAT (compressed pixel payload) size."""
+    chunks = _png_chunks(buf)
+    ctype, ihdr = next(chunks)
+    if ctype != b"IHDR" or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", ihdr[:10])
+    idat = sum(len(d) for t, d in chunks if t == b"IDAT")
+    return {
+        "format": "png", "media_type": "image", "n_frames": 1,
+        "payload_len": idat, "width": width, "height": height,
+        "sample_rate": None, "n_channels": _PNG_CHANNELS.get(color_type),
+        "bit_depth": bit_depth,
+    }
+
+
+def decode_wav(buf: bytes) -> dict:
+    """Real WAV header decode (stdlib only): RIFF/WAVE chunk walk for
+    the fmt (channels, sample rate, bits/sample) and data (payload
+    size) chunks; n_frames = sample frames = data size / block align."""
+    pos, n_channels, sample_rate, bits, block_align, data_len = 12, None, None, None, None, 0
+    while pos + 8 <= len(buf):
+        cid, length = buf[pos:pos + 4], struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        body = buf[pos + 8:pos + 8 + length]
+        if cid == b"fmt " and len(body) >= 16:
+            _, n_channels, sample_rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_len = len(body)
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if sample_rate is None:
+        raise ValueError("WAV missing fmt chunk")
+    return {
+        "format": "wav", "media_type": "audio",
+        "n_frames": data_len // block_align if block_align else 0,
+        "payload_len": data_len, "width": None, "height": None,
+        "sample_rate": sample_rate, "n_channels": n_channels,
+        "bit_depth": bits,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -127,50 +210,75 @@ def attach_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _parse_header(buf: bytes) -> tuple[int, int, int]:
-    """Parse the FAKE container header → (type_code, n_frames, frame_bytes).
-
-    Real media formats are detected and rejected with a clearly-marked
-    stub error — the decode *plumbing* (schema, batching) is what this
-    module exercises in this container.
-    """
-    for magic, fmt in _REAL_MAGICS.items():
-        if buf[: len(magic)] == magic:
-            raise NotImplementedError(
-                f"STUB: real {fmt} decoding needs a codec library not present "
-                "in this container; only the FAKE container format is decodable"
-            )
+    """Parse the FAKE container header → (type_code, n_frames, frame_bytes)."""
     if buf[:4] != MAGIC or buf[4] != VERSION:
         raise ValueError("not a FAKE v1 container")
     _, _, type_code, n_frames, frame_bytes = struct.unpack("4sBBBB", buf[:8])
     return type_code, n_frames, frame_bytes
 
 
+def decode_one(buf: bytes) -> dict:
+    """Decode one binary payload's header metadata, dispatching on magic.
+
+    FAKE / PNG / WAV parse for real. JPEG entropy decoding and MP4/AVI
+    demuxing need codec libraries this container doesn't ship, so those
+    magics raise a clearly-marked stub error.
+    """
+    fmt = sniff_format(buf)
+    if fmt == "fake":
+        type_code, n_frames, _ = _parse_header(buf)
+        return {
+            "format": "fake", "media_type": CODE_TYPES[type_code],
+            "n_frames": n_frames, "payload_len": len(buf) - 8,
+            "width": None, "height": None, "sample_rate": None,
+            "n_channels": None, "bit_depth": None,
+        }
+    if fmt == "png":
+        return decode_png(buf)
+    if fmt == "wav":
+        return decode_wav(buf)
+    if fmt in ("jpeg", "mp4", "avi"):
+        raise NotImplementedError(
+            f"STUB: {fmt} payload decoding needs a codec library not present "
+            "in this container; header-level PNG/WAV/FAKE decode is real"
+        )
+    raise ValueError("unrecognized media container")
+
+
 DECODED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
     T.StructField("media_type", T.StringType()),
     T.StructField("n_frames", T.IntegerType()),
     T.StructField("content_len", T.IntegerType()),
     T.StructField("payload_len", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
 ])
+
+_DECODED_COLS = [f.name for f in DECODED_SCHEMA.fields]
 
 
 def decode_media(df: DataFrame) -> DataFrame:
     """Parse every container header → typed metadata (Arrow-batched).
 
-    Input needs ``doc_id`` + ``content``; output is DECODED_SCHEMA.
-    Map-only: one Python pass per Arrow batch, no shuffle.
+    Input needs ``doc_id`` + ``content``; output is DECODED_SCHEMA
+    (width/height/sample_rate/... are format-dependent, null where the
+    container doesn't carry them). Map-only: one Python pass per Arrow
+    batch, no shuffle.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
                 buf = bytes(buf)
-                type_code, n_frames, frame_bytes = _parse_header(buf)
-                rows.append((
-                    int(doc_id), CODE_TYPES[type_code], n_frames,
-                    len(buf), len(buf) - 8,
-                ))
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+                meta = decode_one(buf)
+                meta.update(doc_id=int(doc_id), content_len=len(buf))
+                rows.append([meta[c] for c in _DECODED_COLS])
+            yield pd.DataFrame(rows, columns=_DECODED_COLS)
 
     return df.select("doc_id", "content").mapInPandas(run, DECODED_SCHEMA)
 
@@ -266,6 +374,8 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
             out: list[tuple[int, int, str]] = []
             for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
                 buf = bytes(buf)
+                if sniff_format(buf) != "fake":
+                    continue  # only the FAKE container carries raw frames
                 type_code, n_frames, frame_bytes = _parse_header(buf)
                 if type_code != TYPE_CODES["video"]:
                     continue

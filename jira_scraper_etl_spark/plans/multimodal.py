@@ -39,18 +39,26 @@ SQL_FRAME_BYTES = ("list_transform(generate_series(1, 16), "
     "mm_decode_meta",
     oracle=f"""
     SELECT doc_id,
+           CAST('fake' AS VARCHAR) AS format,
            {SQL_MEDIA_TYPE} AS media_type,
            CAST({SQL_NFRAMES} AS INTEGER) AS n_frames,
            CAST(8 + 16 * ({SQL_NFRAMES}) AS INTEGER) AS content_len,
-           CAST(16 * ({SQL_NFRAMES}) AS INTEGER) AS payload_len
+           CAST(16 * ({SQL_NFRAMES}) AS INTEGER) AS payload_len,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           CAST(NULL AS INTEGER) AS n_channels,
+           CAST(NULL AS INTEGER) AS bit_depth
     FROM documents
     """,
     tags=("multimodal",),
 )
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container decode: header parse of every binary media row →
-    media type, frame count, byte lengths. Spark side actually builds
-    the binary column and parses it back in ``mapInPandas`` (the oracle
+    format, media type, frame count, byte lengths, and format-dependent
+    dimensions (real PNG/WAV header parsing lives in
+    operators/multimodal.py — the synthetic table is all FAKE
+    containers, so the dimension columns are null here and the oracle
     models the header arithmetic). Map-only at any scale."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return MM.decode_media(MM.attach_media(d))
