@@ -86,6 +86,30 @@ def test_customer_is_not_force_broadcast(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_salted_join_sprays_hot_key(spark, sf_dir):
+    """join_skewed_events_by_type must show the salt machinery in its
+    physical plan: the small side's explode (replication across salts)
+    and a join keyed on (event_type, _salt) — plus row-identity with the
+    plain unsalted join."""
+    plan = executed_plan(spark, sf_dir, "join_skewed_events_by_type")
+    assert "explode" in plan.lower()
+    assert "_salt" in plan
+
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark.catalog import load_events
+    from jira_scraper_etl_spark.plans.registry import davg
+
+    out = plans.QUERIES["join_skewed_events_by_type"].fn(spark, sf_dir)
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(davg("value", "type_avg"))
+    plain = (ev.join(dim, "event_type")
+             .select("event_id", "event_type", "value", "type_avg",
+                     (F.col("value") - F.col("type_avg")).alias("value_dev")))
+    assert out.count() == plain.count()
+    assert out.exceptAll(plain).count() == 0
+
+
 def test_topk_avoids_global_sort(spark, sf_dir):
     plan = executed_plan(spark, sf_dir, "topk_expensive_orders")
     assert "TakeOrderedAndProject" in plan
