@@ -17,7 +17,9 @@ from jira_scraper_etl_spark.session import get_spark
 
 # Headline set: one per operator family — agg, join, window, event-time,
 # dedup-sketch, similarity, text analysis, iterative clustering,
-# top-k aggregation, and the custom-source scan path.
+# top-k aggregation, the custom-source scan path, the salted skew join,
+# and the composed curation flagship (the realistic customer workload:
+# quality filter → span dedup → hash split → corpus accounting).
 HEADLINE = [
     "q1_pricing_summary",
     "join_revenue_by_nation",
@@ -31,6 +33,8 @@ HEADLINE = [
     "jira_source_scan",
     "dedup_span_exact",
     "text_corpus_freq_score",
+    "join_skewed_events_by_type",
+    "curate_corpus_v2",
 ]
 
 

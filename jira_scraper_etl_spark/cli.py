@@ -99,8 +99,22 @@ def pipeline_main(argv: list[str] | None = None, spark=None) -> bool:
     if spark is None:
         from .session import get_spark
         spark = get_spark()
+    import time
+
+    t0 = time.perf_counter()
     report = run_pipeline(spark, cfg, extract=args.extract,
                           transform=args.transform)
+    total = time.perf_counter() - t0
+    # Per-phase wall-clock lines (reference main.py:139,162-166,188-190).
+    for phase in ("extract", "transform"):
+        secs = report.get(f"{phase}_seconds")
+        if secs is not None:
+            print(f"{phase} phase completed in {secs:.3f}s", file=sys.stderr)
+    if report.get("transform_skipped"):
+        print(f"transform phase skipped: {report['transform_skipped']}",
+              file=sys.stderr)
+    print(f"pipeline completed in {total:.3f}s "
+          f"(success={report['success']})", file=sys.stderr)
     print(json.dumps(report, indent=2))
     return bool(report["success"])
 

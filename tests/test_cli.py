@@ -25,11 +25,16 @@ def test_default_runs_both_phases(spark, tmp_path, capsys):
     cfgp = write_config(tmp_path)
     ok = cli.pipeline_main(["--config", cfgp], spark=spark)
     assert ok
-    report = json.loads(capsys.readouterr().out)
+    captured = capsys.readouterr()
+    report = json.loads(captured.out)
     for p in ("SPARK", "KAFKA"):
         assert report["projects"][p]["extracted"] == 60
         assert report["projects"][p]["transformed"] == 60
     assert (tmp_path / "data" / "silver" / "project=SPARK").exists()
+    # per-phase wall-clock log lines (reference main.py:139,162-166,188-190)
+    assert "extract phase completed in " in captured.err
+    assert "transform phase completed in " in captured.err
+    assert "pipeline completed in " in captured.err
 
 
 def test_single_project_and_phase_flags(spark, tmp_path, capsys):
