@@ -782,7 +782,9 @@ def _cc_union_find(spark: SparkSession, member_rows, edge_rows) -> DataFrame:
     for r in member_rows:
         parent[r.simhash] = r.simhash
     for e in edge_rows:
-        ra, rb = find(e.s), find(e.d)
+        # (fa, fb) undirected pairs: union-find needs each edge once,
+        # so the caller ships half the rows the symmetric edge set has
+        ra, rb = find(e.fa), find(e.fb)
         if ra != rb:
             parent[ra] = rb
     best: dict[int, int] = {}
@@ -946,7 +948,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str,
         # labels carry the component doc-count too, so the expand is a
         # single broadcast join — no doc-level re-aggregation
         labels = F.broadcast(
-            _cc_union_find(spark, member_rows, edges.collect()))
+            _cc_union_find(spark, member_rows, fp_pairs.collect()))
         return (fp.join(labels, fp.simhash == labels.id)
                 .select("doc_id", F.col("label").alias("cluster_id"),
                         F.col("cluster_size").cast("int")))
