@@ -94,6 +94,74 @@ def test_worker_stop_event(spark, tmp_path):
     assert status["message"] == "worker stopped"
 
 
+def test_streaming_silver_soak_crash_every_batch(spark, tmp_path):
+    """End-to-end streaming soak: drain a 3-page backlog where EVERY
+    micro-batch's first attempt dies between the sink write and the
+    offset commit (the worst at-least-once window), and every batch
+    boundary is a full query kill + checkpoint restart. Exactly-once
+    must still hold: each record lands in exactly one batch_id dir,
+    no duplicates, and the committed offsets advance page by page to
+    the end of the backlog."""
+    import glob
+    import os
+
+    from jira_scraper_etl_spark.streaming import pipeline as P
+
+    cfg = make_cfg(tmp_path, projects=["SPARK"], synthetic_total=150,
+                   max_results=50)
+    out_path = cfg.dir("silver_stream", "project=SPARK")
+    ckpt = cfg.dir("stream_checkpoints", "SPARK")
+    crashed: list[int] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        (P.transform_flat_issues(batch_df).write.mode("overwrite")
+         .parquet(os.path.join(out_path, f"batch_id={batch_id}")))
+        if batch_id not in crashed:
+            crashed.append(batch_id)
+            raise RuntimeError("injected crash before offset commit")
+
+    def sink_count() -> int:
+        try:
+            return spark.read.parquet(out_path).count()
+        except Exception:
+            return 0
+
+    prev, stable = sink_count(), 0
+    for _ in range(20):  # each run = one query start from the checkpoint
+        q = (P.stream_issues(spark, cfg, "SPARK").writeStream
+             .foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # the injected crash surfaces here; restart resumes
+        if q.isActive:
+            q.stop()
+        cur = sink_count()
+        stable = stable + 1 if cur == prev else 0
+        if stable >= 2:  # two clean no-growth rounds → fully drained
+            break
+        prev = cur
+
+    out = spark.read.parquet(out_path)
+    assert out.count() == 150
+    assert out.select("id").distinct().count() == 150
+    # each record in exactly one batch dir, and >=3 data batches crashed
+    # once and were replayed into the same directory
+    per_batch = {os.path.basename(d): None
+                 for d in glob.glob(os.path.join(out_path, "batch_id=*"))}
+    assert len(per_batch) >= 3
+    assert len(crashed) == len(set(crashed)) and len(crashed) >= 3
+    # committed offsets advanced to the end of the backlog
+    offset_files = sorted(
+        (f for f in glob.glob(os.path.join(ckpt, "offsets", "*"))
+         if os.path.basename(f).isdigit()),
+        key=lambda f: int(os.path.basename(f)))
+    last = open(offset_files[-1]).read().splitlines()[-1]
+    assert json.loads(last)["start_at"] == 150
+
+
 def test_streaming_silver_drain_and_resume(spark, tmp_path):
     cfg = make_cfg(tmp_path, projects=["SPARK"], synthetic_total=120,
                    max_results=50)
