@@ -25,8 +25,10 @@ from . import event_time  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # New this round: salted skew join + real-codec multimodal decode.
-    "join_skewed_events_by_type",
+    # New this round: salted skew join, real-codec multimodal decode,
+    # hash-prefiltered decontamination, composed multimodal flagship.
+    "join_skewed_events_by_type", "decontaminate_hashed",
+    "curate_multimodal_corpus",
     "mm_decode_meta", "mm_byte_stats", "mm_resize_plan", "mm_frame_sample",
     # Changed this round: events loader grew timestamp-unit detection;
     # join_revenue_by_nation lost its customer broadcast hint.
@@ -53,8 +55,8 @@ _PRIORITY = [
     "curate_pretrain_corpus", "curate_corpus_v2",
     "embedding_label_centroids",
     "jira_corpus_stats", "jira_source_scan",
-    # Driver-green-twice flagships re-pinned inside the window.
-    "q1_pricing_summary", "dedup_exact", "dedup_minhash_lsh",
+    # Driver-green-twice flagship re-pinned inside the window.
+    "q1_pricing_summary",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

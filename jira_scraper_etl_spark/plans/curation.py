@@ -211,6 +211,70 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_hashed",
+    oracle=f"""
+    WITH sh AS ({_doc_shingled()}),
+    eval_grams AS (
+        SELECT DISTINCT t FROM (SELECT unnest(sh) AS t FROM sh WHERE doc_id < 10)
+    ),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 10),
+    hits AS (
+        SELECT e.doc_id, COUNT(*) AS n_overlap
+        FROM (SELECT doc_id, unnest(sh) AS t FROM corpus) e
+        JOIN eval_grams g ON e.t = g.t
+        GROUP BY e.doc_id
+    )
+    SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / len(c.sh) AS contamination,
+           (CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / len(c.sh)) >= 0.5
+               AS is_contaminated
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+    tags=("curation", "decontamination"),
+)
+def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, hash-prefiltered — the Bloom-style
+    scale variant of decontaminate_ngram with IDENTICAL output (and the
+    same oracle): a two-stage membership test in pure columnar ops.
+
+    Stage 1 broadcasts only the xxhash64 SET of the eval n-grams (8
+    bytes/gram instead of the gram strings — at a 10⁸-gram benchmark
+    suite that is the difference between an ~1 GB and a multi-GB
+    broadcast) and semi-joins corpus gram hashes against it. Hash
+    collisions make this a superset of the true matches — exactly a
+    Bloom filter's false-positive contract. Stage 2 exact-verifies only
+    the surviving candidates against the true gram strings, so the
+    result is exact while the expensive string comparison touches
+    candidate rows only (benchmark-overlap rate ≪ 1% in practice).
+    Same two-stage candidate/verify shape as dedup_pairs_edit_distance.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = (d.where(F.col("text").isNotNull())
+          .select("doc_id", "text").repartition(par)
+          .select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh")))
+    eval_grams = (sh.where(F.col("doc_id") < 10)
+                  .select(F.explode("sh").alias("t")).distinct())
+    eval_hashes = eval_grams.select(F.xxhash64("t").alias("hh")).distinct()
+    corpus = sh.where(F.col("doc_id") >= 10)
+    grams = corpus.select("doc_id", F.explode("sh").alias("t"))
+    cand = grams.join(F.broadcast(eval_hashes),
+                      F.xxhash64(grams.t) == eval_hashes.hh, "left_semi")
+    hits = (cand.join(F.broadcast(eval_grams), "t", "left_semi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    out = (corpus.select("doc_id", F.size("sh").cast("bigint").alias("n_shingles"))
+           .join(hits, "doc_id", "left")
+           .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("bigint")))
+    contamination = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return out.select(
+        "doc_id", "n_shingles", "n_overlap",
+        contamination.alias("contamination"),
+        (contamination >= 0.5).alias("is_contaminated"),
+    )
+
+
+@register(
     "text_repetition_stats",
     oracle=f"""
     WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),

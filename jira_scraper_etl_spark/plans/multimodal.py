@@ -136,3 +136,60 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle) — the 100 TB path for frame extraction."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return MM.sample_frames(MM.attach_media(d), every=2)
+
+
+@register(
+    "curate_multimodal_corpus",
+    oracle=f"""
+    WITH nf AS (SELECT doc_id, {SQL_NFRAMES} AS nf FROM documents),
+    by AS (
+        SELECT doc_id,
+               flatten(list_transform({SQL_FRAME_DIGESTS},
+                       m -> {SQL_FRAME_BYTES})) AS bys
+        FROM nf
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(bys) AS BIGINT) AS n_bytes,
+               CAST(list_sum(bys) AS DOUBLE) / len(bys) AS mean_byte
+        FROM by
+    ),
+    kept AS (
+        SELECT d.doc_id, {SQL_MEDIA_TYPE} AS media_type, d.lang,
+               f.n_bytes
+        FROM documents d JOIN feat f USING (doc_id)
+        WHERE f.mean_byte BETWEEN 100 AND 160 AND d.n_chars >= 100
+    )
+    SELECT media_type, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_payload_bytes
+    FROM kept GROUP BY ROLLUP (media_type, lang)
+    """,
+    tags=("multimodal", "curation", "flagship"),
+)
+def curate_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal curation flagship: binary feature extraction
+    (Arrow-batched ``mapInPandas`` byte stats) joined with the text-side
+    metadata, quality-gated (payload mean-byte band — the stand-in for
+    a corruption/entropy check — and a minimum text length), then a
+    per-(media_type, lang) ROLLUP for corpus accounting.
+
+    Pipeline shape at scale: the feature pass is map-only over the
+    binary column; the metadata join is keyed on doc_id (co-partitioned
+    with the feature output — one shuffle); the rollup's partial
+    aggregates are all integers (map-side combined, exact). The binary
+    payload never crosses an exchange."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    feats = MM.media_features(MM.attach_media(d.select("doc_id")))
+    kept = (
+        d.join(feats, "doc_id")
+        .where(F.col("mean_byte").between(100, 160)
+               & (F.col("n_chars") >= 100))
+        .select(MM.media_type_col(F.col("doc_id")).alias("media_type"),
+                "lang", F.col("n_bytes").cast("bigint"))
+    )
+    return kept.rollup("media_type", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_payload_bytes"),
+    )
