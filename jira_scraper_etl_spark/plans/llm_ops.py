@@ -257,7 +257,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Sign-LSH banding for embedding dedup: 16 bands × 4 sign bits over the
 # 64 components. Band key = band*16 + 4-bit sign code (0..255).
+#
+# SCALE DIAL: bucket count per band is 2^bits and candidate volume per
+# band is Σ_buckets |bucket|² ≈ n²/2^bits for well-spread vectors, so
+# bits must grow ~log2(n) to hold per-bucket occupancy (and therefore
+# candidate volume per input row) constant. The (16, 4) default is
+# tuned for the sf0.01 oracle scale; the sf1 soak measured 30× runtime
+# for 10× rows at fixed bits (BASELINE.md). Callers at larger scale
+# should move along (bands, bits) = (16,4) → (8,8) → (4,16): fewer,
+# wider bands trade recall at the similarity threshold for bucket
+# selectivity — recall of a cos-θ pair per band is (1 - acos(θ)/π)^bits.
 EMB_BANDS, EMB_BAND_BITS = 16, 4
+
+
+def emb_band_keys(bands: int = EMB_BANDS, bits: int = EMB_BAND_BITS):
+    """Band-key array column over a quantized embedding column ``q``:
+    band b's key encodes the sign pattern of components
+    [b·bits+1 .. b·bits+bits] offset into its own key space. Requires
+    bands·bits ≤ dim (bands use disjoint component slices)."""
+    return F.array(*[
+        F.lit(b * (1 << bits))
+        + sum((F.when(F.element_at("q", bits * b + i + 1) > 0,
+                      F.lit(1 << (bits - 1 - i))).otherwise(0)
+               for i in range(bits)), F.lit(0))
+        for b in range(bands)
+    ])
 
 SQL_EMB_BANDS = f"""
     SELECT vec_id, UNNEST(list_transform(generate_series(0, {EMB_BANDS - 1}),
@@ -288,7 +312,9 @@ SQL_EMB_BANDS = f"""
     """,
     tags=("dedup", "embedding", "lsh"),
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
+                           bands: int = EMB_BANDS,
+                           bits: int = EMB_BAND_BITS) -> DataFrame:
     """Embedding near-dup: sign-LSH candidate generation, then pairs
     with quantized cosine ≥ 0.45 verified *within buckets only*.
 
@@ -300,20 +326,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     product anywhere: every shuffle is keyed and AQE-splittable.
     Measured recall vs the exact twin (dedup_embedding_cosine_exact):
     7/7 at sf0.001, 14/14 at sf0.01, 140/142 at sf0.1 — banding
-    width/count are the recall/cost dials. Fixed-point quantization
-    (floor(x·1000)) keeps the arithmetic bit-identical across engines.
+    width/count are the recall/cost dials, exposed as the
+    ``bands``/``bits`` kwargs (defaults pin the oracle's layout).
+    Measured on the sf1 soak (20k vectors): (16,4) = 306 s/16.4k pairs
+    (candidates ~n²/16 per band — GC-pressure territory), (8,8) = 9 s/
+    4.0k pairs keeping the high-similarity pairs; widen bits ~log2(n)
+    as the corpus grows (see EMB_BANDS comment). Fixed-point
+    quantization (floor(x·1000)) keeps the arithmetic bit-identical
+    across engines.
     """
     e = load_table(spark, sf_dir, "embeddings")
     base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
             .withColumn("n2", V.qnorm2(F.col("q"))))
-    band_keys = F.array(*[
-        F.lit(b * 16)
-        + sum((F.when(F.element_at("q", 4 * b + i + 1) > 0,
-                      F.lit(1 << (EMB_BAND_BITS - 1 - i))).otherwise(0)
-               for i in range(EMB_BAND_BITS)), F.lit(0))
-        for b in range(EMB_BANDS)
-    ])
-    slim = base.select("vec_id", F.explode(band_keys).alias("bk"))
+    slim = base.select("vec_id", F.explode(emb_band_keys(bands, bits)).alias("bk"))
     x, y = slim.alias("x"), slim.alias("y")
     cand = (
         x.join(y, (F.col("x.bk") == F.col("y.bk"))

@@ -51,6 +51,24 @@ def test_embedding_dedup_bucketed_subset_and_recall(spark, sf_dir):
     assert got == want and isinstance(want, set)
 
 
+def test_embedding_dedup_wide_bands_sound(spark, sf_dir):
+    """The (bands, bits) scale dial (fewer, wider bands for bigger
+    corpora — 34× faster at the sf1 soak) must stay SOUND: every pair
+    the wide-band variant returns is a true ≥-threshold pair (the
+    in-bucket verify guarantees precision; only recall moves with the
+    dial)."""
+    import pyspark.sql.functions as F
+
+    wide = plans.QUERIES["dedup_embedding_cosine"].fn(
+        spark, sf_dir, bands=8, bits=8)
+    exact = plans.QUERIES["dedup_embedding_cosine_exact"].fn(spark, sf_dir)
+    got = {(r.vec_a, r.vec_b) for r in wide.where(F.col("vec_a") < 300)
+           .where(F.col("vec_b") < 300).collect()}
+    want = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    assert got <= want
+    assert wide.count() >= 1  # still finds the engineered near-dups
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """similarity_ann_ivf is rows-only (seeded KMeans is Spark-internal),
     so pin its QUALITY instead: every reported neighbor must carry the
