@@ -1,0 +1,70 @@
+"""sf1 (10×-bench-scale) soak checks — run only when the scaled dataset
+exists (``python tools/make_sf.py 10 .scratch/sf1``).
+
+Two queries' DuckDB oracles are computationally impractical at sf1 —
+dedup_cluster_canonical's recursive-CTE transitive closure and
+dedup_embedding_cosine's interpreted list-lambda dot products over ~n²/16
+candidate pairs (both harness-side walls, measured >30 min / >35 GB RSS;
+see BASELINE.md). Both stay oracle-green at sf0.01/sf0.1. Here their sf1
+correctness is pinned by distributed invariants instead, which hold at
+ANY scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from jira_scraper_etl_spark import plans
+
+SF1 = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch", "sf1")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF1), reason="sf1 scaled dataset not generated")
+
+
+def test_cluster_canonical_invariants_sf1(spark):
+    """Connected-components output at sf1: (1) every doc labeled exactly
+    once; (2) cluster_id is the component's min doc_id; (3) cluster_size
+    is self-consistent; (4) every banded near-dup doc pair lands in the
+    same cluster (edge consistency — the defining CC property)."""
+    out = plans.QUERIES["dedup_cluster_canonical"].fn(spark, SF1).cache()
+    n_docs = spark.read.parquet(f"{SF1}/documents.parquet").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("min_doc"),
+        F.count(F.lit(1)).alias("n"),
+        F.first("cluster_size").alias("sz"),
+        F.count_distinct("cluster_size").alias("sz_variants"))
+    bad = per_cluster.where(
+        (F.col("min_doc") != F.col("cluster_id"))
+        | (F.col("n") != F.col("sz")) | (F.col("sz_variants") != 1))
+    assert bad.count() == 0
+
+    from jira_scraper_etl_spark.operators import dedup as D
+    pairs = D.simhash_near_dup_pairs(
+        spark.read.parquet(f"{SF1}/documents.parquet").select("doc_id", "text"))
+    labels = out.select("doc_id", "cluster_id")
+    joined = (pairs
+              .join(labels.withColumnsRenamed(
+                  {"doc_id": "doc_a", "cluster_id": "ca"}), "doc_a")
+              .join(labels.withColumnsRenamed(
+                  {"doc_id": "doc_b", "cluster_id": "cb"}), "doc_b"))
+    assert joined.where(F.col("ca") != F.col("cb")).count() == 0
+    out.unpersist()
+
+
+def test_embedding_cosine_sound_and_scaled_sf1(spark):
+    """Wide-band (8,8) embedding dedup at sf1: every returned pair's
+    cosine clears the threshold (soundness is dial-independent), and the
+    engineered copy-0 near-dup pairs survive the wider bands."""
+    out = plans.QUERIES["dedup_embedding_cosine"].fn(
+        spark, SF1, bands=8, bits=8).cache()
+    assert out.where(F.col("cos_sim") < 0.45).count() == 0
+    # copy 0 (vec_id < 2000) carries the original engineered near-dups
+    assert out.where((F.col("vec_a") < 2000) & (F.col("vec_b") < 2000)).count() > 0
+    out.unpersist()
