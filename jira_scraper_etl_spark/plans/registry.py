@@ -72,7 +72,13 @@ def dsum(col: Column | str, alias: str) -> Column:
 
 
 def o_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE) AS {alias}"
+    # DECIMAL→VARCHAR→DOUBLE, not DECIMAL→DOUBLE: DuckDB's direct cast
+    # computes unscaled·10⁻ˢᶜᵃˡᵉ in float arithmetic, which is off by an
+    # ulp once the unscaled value exceeds 2^53 (seen at the sf1 soak);
+    # string conversion is correctly rounded and matches Spark's
+    # BigDecimal.doubleValue exactly at any magnitude.
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS VARCHAR)"
+            f" AS DOUBLE) AS {alias}")
 
 
 def davg(col: Column | str, alias: str) -> Column:
@@ -82,13 +88,35 @@ def davg(col: Column | str, alias: str) -> Column:
 
 
 def o_davg(expr: str, alias: str) -> str:
-    return (f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE)"
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)"
             f" / COUNT({expr}) AS {alias}")
 
 
 def money(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(MONEY)
+
+
+RATE = "decimal(3,2)"  # discount/tax factors in [0, 1): 2-decimal rates
+
+
+def one_minus_rate(col: Column | str) -> Column:
+    """Exact ``(1 - rate)`` as DECIMAL(4,2). Typing matters: a bare
+    ``F.lit(1)`` infers DECIMAL(10,0) and inflates every downstream
+    product's precision — ``price*(1-disc)*(1+tax)`` then exceeds
+    precision 38 and Spark silently ROUNDS each row's product to a
+    reduced scale. The drift is invisible at small row counts but
+    crosses a double ulp vs the oracle's exact arithmetic at the sf1
+    soak's magnitudes. Bounding the rate to DECIMAL(3,2) keeps the
+    whole product chain exact: (12,2)·(4,2)·(4,2) → (22,6) ≤ 38."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lit(1).cast(RATE) - c.cast(RATE)
+
+
+def one_plus_rate(col: Column | str) -> Column:
+    """Exact ``(1 + rate)`` as DECIMAL(4,2) — see one_minus_rate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lit(1).cast(RATE) + c.cast(RATE)
 
 
 def lsum(col: Column | str, alias: str) -> Column:

@@ -20,7 +20,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_events, load_table
-from .registry import register, money, dsum, o_dsum, davg, o_davg, lsum, o_lsum
+from .registry import (register, money, dsum, o_dsum, davg, o_davg,
+                       lsum, o_lsum, one_minus_rate, one_plus_rate)
 
 
 # ---------------------------------------------------------------------------
@@ -40,13 +41,18 @@ from .registry import register, money, dsum, o_dsum, davg, o_davg, lsum, o_lsum
     """.format(
         sum_qty=o_dsum("l_quantity", "sum_qty"),
         sum_base_price=o_dsum("l_extendedprice", "sum_base_price"),
+        # rate factors bounded to DECIMAL(3,2) on BOTH sides so the
+        # product chain stays exact (see registry.one_minus_rate)
+        # VARCHAR-mediated double cast: see registry.o_dsum
         sum_disc_price=(
-            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
-            " * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price"),
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))"
+            " AS VARCHAR) AS DOUBLE) AS sum_disc_price"),
         sum_charge=(
-            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
-            " * (1 - CAST(l_discount AS DECIMAL(12,2)))"
-            " * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge"),
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+            " * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))"
+            " AS VARCHAR) AS DOUBLE) AS sum_charge"),
         avg_qty=o_davg("l_quantity", "avg_qty"),
         avg_price=o_davg("l_extendedprice", "avg_price"),
         avg_disc=o_davg("l_discount", "avg_disc"),
@@ -61,8 +67,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-identical across engines and partitionings).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
-    charge = disc_price * (F.lit(1) + money("l_tax"))
+    disc_price = money("l_extendedprice") * one_minus_rate("l_discount")
+    charge = disc_price * one_plus_rate("l_tax")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
