@@ -35,6 +35,8 @@ HEADLINE = [
     "text_corpus_freq_score",
     "join_skewed_events_by_type",
     "curate_corpus_v2",
+    "mm_byte_stats",
+    "decontaminate_hashed",
 ]
 
 
