@@ -28,7 +28,7 @@ _PRIORITY = [
     # New this round: salted skew join, real-codec multimodal decode,
     # hash-prefiltered decontamination, composed multimodal flagship.
     "join_skewed_events_by_type", "decontaminate_hashed",
-    "curate_multimodal_corpus",
+    "curate_multimodal_corpus", "decontaminate_embedding",
     "mm_decode_meta", "mm_byte_stats", "mm_resize_plan", "mm_frame_sample",
     # Changed this round: events loader grew timestamp-unit detection;
     # join_revenue_by_nation lost its customer broadcast hint.
@@ -36,7 +36,6 @@ _PRIORITY = [
     "events_tumbling_1h", "events_sliding_1h_30m", "events_session_30m",
     "events_session_concurrency", "events_hourly_gapfill",
     "events_latest_state_per_user", "events_funnel_1h",
-    "events_pivot_type_counts", "events_transition_matrix",
     "events_cohort_retention", "events_trailing_1h_sum",
     "join_asof_last_event_before_order", "filter_project_shipped_window",
     # Oracle-backed LLM-pipeline entries the round-2 driver file never

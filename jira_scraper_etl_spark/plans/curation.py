@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..functions import hashing as H
-from .llm_ops import SQL_TOKS, _HITS, _doc_shingled
+from ..functions import vectors as V
+from .llm_ops import SQL_QDOT_AB, SQL_QUANT, SQL_TOKS, _HITS, _doc_shingled
 from .registry import register
 
 # Split-bucket arithmetic shared by split/sample: first 4 md5 hex chars
@@ -272,6 +273,59 @@ def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination.alias("contamination"),
         (contamination >= 0.5).alias("is_contaminated"),
     )
+
+
+@register(
+    "decontaminate_embedding",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q)
+    SELECT a.vec_id,
+           MAX(CAST({SQL_QDOT_AB} AS DOUBLE)
+               / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))))
+             AS max_cos_eval,
+           MAX(CAST({SQL_QDOT_AB} AS DOUBLE)
+               / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))))
+             >= 0.8 AS is_contaminated
+    FROM n a, n b
+    WHERE a.vec_id >= 20 AND b.vec_id < 20
+    GROUP BY a.vec_id
+    """,
+    tags=("curation", "decontamination", "embedding"),
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors (vec_id ≥ 20) whose
+    max cosine against ANY held-out eval vector (vec_id < 20) reaches
+    0.8 — catching paraphrased benchmark leakage that n-gram overlap
+    (decontaminate_ngram) can't see.
+
+    The ZERO-shuffle decontamination shape: the eval set is aggregated
+    into a single array-of-structs row (benchmarks are ~10⁴ vectors —
+    a few MB) and broadcast; each corpus row folds over it for the max
+    cosine, so the whole operator is scan → map → done. No exchange
+    touches the corpus at any scale; the corpus-side groupBy the naive
+    cross-join formulation needs simply does not exist here.
+    Fixed-point quantization keeps the scores bit-identical to the
+    oracle's exact integer arithmetic.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+            .withColumn("n2", V.qnorm2(F.col("q"))))
+    evals = (base.where(F.col("vec_id") < 20)
+             .agg(F.collect_list(F.struct("q", "n2")).alias("evs")))
+    corpus = base.where(F.col("vec_id") >= 20)
+    max_cos = F.aggregate(
+        F.col("evs"),
+        F.lit(-2.0),
+        lambda acc, ev: F.greatest(
+            acc,
+            V.qdot(F.col("q"), ev.q).cast("double")
+            / (F.sqrt(F.col("n2").cast("double"))
+               * F.sqrt(ev.n2.cast("double")))),
+    )
+    return (corpus.crossJoin(F.broadcast(evals))
+            .select("vec_id", max_cos.alias("max_cos_eval"))
+            .withColumn("is_contaminated", F.col("max_cos_eval") >= 0.8))
 
 
 @register(

@@ -110,6 +110,19 @@ def test_salted_join_sprays_hot_key(spark, sf_dir):
     assert out.exceptAll(plain).count() == 0
 
 
+def test_embedding_decontamination_never_shuffles_corpus(spark, sf_dir):
+    """decontaminate_embedding's only exchanges are on the TINY eval
+    side (a SinglePartition agg of <20 rows plus its broadcast) — the
+    corpus path is scan → map → done, the property that makes it viable
+    at 100 TB."""
+    plan = executed_plan(spark, sf_dir, "decontaminate_embedding")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row eval array
+    # the single shuffle is the eval-side global agg, nothing else
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
 def test_topk_avoids_global_sort(spark, sf_dir):
     plan = executed_plan(spark, sf_dir, "topk_expensive_orders")
     assert "TakeOrderedAndProject" in plan
