@@ -34,7 +34,7 @@ _PRIORITY = [
     # join_revenue_by_nation lost its customer broadcast hint.
     "join_revenue_by_nation",
     "events_tumbling_1h", "events_sliding_1h_30m", "events_session_30m",
-    "events_session_concurrency", "events_hourly_gapfill",
+    "events_session_concurrency", "events_attribution_1h",
     "events_latest_state_per_user", "events_funnel_1h",
     "events_cohort_retention", "events_trailing_1h_sum",
     "join_asof_last_event_before_order", "filter_project_shipped_window",

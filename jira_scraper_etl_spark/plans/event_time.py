@@ -444,3 +444,45 @@ def events_trailing_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.sum(qv).over(w).alias("trailing_qsum"),
     )
+
+
+@register(
+    "events_attribution_1h",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h,
+           MAX(c.ts) AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+    tags=("events", "join", "stream-stream"),
+)
+def events_attribution_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: for every purchase, the number of
+    the same user's clicks in the preceding hour and the latest such
+    click — the canonical last-touch attribution join.
+
+    Batch twin of the watermarked STREAM-STREAM interval join
+    (streaming/events.py::attribution_1h, differential-tested): an
+    equi-join on user_id with a time-interval predicate. The shuffle
+    keys on user_id (both sides co-partitioned, range predicate applied
+    inside the join), so at 100 TB this is one keyed exchange per side
+    — never a cartesian; AQE splits hot users. The left join keeps
+    zero-click purchases (organic conversions)."""
+    e = load_events(spark, sf_dir)
+    p = (e.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.col("ts").alias("p_ts")))
+    c = (e.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                 F.col("event_id").alias("c_id")))
+    joined = p.join(
+        c, (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")), "left")
+    return (joined.groupBy("purchase_id", "user_id")
+            .agg(F.count("c_id").alias("n_clicks_1h"),
+                 F.max("c_ts").alias("last_click_ts")))

@@ -169,6 +169,38 @@ def dedup_within_watermark(events: DataFrame, key: str = "event_id",
             .dropDuplicatesWithinWatermark([key]))
 
 
+def attribution_1h(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """STREAM-STREAM interval join: click→purchase last-touch
+    attribution, the streaming twin of the batch
+    events_attribution_1h plan (inner-join form — zero-click purchases
+    need the batch path or an outer stream join, which Spark only emits
+    after the watermark fully closes).
+
+    Both sides are watermarked so the state store can discard clicks
+    older than (watermark + 1h) and purchases older than the watermark
+    — bounded state, the property that lets this run forever. The join
+    keys on user_id with the interval predicate evaluated inside, so
+    scale behavior matches the batch twin: one keyed exchange per side.
+    """
+    ts = F.col("ts").cast("timestamp")
+    clicks = (events.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("c_id"), ts.alias("c_ts"))
+              .withWatermark("c_ts", watermark))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"), "user_id",
+                         ts.alias("p_ts"))
+                 .withWatermark("p_ts", watermark))
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "user_id",
+             F.col("c_id").alias("click_id"),
+             F.col("c_ts").cast("timestamp_ntz").alias("click_ts"))
+
+
 def drain_query(writer_start, timeout_seconds: float = 120.0):
     """Start a streaming query and block until AvailableNow finishes."""
     q = writer_start()

@@ -136,3 +136,33 @@ def test_stateful_user_stats_converges_to_batch(spark, sf_dir, events_dir, tmp_p
     want = {r.user_id: (r.n, r.m.event_id, r.m.event_type, r.m.us)
             for r in batch.collect()}
     assert final == want
+
+
+def test_stream_stream_attribution_join(spark, sf_dir, events_dir, tmp_path):
+    """The watermarked stream-stream interval join, drained over the
+    3-file backlog, must produce exactly the batch (purchase, click)
+    pair set: same user, click strictly inside the preceding hour."""
+    stream = SE.stream_events(spark, events_dir, glob="*.parquet",
+                              max_files_per_trigger=1)
+    joined = SE.attribution_1h(stream)
+    SE.drain_query(lambda: (
+        joined.writeStream.format("memory").queryName("attr_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()))
+    got = {(r.purchase_id, r.click_id)
+           for r in spark.table("attr_sink").collect()}
+
+    e = load_events(spark, sf_dir)
+    p = (e.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 "user_id", F.col("ts").alias("p_ts")))
+    c = (e.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("c_ts")))
+    want = {(r.purchase_id, r.click_id) for r in p.join(
+        c, (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts"))).collect()}
+    assert got == want and want
