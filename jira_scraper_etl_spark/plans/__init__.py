@@ -35,7 +35,7 @@ _PRIORITY = [
     "join_revenue_by_nation",
     "events_tumbling_1h", "events_sliding_1h_30m", "events_session_30m",
     "events_session_concurrency", "events_attribution_1h",
-    "events_latest_state_per_user", "events_funnel_1h",
+    "events_latest_state_per_user",
     "events_cohort_retention", "events_trailing_1h_sum",
     "join_asof_last_event_before_order", "filter_project_shipped_window",
     # Oracle-backed LLM-pipeline entries the round-2 driver file never
@@ -47,7 +47,8 @@ _PRIORITY = [
     "similarity_topk_bruteforce", "similarity_ann_signlsh",
     "text_language_id", "text_quality_score", "text_token_stats",
     "text_fingerprint", "text_vocab_topk", "text_repetition_stats",
-    "text_corpus_freq_score", "text_bigram_assoc", "text_pii_redact",
+    "text_corpus_freq_score", "text_bigram_assoc", "text_char_pair_stats",
+    "text_pii_redact",
     "text_length_percentiles",
     "split_train_test", "sample_stratified", "pack_sequences",
     "decontaminate_ngram", "sample_mixture_weights",

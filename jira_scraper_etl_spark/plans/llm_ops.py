@@ -783,6 +783,49 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n"), F.asc("token")).limit(100))
 
 
+@register(
+    "text_char_pair_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT t FROM (SELECT {SQL_TOKS} AS toks FROM documents),
+        LATERAL unnest(toks) AS u(t)
+    ),
+    pairs AS (
+        SELECT substring(t, i, 2) AS pair
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 50
+    """,
+    tags=("textstats", "topk", "tokenizer"),
+)
+def text_char_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics: corpus-wide frequencies of
+    adjacent character pairs inside tokens, top-50 (ties broken by
+    pair, total order). This is exactly the pair-count step of one BPE
+    training iteration — the vocabulary-building primitive next to
+    text_vocab_topk (whole tokens) and text_bigram_assoc (token pairs).
+
+    Shape: tokenize (fanned off the scan) → per-token pair explode →
+    hash aggregate with map-side combine (shuffle carries one row per
+    distinct pair per partition — the pair alphabet is tiny) →
+    TakeOrderedAndProject. No global sort, no shuffle of raw text."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (d.select("text").repartition(par)
+            .select(F.explode(H.word_tokens(F.col("text"))).alias("t"))
+            .where(F.length("t") >= 2))
+    # substring with a non-literal start position needs the SQL form
+    pairs = toks.select(F.explode(F.expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"
+    )).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(50))
+
+
 def _cc_union_find(spark: SparkSession, member_rows, edge_rows) -> DataFrame:
     """Connected components of a BOUNDED graph on the driver:
     path-compressing union-find over the collected node/edge lists.
