@@ -3,6 +3,7 @@
 from .registry import QUERIES, Query, queries, oracle_sql  # noqa: F401
 
 # Importing the plan modules populates the registry.
+from . import vector_ops  # noqa: F401,E402
 from . import skew_ops  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
 from . import corpus_ops  # noqa: F401,E402
@@ -25,6 +26,10 @@ from . import event_time  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
+    # Newest (no external signal yet): int8 vector compression,
+    # dataset-card accounting, asymmetric containment dedup.
+    "embedding_quantize_int8", "similarity_topk_sq8",
+    "curate_dataset_card", "dedup_containment",
     # New this round: salted skew join, real-codec multimodal decode,
     # hash-prefiltered decontamination, composed multimodal flagship.
     "join_skewed_events_by_type", "decontaminate_hashed",
@@ -54,8 +59,10 @@ _PRIORITY = [
     "decontaminate_ngram", "sample_mixture_weights",
     "curate_pretrain_corpus", "curate_corpus_v2",
     "embedding_label_centroids",
+    # These three now sit past the 50-entry window (the round-3 additions
+    # took their slots): jira_corpus_stats is rows-only (weakest signal)
+    # and the other two were driver-green in earlier rounds.
     "jira_corpus_stats", "jira_source_scan",
-    # Driver-green-twice flagship re-pinned inside the window.
     "q1_pricing_summary",
 ]
 

@@ -40,7 +40,7 @@ from ..catalog import load_table
 from ..functions import hashing as H
 from ..functions import vectors as V
 from .curation import SQL_DOC_BUCKET
-from .llm_ops import SQL_QUANT, SQL_SIMHASH, SQL_TOKHASH, SQL_TOKS
+from .llm_ops import SQL_QUANT, SQL_SIMHASH, SQL_TOKHASH, SQL_TOKS, _doc_shingled
 from .registry import register
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -595,3 +595,48 @@ def dedup_pairs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.lit(1.0) - lev.cast("double")
                      / F.greatest(F.length("text_a"), F.length("text_b"),
                                   F.lit(1))).alias("sim")))
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH shingled AS ({_doc_shingled("WHERE doc_id < 200")})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_common,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+             AS containment
+    FROM shingled a JOIN shingled b ON a.doc_id <> b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.5
+    """,
+    tags=("dedup", "verify"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A|: finds documents
+    *contained in* other documents (quote-and-extend pages, boilerplate
+    wrappers) that symmetric Jaccard misses when the container is much
+    longer than the contained doc.
+
+    Ground-truth twin on a bounded slice (doc_id < 200), the
+    dedup_ngram_jaccard pattern: deliberately quadratic so it is gated;
+    at 100 TB this comparison only ever runs inside MinHash-LSH buckets
+    (dedup_minhash_lsh generates the candidates — containment is the
+    verify stage for asymmetric dups, where the banded signature of the
+    short doc still collides with its container on some band). Both
+    sides emit each direction separately: (A⊂B) and (B⊂A) are
+    different facts. Integer intersection + one double division —
+    bit-identical cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    docs = (d.select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
+            .where(F.size("sh") > 0))
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    containment = inter.cast("double") / F.size(F.col("a.sh"))
+    return (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                inter.cast("int").alias("n_common"),
+                containment.alias("containment"))
+        .where(F.col("containment") >= 0.5)
+    )

@@ -594,3 +594,66 @@ def text_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
         F.element_at("p", 2).alias("p90"),
         F.element_at("p", 3).alias("p99"),
     )
+
+
+_SQL_CONTENT_HASH = ("md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), "
+                     "'[^a-z0-9]+', ' ', 'g'), ' {2,}', ' ', 'g')))")
+
+
+@register(
+    "curate_dataset_card",
+    oracle=f"""
+    WITH h AS (
+        SELECT source, lang, n_chars,
+               len({SQL_TOKS}) AS n_tokens,
+               {_SQL_CONTENT_HASH} AS ch
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_chars) AS INTEGER) AS min_chars,
+           CAST(MAX(n_chars) AS INTEGER) AS max_chars,
+           CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_unique,
+           CAST(COUNT(DISTINCT ch) AS DOUBLE) / COUNT(*) AS uniq_ratio
+    FROM h
+    GROUP BY source, lang
+    """,
+    tags=("curation", "stats"),
+)
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card accounting per (source, lang): doc/char/token
+    volumes, char-length extremes, and the exact-duplicate rate via
+    distinct content hashes — the summary table every released
+    pretraining dataset ships (C4/RefinedWeb/Dolma dataset cards).
+
+    Scale shape: one groupBy on a low-cardinality composite key. The
+    volume aggregates partial-combine map-side, so the only real
+    shuffle weight is COUNT(DISTINCT ch) — Spark expands that to a
+    two-phase aggregate keyed on (source, lang, ch), i.e. the shuffle
+    is spread across the full hash space, not funneled into
+    |sources×langs| reducers; no skew funnel at 100 TB. The ratio is a
+    single int/int double division — bit-identical cross-engine.
+    """
+    from ..functions import textstats as TS
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "source", "lang", "n_chars",
+        F.size(H.word_tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(TS.normalize_for_fingerprint(F.col("text"))).alias("ch"),
+    )
+    agg = h.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_chars").cast("int").alias("min_chars"),
+        F.max("n_chars").cast("int").alias("max_chars"),
+        F.count_distinct(F.col("ch")).alias("n_unique"),
+    )
+    return agg.select(
+        "source", "lang", "n_docs", "total_chars", "total_tokens",
+        "min_chars", "max_chars", "n_unique",
+        (F.col("n_unique").cast("double") / F.col("n_docs")).alias("uniq_ratio"),
+    )

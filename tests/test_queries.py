@@ -100,3 +100,62 @@ def test_entry_contract(spark):
     os = entrymod.oracle_sql()
     assert set(os) <= set(qs)
     assert len(qs) == len(plans.QUERIES)
+
+
+def test_quantize_int8_codes_bounded_and_calibrated(spark, sf_dir):
+    """int8 codes land in [0, 255], keep the input dimensionality, and
+    per-dimension extremes actually reach the code range ends (the
+    corpus min maps to 0 and the corpus max to >= 254 — floor can shave
+    the top code by one ulp-rounding step, never more)."""
+    import pyspark.sql.functions as F
+
+    df = plans.QUERIES["embedding_quantize_int8"].fn(spark, sf_dir)
+    row = df.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min("n_dims").alias("d_lo"),
+        F.max("n_dims").alias("d_hi"),
+    ).collect()[0]
+    assert row.lo == 0 and 254 <= row.hi <= 255
+    assert row.d_lo == row.d_hi == 64
+
+
+def test_containment_is_asymmetric_and_bounded(spark, sf_dir):
+    """Containment is directional: C(A,B) uses |A|'s shingle count, so
+    a short doc inside a long one scores high A->B and low B->A; all
+    values fall in (0, 1]."""
+    rows = plans.QUERIES["dedup_containment"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 < r.containment <= 1.0 and r.n_common >= 1
+        assert r.doc_a != r.doc_b
+
+
+def test_dataset_card_accounts_for_every_doc(spark, sf_dir):
+    """Card rows partition the corpus: group doc counts sum to the
+    table count and the unique-hash count never exceeds the doc count."""
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark.catalog import load_table
+
+    card = plans.QUERIES["curate_dataset_card"].fn(spark, sf_dir)
+    total = card.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "documents").count()
+    assert card.where(F.col("n_unique") > F.col("n_docs")).count() == 0
+    assert card.where((F.col("uniq_ratio") <= 0) | (F.col("uniq_ratio") > 1)).count() == 0
+
+
+def test_sq8_topk_recall_vs_float_ranking(spark, sf_dir):
+    """Code-space (int8) top-10 must substantially agree with the exact
+    float-space ranking: mean recall@10 >= 0.8 at test SF (SQ8's ~0.4%
+    per-component quantization error only reorders near-ties)."""
+    sq8 = plans.QUERIES["similarity_topk_sq8"].fn(spark, sf_dir).collect()
+    exact = plans.QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir).collect()
+    got: dict[int, set[int]] = {}
+    want: dict[int, set[int]] = {}
+    for r in sq8:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in exact:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(want)
+    recall = sum(len(got[q] & want[q]) / len(want[q]) for q in want) / len(want)
+    assert recall >= 0.8, recall
