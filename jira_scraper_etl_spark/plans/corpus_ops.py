@@ -640,3 +640,81 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 containment.alias("containment"))
         .where(F.col("containment") >= 0.5)
     )
+
+
+# Fixed scoring alphabet: the 26 letters + 10 digits + space. A FIXED
+# list (not per-doc distinct chars) keeps the plan map-only — counts
+# come from length arithmetic, no explode, no shuffle — and makes the
+# summation order a fixed expression tree, so no float-order issues.
+SCORE_ALPHABET = [chr(c) for c in range(ord("a"), ord("z") + 1)] + \
+    [str(d) for d in range(10)] + [" "]
+
+_SQL_ALPHA = "[" + ", ".join(f"'{c}'" for c in SCORE_ALPHABET) + "]"
+
+
+@register(
+    "text_char_diversity",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id,
+               list_transform({_SQL_ALPHA}, ch ->
+                 CAST(len(lower(text)) - len(replace(lower(text), ch, ''))
+                      AS BIGINT)) AS cnt
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_sum(cnt) AS n_alpha,
+               list_sum(list_transform(cnt, v -> v * v)) AS sum_sq,
+               len(list_filter(cnt, v -> v > 0)) AS n_distinct,
+               list_max(cnt) AS max_cnt
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(n_alpha AS BIGINT) AS n_alpha,
+           CAST(n_distinct AS INTEGER) AS n_distinct,
+           CASE WHEN n_alpha > 0
+                THEN CAST(max_cnt AS DOUBLE) / n_alpha ELSE 0.0 END AS max_frac,
+           CASE WHEN n_alpha > 0
+                THEN 1.0 - CAST(sum_sq AS DOUBLE) / (CAST(n_alpha AS DOUBLE) * n_alpha)
+                ELSE 0.0 END AS simpson
+    FROM s
+    """,
+    tags=("textstats", "quality"),
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity gibberish signal: Simpson diversity
+    1 − Σ(n_c/N)² plus top-character fraction over a fixed 37-symbol
+    alphabet. Low diversity / high max_frac flags OCR noise, key-mash,
+    and padding docs — the character-level complement to the token
+    entropy proxies (text_repetition_stats, text_corpus_freq_score).
+
+    Simpson instead of Shannon entropy is deliberate: ln() is not
+    correctly-rounded in IEEE-754 (Java's Math.log and libm may differ
+    in the last ulp, breaking cross-engine hash parity), while Simpson
+    needs only exact integer counts and two divisions. Per-symbol
+    counts come from length arithmetic over the fixed alphabet —
+    map-only, zero shuffle, whole-stage codegen at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = F.lower(F.col("text"))
+    cnt = F.array(*[
+        (F.length(s) - F.length(F.replace(s, F.lit(c), F.lit("")))).cast("long")
+        for c in SCORE_ALPHABET
+    ])
+    stats = d.select(
+        "doc_id",
+        F.aggregate(cnt, F.lit(0).cast("long"), lambda a, v: a + v).alias("n_alpha"),
+        F.aggregate(cnt, F.lit(0).cast("long"), lambda a, v: a + v * v).alias("sum_sq"),
+        F.size(F.filter(cnt, lambda v: v > 0)).alias("n_distinct"),
+        F.array_max(cnt).alias("max_cnt"),
+    )
+    nz = F.col("n_alpha") > 0
+    return stats.select(
+        "doc_id", "n_alpha", "n_distinct",
+        F.when(nz, F.col("max_cnt").cast("double") / F.col("n_alpha"))
+         .otherwise(0.0).alias("max_frac"),
+        F.when(nz, F.lit(1.0) - F.col("sum_sq").cast("double")
+               / (F.col("n_alpha").cast("double") * F.col("n_alpha")))
+         .otherwise(0.0).alias("simpson"),
+    )

@@ -159,3 +159,20 @@ def test_sq8_topk_recall_vs_float_ranking(spark, sf_dir):
     assert set(got) == set(want)
     recall = sum(len(got[q] & want[q]) / len(want[q]) for q in want) / len(want)
     assert recall >= 0.8, recall
+
+
+def test_char_diversity_invariants(spark, sf_dir):
+    """Simpson diversity lives in [0, 1); max_frac in (0, 1]; distinct
+    symbol count never exceeds the fixed 37-symbol alphabet; and a
+    single-character doc scores diversity 0 by construction."""
+    import pyspark.sql.functions as F
+
+    df = plans.QUERIES["text_char_diversity"].fn(spark, sf_dir)
+    bad = df.where(
+        (F.col("simpson") < 0) | (F.col("simpson") >= 1)
+        | (F.col("n_distinct") > 37)
+        | ((F.col("n_alpha") > 0) & ((F.col("max_frac") <= 0) | (F.col("max_frac") > 1)))
+    )
+    assert bad.count() == 0
+    one = df.where((F.col("n_distinct") == 1) & (F.col("n_alpha") > 0))
+    assert one.where(F.col("simpson") != 0.0).count() == 0
