@@ -8,12 +8,14 @@ canonical media operators — decode, feature-extract, resize, frame-sample
 — as Arrow-batched ``mapInPandas`` passes.
 
 Real-format coverage: **PNG** (signature + chunk walk with CRC verify,
-IHDR dims/bit-depth/channels, IDAT payload size) and **WAV** (RIFF/WAVE
-chunk walk, fmt rate/channels/bits, data size → sample-frame count) are
-decoded for real with stdlib ``struct``/``zlib`` — no codec library
-needed for header-level metadata. Pixel/sample *payload* decoding
-(JPEG entropy decode, MP4 demux) genuinely needs codec libraries absent
-from this container and stays a clearly-marked ``NotImplementedError``
+IHDR dims/bit-depth/channels, IDAT payload size), **WAV** (RIFF/WAVE
+chunk walk, fmt rate/channels/bits, data size → sample-frame count),
+and **JPEG** (marker-segment walk to the SOF frame header for
+precision/dims/components, SOS→EOI payload size) are decoded for real
+with stdlib ``struct``/``zlib`` — no codec library needed for
+header-level metadata. Pixel/sample *payload* decoding (JPEG entropy
+decode, MP4/AVI demux) genuinely needs codec libraries absent from
+this container and stays a clearly-marked ``NotImplementedError``
 stub. Everything Spark-side is real and tested: the binary schema,
 the container headers, Arrow batch shapes, partitioning behavior, and
 the row-multiplying frame-sample pass.
@@ -115,6 +117,47 @@ def decode_png(buf: bytes) -> dict:
         "payload_len": idat, "width": width, "height": height,
         "sample_rate": None, "n_channels": _PNG_CHANNELS.get(color_type),
         "bit_depth": bit_depth,
+    }
+
+
+# SOF frame-header markers (ITU T.81 §B.2.2): C0-CF minus DHT (C4),
+# JPG-extension (C8), and DAC (CC).
+_JPEG_SOF_MARKERS = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def decode_jpeg(buf: bytes) -> dict:
+    """Real JPEG header decode (stdlib only): marker-segment walk to the
+    SOF frame header for precision / height / width / component count;
+    payload_len = entropy-coded bytes between SOS and EOI. Only pixel
+    *decoding* (the entropy-coded scan itself) needs a codec library —
+    the header metadata is fully parseable without one."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, dims, sos = 2, None, None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = buf[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", buf[pos + 2:pos + 4])
+        seg = buf[pos + 4:pos + 2 + length]
+        if marker in _JPEG_SOF_MARKERS and len(seg) >= 6:
+            precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            dims = (width, height, ncomp, precision)
+        if marker == 0xDA:  # SOS — entropy-coded data follows
+            sos = pos + 2 + length
+            break
+        pos += 2 + length
+    if dims is None:
+        raise ValueError("JPEG missing SOF frame header")
+    eoi = buf.rfind(b"\xff\xd9")
+    payload = ((eoi if eoi != -1 else len(buf)) - sos) if sos is not None else 0
+    return {
+        "format": "jpeg", "media_type": "image", "n_frames": 1,
+        "payload_len": max(payload, 0), "width": dims[0], "height": dims[1],
+        "sample_rate": None, "n_channels": dims[2], "bit_depth": dims[3],
     }
 
 
@@ -220,9 +263,9 @@ def _parse_header(buf: bytes) -> tuple[int, int, int]:
 def decode_one(buf: bytes) -> dict:
     """Decode one binary payload's header metadata, dispatching on magic.
 
-    FAKE / PNG / WAV parse for real. JPEG entropy decoding and MP4/AVI
-    demuxing need codec libraries this container doesn't ship, so those
-    magics raise a clearly-marked stub error.
+    FAKE / PNG / WAV / JPEG headers parse for real. MP4/AVI demuxing
+    needs codec libraries this container doesn't ship, so those magics
+    raise a clearly-marked stub error.
     """
     fmt = sniff_format(buf)
     if fmt == "fake":
@@ -237,10 +280,12 @@ def decode_one(buf: bytes) -> dict:
         return decode_png(buf)
     if fmt == "wav":
         return decode_wav(buf)
-    if fmt in ("jpeg", "mp4", "avi"):
+    if fmt == "jpeg":
+        return decode_jpeg(buf)
+    if fmt in ("mp4", "avi"):
         raise NotImplementedError(
-            f"STUB: {fmt} payload decoding needs a codec library not present "
-            "in this container; header-level PNG/WAV/FAKE decode is real"
+            f"STUB: {fmt} demuxing needs a codec library not present in "
+            "this container; header-level PNG/WAV/JPEG/FAKE decode is real"
         )
     raise ValueError("unrecognized media container")
 

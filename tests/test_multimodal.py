@@ -151,9 +151,41 @@ def test_decode_media_mixed_real_and_fake(spark, media):
     assert out[0].format == "fake" and out[0].width is None
 
 
-def test_jpeg_mp4_decode_is_stubbed():
-    with pytest.raises(NotImplementedError, match="STUB"):
-        MM.decode_one(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+def _make_jpeg(width: int, height: int, n_components: int = 3,
+               precision: int = 8, progressive: bool = False) -> bytes:
+    """Spec-valid (for header parsing) JPEG: SOI, JFIF APP0, SOF0/SOF2,
+    SOS, a few entropy bytes, EOI."""
+    import struct as S
+
+    app0 = b"\xff\xe0" + S.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    comps = b"".join(S.pack(">BBB", i + 1, 0x11, 0) for i in range(n_components))
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = sof_marker + S.pack(">H", 8 + 3 * n_components) + \
+        S.pack(">BHHB", precision, height, width, n_components) + comps
+    scan = b"".join(S.pack(">BB", i + 1, 0) for i in range(n_components))
+    sos = b"\xff\xda" + S.pack(">H", 6 + 2 * n_components) + \
+        bytes([n_components]) + scan + b"\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + sof + sos + b"\x12\x34\x56\x78" + b"\xff\xd9"
+
+
+def test_decode_jpeg_real_bytes():
+    meta = MM.decode_one(_make_jpeg(640, 480))
+    assert meta["format"] == "jpeg" and meta["media_type"] == "image"
+    assert meta["width"] == 640 and meta["height"] == 480
+    assert meta["n_channels"] == 3 and meta["bit_depth"] == 8
+    assert meta["payload_len"] == 4  # entropy bytes between SOS and EOI
+
+    prog = MM.decode_one(_make_jpeg(17, 9, n_components=1, progressive=True))
+    assert prog["width"] == 17 and prog["height"] == 9 and prog["n_channels"] == 1
+
+
+def test_decode_jpeg_rejects_missing_sof():
+    # truncated APP0-only stream: parseable markers but no frame header
+    with pytest.raises(ValueError, match="SOF"):
+        MM.decode_one(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9")
+
+
+def test_mp4_decode_is_stubbed():
     with pytest.raises(NotImplementedError, match="STUB"):
         MM.decode_one(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
     with pytest.raises(ValueError):
