@@ -37,6 +37,7 @@ HEADLINE = [
     "curate_corpus_v2",
     "mm_byte_stats",
     "decontaminate_hashed",
+    "curate_corpus_v3",
 ]
 
 

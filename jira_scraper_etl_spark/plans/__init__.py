@@ -30,6 +30,7 @@ _PRIORITY = [
     # dataset-card accounting, asymmetric containment dedup.
     "embedding_quantize_int8", "similarity_topk_sq8",
     "curate_dataset_card", "dedup_containment", "text_char_diversity",
+    "curate_corpus_v3",
     # New this round: salted skew join, real-codec multimodal decode,
     # hash-prefiltered decontamination, composed multimodal flagship.
     "join_skewed_events_by_type", "decontaminate_hashed",

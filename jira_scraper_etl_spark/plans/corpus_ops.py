@@ -697,17 +697,21 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only, zero shuffle, whole-stage codegen at any scale.
     """
     d = load_table(spark, sf_dir, "documents")
-    s = F.lower(F.col("text"))
-    cnt = F.array(*[
-        (F.length(s) - F.length(F.replace(s, F.lit(c), F.lit("")))).cast("long")
-        for c in SCORE_ALPHABET
-    ])
+    # Fan the 37-scan fold out of the (few) scan partitions; coalesces
+    # away on a wide scan (see span_dedup).
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    # One struct-fold over the count array: four separate aggregate
+    # expressions would each re-evaluate the 37-replace cnt computation
+    # (higher-order folds are independent expression trees — measured
+    # 4× the per-row string work); a single fold evaluates cnt once.
     stats = d.select(
+        "doc_id", _char_stats_col().alias("st")
+    ).select(
         "doc_id",
-        F.aggregate(cnt, F.lit(0).cast("long"), lambda a, v: a + v).alias("n_alpha"),
-        F.aggregate(cnt, F.lit(0).cast("long"), lambda a, v: a + v * v).alias("sum_sq"),
-        F.size(F.filter(cnt, lambda v: v > 0)).alias("n_distinct"),
-        F.array_max(cnt).alias("max_cnt"),
+        F.col("st.n").alias("n_alpha"),
+        F.col("st.ss").alias("sum_sq"),
+        F.col("st.nd").cast("int").alias("n_distinct"),
+        F.col("st.mx").alias("max_cnt"),
     )
     nz = F.col("n_alpha") > 0
     return stats.select(
@@ -717,4 +721,158 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nz, F.lit(1.0) - F.col("sum_sq").cast("double")
                / (F.col("n_alpha").cast("double") * F.col("n_alpha")))
          .otherwise(0.0).alias("simpson"),
+    )
+
+
+def _char_stats_col() -> F.Column:
+    """Single-pass fold of the fixed-alphabet count array into a
+    (n, ss, nd, mx) struct: total count, sum of squares, distinct
+    symbols, max count. The array expression appears exactly once, so
+    whole-stage codegen computes the 37 length/replace scans once per
+    row regardless of how many stats the caller consumes."""
+    s = F.lower(F.col("text"))
+    cnt = F.array(*[
+        (F.length(s) - F.length(F.replace(s, F.lit(c), F.lit("")))).cast("long")
+        for c in SCORE_ALPHABET
+    ])
+    zero = F.lit(0).cast("long")
+    init = F.struct(zero.alias("n"), zero.alias("ss"),
+                    zero.alias("nd"), zero.alias("mx"))
+    return F.aggregate(
+        cnt, init,
+        lambda a, v: F.struct(
+            (a["n"] + v).alias("n"),
+            (a["ss"] + v * v).alias("ss"),
+            (a["nd"] + F.when(v > 0, 1).otherwise(0)).alias("nd"),
+            F.greatest(a["mx"], v).alias("mx"),
+        ),
+    )
+
+
+_SQL_CONTENT_HASH_V3 = ("md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), "
+                        "'[^a-z0-9]+', ' ', 'g'), ' {2,}', ' ', 'g')))")
+
+
+@register(
+    "curate_corpus_v3",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, lang, text,
+               list_transform({_SQL_ALPHA}, ch ->
+                 CAST(len(lower(text)) - len(replace(lower(text), ch, ''))
+                      AS BIGINT)) AS cnt
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang, text,
+               list_sum(cnt) AS n_alpha,
+               list_sum(list_transform(cnt, v -> v * v)) AS ss
+        FROM c
+    ),
+    g AS (
+        SELECT doc_id, lang, n_alpha, ss,
+               len({SQL_TOKS}) AS n_tokens,
+               {_SQL_CONTENT_HASH_V3} AS ch
+        FROM s
+    ),
+    e AS (
+        SELECT doc_id, lang, n_tokens, n_alpha, ss FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+            FROM g
+        ) WHERE rn = 1
+    ),
+    w AS (
+        SELECT doc_id, lang, n_tokens,
+               1.0 - CAST(ss AS DOUBLE) / (CAST(n_alpha AS DOUBLE) * n_alpha)
+                 AS simpson
+        FROM e WHERE n_alpha >= 20
+          AND 1.0 - CAST(ss AS DOUBLE) / (CAST(n_alpha AS DOUBLE) * n_alpha)
+                >= 0.92
+    ),
+    r AS (
+        SELECT lang, n_tokens,
+               CAST(FLOOR(simpson * 1000000) AS BIGINT) AS simpson_fp,
+               CASE WHEN {SQL_DOC_BUCKET} < 90 THEN 'train'
+                    WHEN {SQL_DOC_BUCKET} < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM w
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(simpson_fp) AS DOUBLE) / (1000000.0 * COUNT(*))
+             AS avg_simpson
+    FROM r
+    GROUP BY split, lang
+    """,
+    tags=("curation", "flagship"),
+)
+def curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed flagship #3 — the newest signals as one pipeline:
+    exact dedup (lowest-id winner per content hash) → character-
+    diversity quality gate (Simpson ≥ 0.92, ≥ 20 scoreable chars) →
+    hash split → per-(split, lang) corpus accounting with the mean
+    quality score of what survived.
+
+    Scale shape: the gate and scoring are map-only (fixed-alphabet
+    length arithmetic — zero shuffle, see text_char_diversity); dedup
+    is a groupBy(content_hash) + min(struct) election (map-side
+    combine, O(distinct hashes) shuffle — the dedup_span_exact
+    argument); the rollup partial-aggregates into |splits×langs| rows.
+    Two keyed shuffles total at any scale. The mean is carried as
+    floor(simpson·10⁶) integers so the SUM is order-independent; one
+    final division — bit-identical cross-engine.
+    """
+    from ..functions import textstats as TS
+    from .curation import doc_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    # Fan the heavy per-doc map work (37-scan char fold + tokenize +
+    # content hash) out of the (few) scan partitions — the span_dedup
+    # argument: a single-file scan runs the whole pass in one task; at
+    # warehouse scale the scan is already wide and this coalesces away.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    # Single struct-fold (see _char_stats_col) so the 37-scan count
+    # array is computed once per row, not once per consuming expression.
+    base = d.select(
+        "doc_id", "lang",
+        F.size(H.word_tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(TS.normalize_for_fingerprint(F.col("text"))).alias("ch"),
+        _char_stats_col().alias("st"),
+    )
+    # Dedup BEFORE the quality gate: the gate predicates then filter
+    # columns materialized through the aggregation exchange instead of
+    # being pushed back into the map projection — predicate pushdown
+    # through a project re-inlines every referenced expression, which
+    # tripled the 37-scan fold in the physical plan (measured; plan
+    # asserted in tests). Election on the raw corpus also means the
+    # canonical representative is stable regardless of gate tuning.
+    winners = (
+        base.groupBy("ch")
+        .agg(F.min(F.struct("doc_id", "lang", "n_tokens", "st")).alias("w"))
+        .select("w.doc_id", "w.lang", "w.n_tokens",
+                F.col("w.st.n").alias("n_alpha"), F.col("w.st.ss").alias("ss"))
+    )
+    simpson = (F.lit(1.0) - F.col("ss").cast("double")
+               / (F.col("n_alpha").cast("double") * F.col("n_alpha")))
+    winners = (winners.where(F.col("n_alpha") >= 20)
+               .withColumn("simpson", simpson)
+               .where(F.col("simpson") >= 0.92)
+               .select("doc_id", "lang", "n_tokens", "simpson"))
+    b = doc_bucket(F.col("doc_id"))
+    r = winners.select(
+        "lang", "n_tokens",
+        F.floor(F.col("simpson") * 1000000).cast("long").alias("simpson_fp"),
+        F.when(b < 90, "train").when(b < 95, "valid").otherwise("test")
+         .alias("split"),
+    )
+    agg = r.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("simpson_fp").alias("fp"),
+    )
+    return agg.select(
+        "split", "lang", "n_docs", "n_tokens",
+        (F.col("fp").cast("double") / (F.lit(1000000.0) * F.col("n_docs")))
+        .alias("avg_simpson"),
     )

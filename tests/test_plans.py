@@ -212,3 +212,15 @@ def test_corpus_freq_tokenize_runs_once(spark, sf_dir):
     # cached-build description; the executed readers are the two
     # InMemoryTableScans.)
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_corpus_v3_char_fold_not_duplicated(spark):
+    """The 37-scan char-stat fold must appear exactly ONCE in the
+    physical plan: gate predicates pushed back through the map
+    projection re-inline it (measured 3x before the dedup-then-gate
+    reorder and 4.5x the wall time)."""
+    from jira_scraper_etl_spark import plans
+
+    df = plans.QUERIES["curate_corpus_v3"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("aggregate(array") == 1
