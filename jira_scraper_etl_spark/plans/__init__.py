@@ -36,14 +36,15 @@ _PRIORITY = [
     "join_skewed_events_by_type", "decontaminate_hashed",
     "curate_multimodal_corpus", "decontaminate_embedding",
     "mm_decode_meta", "mm_byte_stats", "mm_resize_plan", "mm_frame_sample",
-    # Changed this round: events loader grew timestamp-unit detection;
-    # join_revenue_by_nation lost its customer broadcast hint.
+    # Changed this round: events loader grew timestamp-unit detection
+    # (representatives below — every events query shares the load path,
+    # so a subset in-window covers the change and the driver-green-in-r2
+    # rest yield their slots); join_revenue_by_nation lost its customer
+    # broadcast hint.
     "join_revenue_by_nation",
-    "events_tumbling_1h", "events_sliding_1h_30m", "events_session_30m",
-    "events_session_concurrency", "events_attribution_1h",
-    "events_latest_state_per_user",
-    "events_cohort_retention", "events_trailing_1h_sum",
-    "join_asof_last_event_before_order", "filter_project_shipped_window",
+    "events_tumbling_1h", "events_session_30m", "events_attribution_1h",
+    "events_latest_state_per_user", "events_trailing_1h_sum",
+    "join_asof_last_event_before_order",
     # Oracle-backed LLM-pipeline entries the round-2 driver file never
     # reached (north-star mandate; judge-green only so far).
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
@@ -60,9 +61,12 @@ _PRIORITY = [
     "decontaminate_ngram", "sample_mixture_weights",
     "curate_pretrain_corpus", "curate_corpus_v2",
     "embedding_label_centroids",
-    # These three now sit past the 50-entry window (the round-3 additions
-    # took their slots): jira_corpus_stats is rows-only (weakest signal)
-    # and the other two were driver-green in earlier rounds.
+    # Past the 50-entry window (the round-3 additions took their slots):
+    # r2-driver-green events/relational entries, the rows-only
+    # jira_corpus_stats (weakest signal), and flagships driver-green in
+    # both earlier rounds.
+    "events_sliding_1h_30m", "events_session_concurrency",
+    "events_cohort_retention", "filter_project_shipped_window",
     "jira_corpus_stats", "jira_source_scan",
     "q1_pricing_summary",
 ]
