@@ -10,13 +10,14 @@ canonical media operators — decode, feature-extract, resize, frame-sample
 Real-format coverage: **PNG** (signature + chunk walk with CRC verify,
 IHDR dims/bit-depth/channels, IDAT payload size), **WAV** (RIFF/WAVE
 chunk walk, fmt rate/channels/bits, data size → sample-frame count),
-and **JPEG** (marker-segment walk to the SOF frame header for
-precision/dims/components, SOS→EOI payload size) are decoded for real
-with stdlib ``struct``/``zlib`` — no codec library needed for
-header-level metadata. Pixel/sample *payload* decoding (JPEG entropy
-decode, MP4/AVI demux) genuinely needs codec libraries absent from
-this container and stays a clearly-marked ``NotImplementedError``
-stub. Everything Spark-side is real and tested: the binary schema,
+**JPEG** (marker-segment walk to the SOF frame header for
+precision/dims/components, SOS→EOI payload size), and **MP4**
+(ISO-BMFF box walk: mvhd duration/timescale, tkhd 16.16 dims, mdat
+payload size) are decoded for real with stdlib ``struct``/``zlib`` —
+no codec library needed for header-level metadata. Pixel/sample
+*payload* decoding (JPEG entropy decode, AVI demux, codec bitstreams)
+genuinely needs codec libraries absent from this container and stays
+a clearly-marked ``NotImplementedError`` stub. Everything Spark-side is real and tested: the binary schema,
 the container headers, Arrow batch shapes, partitioning behavior, and
 the row-multiplying frame-sample pass.
 
@@ -161,6 +162,75 @@ def decode_jpeg(buf: bytes) -> dict:
     }
 
 
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Walk ISO-BMFF boxes in buf[start:end] yielding (type, body_start,
+    body_end). Handles 32-bit sizes, size==1 (64-bit largesize) and
+    size==0 (box extends to end of enclosing container)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,), btype = struct.unpack(">I", buf[pos:pos + 4]), buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("MP4 box overruns container")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, btype: bytes):
+    for t, b, e in _mp4_boxes(buf, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def decode_mp4(buf: bytes) -> dict:
+    """Real MP4 (ISO-BMFF) header decode (stdlib only): box walk to
+    moov/mvhd for duration/timescale and the first trak/tkhd for the
+    presentation dims (16.16 fixed point). n_frames is reported as
+    floor(duration/timescale) 1-second ticks — an *index* count, since
+    per-sample tables (stts) are codec-adjacent; sample/pixel decoding
+    still needs a codec library."""
+    moov = _mp4_find(buf, 0, len(buf), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    mvhd = _mp4_find(buf, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("MP4 missing mvhd box")
+    ver = buf[mvhd[0]]
+    if ver == 1:
+        _, _, timescale, duration = struct.unpack(
+            ">QQIQ", buf[mvhd[0] + 4:mvhd[0] + 32])
+    else:
+        _, _, timescale, duration = struct.unpack(
+            ">IIII", buf[mvhd[0] + 4:mvhd[0] + 20])
+    width = height = None
+    trak = _mp4_find(buf, moov[0], moov[1], b"trak")
+    if trak is not None:
+        tkhd = _mp4_find(buf, trak[0], trak[1], b"tkhd")
+        if tkhd is not None:
+            tver = buf[tkhd[0]]
+            # width sits after ver/flags + times/ids + reserved + layer
+            # block + matrix: body+76 (v0) / body+88 (64-bit times, v1)
+            off = tkhd[0] + (88 if tver == 1 else 76)
+            w_fp, h_fp = struct.unpack(">II", buf[off:off + 8])
+            width, height = w_fp >> 16, h_fp >> 16
+    mdat = _mp4_find(buf, 0, len(buf), b"mdat")
+    return {
+        "format": "mp4", "media_type": "video",
+        "n_frames": int(duration // timescale) if timescale else 0,
+        "payload_len": (mdat[1] - mdat[0]) if mdat else 0,
+        "width": width or None, "height": height or None,
+        "sample_rate": timescale, "n_channels": None, "bit_depth": None,
+    }
+
+
 def decode_wav(buf: bytes) -> dict:
     """Real WAV header decode (stdlib only): RIFF/WAVE chunk walk for
     the fmt (channels, sample rate, bits/sample) and data (payload
@@ -263,9 +333,10 @@ def _parse_header(buf: bytes) -> tuple[int, int, int]:
 def decode_one(buf: bytes) -> dict:
     """Decode one binary payload's header metadata, dispatching on magic.
 
-    FAKE / PNG / WAV / JPEG headers parse for real. MP4/AVI demuxing
-    needs codec libraries this container doesn't ship, so those magics
-    raise a clearly-marked stub error.
+    FAKE / PNG / WAV / JPEG / MP4 headers parse for real. AVI demuxing
+    (and all pixel/sample payload decoding) needs codec libraries this
+    container doesn't ship, so that magic raises a clearly-marked stub
+    error.
     """
     fmt = sniff_format(buf)
     if fmt == "fake":
@@ -282,10 +353,13 @@ def decode_one(buf: bytes) -> dict:
         return decode_wav(buf)
     if fmt == "jpeg":
         return decode_jpeg(buf)
-    if fmt in ("mp4", "avi"):
+    if fmt == "mp4":
+        return decode_mp4(buf)
+    if fmt == "avi":
         raise NotImplementedError(
-            f"STUB: {fmt} demuxing needs a codec library not present in "
-            "this container; header-level PNG/WAV/JPEG/FAKE decode is real"
+            "STUB: AVI demuxing (and all pixel/sample payload decoding) "
+            "needs a codec library not present in this container; "
+            "header-level PNG/WAV/JPEG/MP4/FAKE decode is real"
         )
     raise ValueError("unrecognized media container")
 

@@ -185,8 +185,49 @@ def test_decode_jpeg_rejects_missing_sof():
         MM.decode_one(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9")
 
 
-def test_mp4_decode_is_stubbed():
+def _box(btype: bytes, body: bytes) -> bytes:
+    import struct as S
+
+    return S.pack(">I", 8 + len(body)) + btype + body
+
+
+def _make_mp4(width: int, height: int, timescale: int = 1000,
+              duration: int = 7500, payload: bytes = b"\xab" * 32) -> bytes:
+    """Spec-sized minimal ISO-BMFF file: ftyp + moov(mvhd v0, trak(tkhd
+    v0)) + mdat."""
+    import struct as S
+
+    ftyp = _box(b"ftyp", b"isom" + S.pack(">I", 0x200))
+    mvhd = _box(b"mvhd", b"\x00\x00\x00\x00"          # version 0, flags
+                + S.pack(">IIII", 0, 0, timescale, duration)
+                + S.pack(">I", 0x00010000) + S.pack(">H", 0x0100)
+                + b"\x00" * 10
+                + S.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + b"\x00" * 24 + S.pack(">I", 2))
+    tkhd = _box(b"tkhd", b"\x00\x00\x00\x07"
+                + S.pack(">IIIII", 0, 0, 1, 0, duration)
+                + b"\x00" * 8 + b"\x00" * 8
+                + S.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + S.pack(">II", width << 16, height << 16))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
+    return ftyp + moov + _box(b"mdat", payload)
+
+
+def test_decode_mp4_real_bytes():
+    meta = MM.decode_one(_make_mp4(1280, 720, timescale=1000, duration=7500))
+    assert meta["format"] == "mp4" and meta["media_type"] == "video"
+    assert meta["width"] == 1280 and meta["height"] == 720
+    assert meta["n_frames"] == 7  # floor(7500 / 1000) one-second ticks
+    assert meta["sample_rate"] == 1000 and meta["payload_len"] == 32
+
+
+def test_decode_mp4_rejects_missing_moov():
+    with pytest.raises(ValueError, match="moov"):
+        MM.decode_one(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
+
+
+def test_avi_decode_is_stubbed():
     with pytest.raises(NotImplementedError, match="STUB"):
-        MM.decode_one(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
+        MM.decode_one(b"RIFF\x00\x00\x00\x24AVI " + b"\x00" * 16)
     with pytest.raises(ValueError):
         MM.decode_one(b"NOPE" + b"\x00" * 16)
