@@ -138,6 +138,10 @@ def decode_jpeg(buf: bytes) -> dict:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # ITU T.81 §B.1.1.2: any marker may be preceded by repeated 0xFF
+        # fill bytes — consume padding before reading the marker code.
+        while pos + 4 <= len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
             pos += 2
@@ -174,6 +178,8 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
             if pos + 16 > end:
                 raise ValueError("truncated MP4 largesize box")
             (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+            if size < 16:  # largesize must cover its own 16-byte header
+                raise ValueError("MP4 largesize smaller than box header")
             body = pos + 16
         elif size == 0:
             size = end - pos
@@ -211,16 +217,23 @@ def decode_mp4(buf: bytes) -> dict:
         _, _, timescale, duration = struct.unpack(
             ">IIII", buf[mvhd[0] + 4:mvhd[0] + 20])
     width = height = None
-    trak = _mp4_find(buf, moov[0], moov[1], b"trak")
-    if trak is not None:
-        tkhd = _mp4_find(buf, trak[0], trak[1], b"tkhd")
-        if tkhd is not None:
-            tver = buf[tkhd[0]]
-            # width sits after ver/flags + times/ids + reserved + layer
-            # block + matrix: body+76 (v0) / body+88 (64-bit times, v1)
-            off = tkhd[0] + (88 if tver == 1 else 76)
-            w_fp, h_fp = struct.unpack(">II", buf[off:off + 8])
+    # Audio tracks carry tkhd width/height of 0, and track order is
+    # arbitrary (audio-first files are common) — scan every trak and
+    # take the first tkhd with nonzero presentation dims.
+    for t, b, e in _mp4_boxes(buf, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        tkhd = _mp4_find(buf, b, e, b"tkhd")
+        if tkhd is None:
+            continue
+        tver = buf[tkhd[0]]
+        # width sits after ver/flags + times/ids + reserved + layer
+        # block + matrix: body+76 (v0) / body+88 (64-bit times, v1)
+        off = tkhd[0] + (88 if tver == 1 else 76)
+        w_fp, h_fp = struct.unpack(">II", buf[off:off + 8])
+        if w_fp and h_fp:
             width, height = w_fp >> 16, h_fp >> 16
+            break
     mdat = _mp4_find(buf, 0, len(buf), b"mdat")
     return {
         "format": "mp4", "media_type": "video",

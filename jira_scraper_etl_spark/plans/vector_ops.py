@@ -115,7 +115,7 @@ def encoded_vectors(spark: SparkSession, sf_dir: str,
                  END AS INTEGER)) AS codes
         FROM embeddings, s
     )
-    SELECT vec_id, codes,
+    SELECT vec_id, array_to_string(codes, ',') AS codes_csv,
            CAST(list_sum(codes) AS BIGINT) AS code_sum,
            CAST(len(codes) AS INTEGER) AS n_dims
     FROM enc
@@ -131,9 +131,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition (map-side combine over 64 keys); the one-row calibration
     result broadcasts; the encode is shuffle-free. 4× smaller vectors
     for every downstream ANN/dedup shuffle.
+
+    Output contract: the codes are emitted as a comma-joined string
+    (``codes_csv``), not a bare ``array<int>`` — external harnesses
+    canonicalize by sorting every output column in pandas, and a raw
+    numpy array column is unhashable/unsortable there. Internal
+    consumers (similarity_topk_sq8) use :func:`encoded_vectors`, which
+    keeps the typed array.
     """
     return encoded_vectors(spark, sf_dir).select(
-        "vec_id", "codes",
+        "vec_id",
+        F.array_join("codes", ",").alias("codes_csv"),
         F.aggregate("codes", F.lit(0).cast("long"),
                     lambda acc, v: acc + v).alias("code_sum"),
         F.size("codes").alias("n_dims"),

@@ -226,6 +226,55 @@ def test_decode_mp4_rejects_missing_moov():
         MM.decode_one(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
 
 
+def test_decode_jpeg_skips_fill_bytes():
+    """ITU T.81 B.1.1.2 allows repeated 0xFF padding before any marker;
+    a padded stream must still reach the SOF header."""
+    plain = _make_jpeg(640, 480)
+    # inject fill bytes before the SOF0 marker (FF C0 -> FF FF FF C0)
+    padded = plain.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    meta = MM.decode_one(padded)
+    assert meta["width"] == 640 and meta["height"] == 480
+
+
+def _tkhd_body(width: int, height: int, duration: int) -> bytes:
+    import struct as S
+
+    return (b"\x00\x00\x00\x07"
+            + S.pack(">IIIII", 0, 0, 1, 0, duration)
+            + b"\x00" * 8 + b"\x00" * 8
+            + S.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + S.pack(">II", width << 16, height << 16))
+
+
+def test_decode_mp4_audio_first_track_order():
+    """Audio-first files put a zero-dim tkhd in the first trak; the
+    video trak's dims must still be found (advisor-verified bug)."""
+    import struct as S
+
+    ftyp = _box(b"ftyp", b"isom" + S.pack(">I", 0x200))
+    mvhd = _box(b"mvhd", b"\x00\x00\x00\x00"
+                + S.pack(">IIII", 0, 0, 1000, 7500)
+                + S.pack(">I", 0x00010000) + S.pack(">H", 0x0100)
+                + b"\x00" * 10
+                + S.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + b"\x00" * 24 + S.pack(">I", 3))
+    audio = _box(b"trak", _box(b"tkhd", _tkhd_body(0, 0, 7500)))
+    video = _box(b"trak", _box(b"tkhd", _tkhd_body(1920, 1080, 7500)))
+    moov = _box(b"moov", mvhd + audio + video)
+    meta = MM.decode_one(ftyp + moov + _box(b"mdat", b"\xab" * 8))
+    assert meta["width"] == 1920 and meta["height"] == 1080
+
+
+def test_decode_mp4_rejects_degenerate_largesize():
+    """A size==1 box whose 64-bit largesize is < 16 can't cover its own
+    header — must error, not yield a negative-length body."""
+    import struct as S
+
+    bad = S.pack(">I", 1) + b"moov" + S.pack(">Q", 12)
+    with pytest.raises(ValueError, match="largesize"):
+        MM.decode_one(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00" + bad)
+
+
 def test_avi_decode_is_stubbed():
     with pytest.raises(NotImplementedError, match="STUB"):
         MM.decode_one(b"RIFF\x00\x00\x00\x24AVI " + b"\x00" * 16)

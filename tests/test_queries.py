@@ -110,9 +110,12 @@ def test_quantize_int8_codes_bounded_and_calibrated(spark, sf_dir):
     import pyspark.sql.functions as F
 
     df = plans.QUERIES["embedding_quantize_int8"].fn(spark, sf_dir)
+    # Registered output is harness-safe scalars (codes_csv string, not a
+    # bare array) — parse it back to ints for the range assertions.
+    codes = F.transform(F.split("codes_csv", ","), lambda s: s.cast("int"))
     row = df.select(
-        F.min(F.array_min("codes")).alias("lo"),
-        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.array_min(codes)).alias("lo"),
+        F.max(F.array_max(codes)).alias("hi"),
         F.min("n_dims").alias("d_lo"),
         F.max("n_dims").alias("d_hi"),
     ).collect()[0]

@@ -83,6 +83,16 @@ def _canon(t: str, table: dict) -> str:
     return table.get(t, table.get(t.upper(), t))
 
 
+def shape_hazards(s_dtypes) -> list[str]:
+    """Driver-harness canonicalization sorts every output column in
+    pandas; a bare array/struct/map column materializes as numpy
+    arrays / dicts there and dies with 'unhashable type'. Oracle-backed
+    entries must therefore emit only scalar columns (join arrays to
+    strings, e.g. array_join(codes, ','))."""
+    return [f"{c}: {t}" for c, t in s_dtypes
+            if t.startswith(("array", "struct", "map"))]
+
+
 def type_mismatches(s_dtypes, con, oracle_sql) -> list[str]:
     try:
         desc = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
@@ -136,6 +146,10 @@ def main() -> int:
             continue
         checked += 1
         msgs = []
+        sh = shape_hazards(sdf.dtypes)
+        if sh:
+            msgs.append("SHAPE HAZARD (driver canonicalizer can't sort "
+                        "array/struct columns): " + "; ".join(sh))
         tm = type_mismatches(sdf.dtypes, con, q.oracle)
         if tm:
             msgs.append("TYPE MISMATCH (driver hashes typed values): "
