@@ -62,16 +62,16 @@ def main() -> int:
     total = 0.0
     for name in HEADLINE:
         fn = plans.QUERIES[name].fn
-        # best-of-2: single measurements swing ~30% run-to-run on a
-        # shared machine; the minimum is the steady-state number the
-        # engine actually achieves
-        best, n = None, 0
-        for _ in range(2):
+        # median-of-3: single measurements swing ~30% run-to-run on a
+        # shared machine (BENCH_r02→r03 showed a 1.45× driver-to-driver
+        # swing on unchanged queries); the median is robust to one
+        # outlier in either direction without the minimum's bias
+        runs, n = [], 0
+        for _ in range(3):
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        dt = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        dt = round(sorted(runs)[1], 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)

@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from ..functions.hashing import shingles_from_tokens, word_tokens
+from .fanout import HEAVY, fan_out
 
 N_HASHES, N_BANDS, BAND_ROWS = 16, 4, 4
 
@@ -35,7 +36,6 @@ def shingled_docs(df: DataFrame, id_col: str = "doc_id",
     expression is evaluated once per row instead of once per reference
     (~6× inside shingles_from_tokens). Measured 3.4s → 0.6s at sf0.1.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
     # `sh` is non-empty for every non-null text (empty/whitespace docs
     # fall back to a single joined-token shingle), so the "has shingles"
     # guard is exactly `text IS NOT NULL` — which pushes into the
@@ -43,14 +43,16 @@ def shingled_docs(df: DataFrame, id_col: str = "doc_id",
     # below the exchange and re-inlines the whole shingle expression
     # into a pre-exchange single-threaded Filter (2.6s at sf0.1).
     #
-    # The repartition sits on the RAW text: a small corpus is one file
-    # split, and anything computed pre-exchange runs on one core.
+    # The conditional exchange sits on the RAW text: a small corpus is
+    # one file split, and anything computed pre-exchange runs on one
+    # core (HEAVY preset: the md5-per-shingle pipeline costs ~6 s/MB
+    # single-core; a wide warehouse scan skips the exchange entirely).
     # Tokenize and shingle are separate post-exchange projections;
     # CollapseProject leaves them alone (the token array is non-cheap
     # and referenced ~6× by the shingle expression), so tokenization is
     # evaluated once per row.
-    raw = (df.where(F.col(text_col).isNotNull())
-           .select(id_col, text_col).repartition(par))
+    raw = fan_out(df.where(F.col(text_col).isNotNull())
+                  .select(id_col, text_col), HEAVY)
     toks = raw.select(id_col, word_tokens(F.col(text_col)).alias("toks"))
     return toks.select(id_col, shingles_from_tokens(F.col("toks"), n).alias("sh"))
 
@@ -217,9 +219,8 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     Output: (doc_a, doc_b, hamming)."""
     # fan out of the single-file scan partition before per-token hashing
     # (same rationale as minhash_near_dup_pairs)
-    par = df.sparkSession.sparkContext.defaultParallelism
     fp = simhash_fingerprints(
-        df.select(id_col, text_col).repartition(par), id_col, text_col)
+        fan_out(df.select(id_col, text_col), HEAVY), id_col, text_col)
     blocks = fp.select(
         id_col, "simhash",
         F.explode(F.array(*[

@@ -38,6 +38,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
 from ..functions import hashing as H
+from ..operators.fanout import HEAVY, LIGHT, fan_out
 from ..functions import vectors as V
 from .curation import SQL_DOC_BUCKET
 from .llm_ops import SQL_QUANT, SQL_SIMHASH, SQL_TOKHASH, SQL_TOKS, _doc_shingled
@@ -171,11 +172,12 @@ def span_dedup(d: DataFrame) -> DataFrame:
     # fan the per-doc tokenize/explode work out of the (few) scan
     # partitions before the heavy map stage — a single-file scan would
     # otherwise run the whole explode+md5 pass in one task (measured
-    # 4.5× scaling sf0.1→sf1 before, near-linear after); at warehouse
-    # scale the scan is already wide and this repartition coalesces away
-    par = d.sparkSession.sparkContext.defaultParallelism
+    # 4.5× scaling sf0.1→sf1 before, near-linear after). Conditional
+    # (LIGHT preset): a wide warehouse scan skips the exchange, and so
+    # does a sub-MB input where the single-task pass beats the shuffle
+    # (0.44 s vs 1.13 s at sf0.1 — the round-3 bench regression).
     toks = H.word_tokens(F.col("text"))
-    t = (d.select("doc_id", toks.alias("toks")).repartition(par)
+    t = (fan_out(d.select("doc_id", toks.alias("toks")), LIGHT)
          .where(F.size("toks") > 0))
     n_chunks = F.ceil(F.size("toks") / F.lit(float(SPAN))).cast("int")
     spans = F.transform(
@@ -236,11 +238,11 @@ def text_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     final int/int division, which is bit-identical cross-engine.
     """
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
     toks = H.word_tokens(F.col("text"))
-    # repartition before the interpreted split/filter: a single-file
-    # scan otherwise runs the explode on one core (see operators/dedup)
-    t = (d.select("doc_id", toks.alias("toks")).repartition(par)
+    # conditional fan-out before the interpreted split/explode: a
+    # single-file scan otherwise runs the explode on one core; skipped
+    # on wide scans and sub-MB inputs (see operators/fanout)
+    t = (fan_out(d.select("doc_id", toks.alias("toks")), LIGHT)
          .select("doc_id", F.explode("toks").alias("tok")))
     # Eager persist: tf feeds BOTH the vocabulary aggregation and the
     # scoring join, and Catalyst does not reuse the exchange across the
@@ -371,12 +373,11 @@ def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (new_hashed.join(old_hashes.withColumn("seen", F.lit(1)), "h", "left")
              .select("doc_id", F.col("seen").isNull().alias("exact_novel")))
 
-    par = spark.sparkContext.defaultParallelism
     # collapse the old corpus to its DISTINCT fingerprints: the near-dup
     # test only depends on fingerprint values (≤ 2^16 of them)
-    fp_old = (simhash_fingerprints(old.select("doc_id", "text").repartition(par))
+    fp_old = (simhash_fingerprints(fan_out(old.select("doc_id", "text"), HEAVY))
               .select("simhash").distinct())
-    fp_new = simhash_fingerprints(new.select("doc_id", "text").repartition(par))
+    fp_new = simhash_fingerprints(fan_out(new.select("doc_id", "text"), HEAVY))
 
     def blocks(fp, cols):
         return fp.select(
@@ -447,9 +448,10 @@ def text_bigram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     association miner prunes.
     """
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
     toks = H.word_tokens(F.col("text"))
-    t = (d.select(toks.alias("toks")).repartition(par)
+    # fan the cached token arrays across cores: three consumer stages
+    # read this cache, so 1-2 cache partitions would serialize them all
+    t = (fan_out(d.select(toks.alias("toks")), HEAVY)
          .persist(StorageLevel.MEMORY_AND_DISK))
     t.count()
     uni = t.select(F.explode("toks").alias("tok"))
@@ -697,9 +699,9 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only, zero shuffle, whole-stage codegen at any scale.
     """
     d = load_table(spark, sf_dir, "documents")
-    # Fan the 37-scan fold out of the (few) scan partitions; coalesces
-    # away on a wide scan (see span_dedup).
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    # Fan the 37-scan fold out of the (few) scan partitions; skipped on
+    # wide scans and toy inputs (see operators/fanout).
+    d = fan_out(d, HEAVY)
     # One struct-fold over the count array: four separate aggregate
     # expressions would each re-evaluate the 37-replace cnt computation
     # (higher-order folds are independent expression trees — measured
@@ -829,9 +831,9 @@ def curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # Fan the heavy per-doc map work (37-scan char fold + tokenize +
     # content hash) out of the (few) scan partitions — the span_dedup
-    # argument: a single-file scan runs the whole pass in one task; at
-    # warehouse scale the scan is already wide and this coalesces away.
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    # argument: a single-file scan runs the whole pass in one task;
+    # skipped on wide scans and toy inputs (see operators/fanout).
+    d = fan_out(d, HEAVY)
     # Single struct-fold (see _char_stats_col) so the 37-scan count
     # array is computed once per row, not once per consuming expression.
     base = d.select(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..functions import hashing as H
+from ..operators.fanout import HEAVY, fan_out
 from ..functions import vectors as V
 from .llm_ops import SQL_QDOT_AB, SQL_QUANT, SQL_TOKS, _HITS, _doc_shingled
 from .registry import register
@@ -190,9 +191,8 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xxhash64) to shrink the broadcast further; shape unchanged.
     """
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    sh = (d.where(F.col("text").isNotNull())
-          .select("doc_id", "text").repartition(par)
+    sh = (fan_out(d.where(F.col("text").isNotNull())
+                  .select("doc_id", "text"), HEAVY)
           .select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh")))
     eval_grams = (sh.where(F.col("doc_id") < 10)
                   .select(F.explode("sh").alias("t")).distinct())
@@ -251,9 +251,8 @@ def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same two-stage candidate/verify shape as dedup_pairs_edit_distance.
     """
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    sh = (d.where(F.col("text").isNotNull())
-          .select("doc_id", "text").repartition(par)
+    sh = (fan_out(d.where(F.col("text").isNotNull())
+                  .select("doc_id", "text"), HEAVY)
           .select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh")))
     eval_grams = (sh.where(F.col("doc_id") < 10)
                   .select(F.explode("sh").alias("t")).distinct())
@@ -370,9 +369,8 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator), matching the oracle.
     """
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    toks = (d.where(F.col("text").isNotNull())
-            .select("doc_id", "text").repartition(par)
+    toks = (fan_out(d.where(F.col("text").isNotNull())
+                    .select("doc_id", "text"), HEAVY)
             .select("doc_id", H.word_tokens(F.col("text")).alias("toks")))
     tok_counts = (toks.select("doc_id", F.explode("toks").alias("w"))
                   .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))

@@ -32,6 +32,7 @@ from ..functions import hashing as H
 from ..functions import textstats as TS
 from ..functions import vectors as V
 from ..operators import dedup as D
+from ..operators.fanout import HEAVY, fan_out
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -775,9 +776,9 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # fan the single-file scan out before interpreted tokenization
     # (same rationale + measurement as operators/dedup.shingled_docs:
-    # 5.6s -> sub-second at sf0.1 when tokenize runs on all cores)
-    par = spark.sparkContext.defaultParallelism
-    toks = (d.select("text").repartition(par)
+    # 5.6s -> sub-second at sf0.1 when tokenize runs on all cores;
+    # skipped automatically on wide scans / toy inputs)
+    toks = (fan_out(d.select("text"), HEAVY)
             .select(F.explode(H.word_tokens(F.col("text"))).alias("token")))
     return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("token")).limit(100))
@@ -814,8 +815,7 @@ def text_char_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct pair per partition — the pair alphabet is tiny) →
     TakeOrderedAndProject. No global sort, no shuffle of raw text."""
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    toks = (d.select("text").repartition(par)
+    toks = (fan_out(d.select("text"), HEAVY)
             .select(F.explode(H.word_tokens(F.col("text"))).alias("t"))
             .where(F.length("t") >= 2))
     # substring with a non-literal start position needs the SQL form
@@ -965,7 +965,6 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str,
     recursive CTE.
     """
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
     # GRAPH CONTRACTION before CC — the scale-defining step. Docs with
     # the same 16-bit fingerprint are trivially connected (hamming 0),
     # so the doc-pair graph (which is near-quadratic inside fingerprint
@@ -975,7 +974,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str,
     # nibble banding. Components of docs == components of fingerprints,
     # because doc adjacency depends only on the fingerprints.
     fp = D.simhash_fingerprints(
-        d.select("doc_id", "text").repartition(par)).localCheckpoint()
+        fan_out(d.select("doc_id", "text"), HEAVY)).localCheckpoint()
     nodes = fp.groupBy("simhash").agg(F.min("doc_id").alias("fp_min"),
                                       F.count(F.lit(1)).alias("n_docs"))
     blocks = nodes.select(
