@@ -216,7 +216,14 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                            max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ max_hamming via lossless
     nibble-block banding (pigeonhole over 4 blocks ⇒ exact for ≤ 3).
-    Output: (doc_a, doc_b, hamming)."""
+    Output: (doc_a, doc_b, hamming).
+
+    SCALE WARNING: the output is the PAIR LISTING — O(Σ|clique|²) rows
+    on dup-dense corpora (>1 GiB of result at the sf1 soak's 31-token
+    vocabulary). Use :func:`simhash_neighbor_stats` (bounded per-doc
+    form) or the cluster labeling (plans/llm_ops dedup_cluster_canonical)
+    when the duplicate density is unknown; this pair form is for bounded
+    slices and verify stages."""
     # fan out of the single-file scan partition before per-token hashing
     # (same rationale as minhash_near_dup_pairs)
     fp = simhash_fingerprints(
@@ -240,4 +247,75 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         .withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+def simhash_neighbor_stats(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_hamming: int = 3) -> DataFrame:
+    """Per-document SimHash near-dup statistics — the BOUNDED output
+    form of :func:`simhash_near_dup_pairs`: one row per document,
+    ``(id, n_neighbors, min_neighbor)`` where neighbors are the other
+    docs at hamming ≤ max_hamming (``min_neighbor`` NULL when none).
+
+    Never materializes a doc-pair anywhere: the computation runs on the
+    CONTRACTED fingerprint graph (one node per distinct 16-bit value,
+    ≤ 2¹⁶ nodes at any corpus size — the dedup_cluster_canonical
+    contraction argument). Per-fingerprint clique stats (size, two
+    smallest ids) come from two keyed aggregations over the fingerprint
+    column; cross-fingerprint adjacency from the lossless nibble-band
+    join over DISTINCT fingerprints only. A doc's neighbor count is
+    then (own clique − 1) + Σ sizes of adjacent cliques, and its min
+    neighbor the least of the adjacent cliques' minima and its own
+    clique's min (second-min when the doc IS the min). Every stage is
+    map-side combinable; output cardinality = corpus size. This is the
+    form that survives dup-dense corpora where the pair listing is
+    O(Σ|clique|²).
+    """
+    # fp feeds three consumers (clique agg, second-min agg, the final
+    # join-back); checkpoint so the tokenize+hash map pass runs once —
+    # at warehouse scale this seam is a parquet materialization
+    fp = simhash_fingerprints(
+        fan_out(df.select(id_col, text_col), HEAVY), id_col, text_col
+    ).localCheckpoint()
+    cl = fp.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("m1"))
+    # second-smallest id per clique (NULL for singleton cliques): one
+    # more keyed agg — no collect_list, so hot cliques stay cheap
+    m2 = (fp.join(cl.select("simhash", "m1"), "simhash")
+          .where(F.col(id_col) > F.col("m1"))
+          .groupBy("simhash").agg(F.min(id_col).alias("m2")))
+    cl = cl.join(m2, "simhash", "left")
+
+    blocks = cl.select(
+        "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright("simhash", i * 4).bitwiseAND(F.lit(0xF))
+                     .alias("nib"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("simhash", "b.blk", "b.nib")
+    xa = blocks.alias("a")
+    xb = blocks.withColumnRenamed("simhash", "g").alias("b")
+    adj = (xa.join(xb, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.nib") == F.col("b.nib"))
+                   & (F.col("simhash") != F.col("g")))
+           .select("simhash", "g").distinct()
+           .where(F.bit_count(F.col("simhash").cast("long")
+                              .bitwiseXOR(F.col("g").cast("long")))
+                  <= max_hamming))
+    ext = (adj.join(cl.select(F.col("simhash").alias("g"),
+                              F.col("n_docs").alias("g_docs"),
+                              F.col("m1").alias("g_m1")), "g")
+           .groupBy("simhash")
+           .agg(F.sum("g_docs").alias("ext_cnt"), F.min("g_m1").alias("ext_min")))
+
+    out = fp.join(cl, "simhash").join(ext, "simhash", "left")
+    own_min = F.when(F.col(id_col) == F.col("m1"), F.col("m2")) \
+               .otherwise(F.col("m1"))
+    return out.select(
+        F.col(id_col),
+        (F.col("n_docs") - 1 + F.coalesce(F.col("ext_cnt"), F.lit(0)))
+        .cast("long").alias("n_neighbors"),
+        F.least(F.col("ext_min"), own_min).alias("min_neighbor"),
     )

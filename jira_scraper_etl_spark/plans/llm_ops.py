@@ -191,15 +191,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.2)
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH th AS (
+_SQL_SIMHASH_FP = f"""
+    th AS (
         SELECT doc_id,
                list_transform(toks, t -> {SQL_TOKHASH}) AS th
         FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
     ),
     fp AS (SELECT doc_id, CAST({SQL_SIMHASH} AS INTEGER) AS simhash FROM th)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_FP}
+    SELECT a.doc_id AS doc_id,
+           CAST(COUNT(b.doc_id) AS BIGINT) AS n_neighbors,
+           MIN(b.doc_id) AS min_neighbor
+    FROM fp a LEFT JOIN fp b
+      ON a.doc_id <> b.doc_id
+     AND bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
+    GROUP BY a.doc_id
+    """,
+    tags=("dedup", "lsh"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit fingerprints, per-doc neighbor stats at
+    hamming ≤ 3 — ``(doc_id, n_neighbors, min_neighbor)``, one row per
+    document. BOUNDED output by construction: the former pair-listing
+    headline form is O(Σ|clique|²) rows on dup-dense corpora (>1 GiB at
+    the sf1 soak's 31-token vocabulary — BASELINE.md finding 4); this
+    form is O(n) however duplicate-dense the corpus gets.
+
+    Spark side never materializes doc pairs at all: per-fingerprint
+    clique stats + nibble-banded adjacency over DISTINCT fingerprints
+    (≤ 2¹⁶ nodes at any scale — the cluster_canonical contraction), then
+    a per-doc join-back (operators/dedup.simhash_neighbor_stats). The
+    banding is lossless for hamming ≤ 3 by pigeonhole, so this equals
+    the all-pairs oracle exactly. The pair listing remains available as
+    dedup_simhash_pairs (bounded slice) / simhash_near_dup_pairs (API).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_neighbor_stats(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_FP.replace("FROM documents", "FROM documents WHERE doc_id < 200")}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT)))
                 AS INTEGER) AS hamming
@@ -208,16 +247,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "lsh"),
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 16-bit fingerprints, pairs at hamming ≤ 3.
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIR LISTING on a bounded slice (doc_id < 200)
+    — the parameterized variant of the former headline entry, kept for
+    verify stages and diagnostics where the explicit pairs matter. The
+    slice gate bounds the worst-case output the way dedup_ngram_jaccard
+    gates its all-pairs ground truth; unsliced corpora should use
+    dedup_simhash (per-doc stats) or dedup_cluster_canonical (labels).
 
-    Spark side is nibble-banded LSH: split the fingerprint into 4
-    nibble blocks; hamming ≤ 3 guarantees (pigeonhole) at least one
-    identical block, so a 4-way bucket join finds *exactly* the same
-    pairs as the all-pairs oracle — banding is lossless here, which is
-    why this plan scales (shuffle on (block_idx, nibble), no O(n²)).
+    Nibble-banded LSH: hamming ≤ 3 guarantees (pigeonhole) an identical
+    nibble block, so the 4-way bucket join finds exactly the oracle's
+    pairs — no O(n²) anywhere, shuffle keyed on (block_idx, nibble).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
 
 
