@@ -298,22 +298,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sign-LSH banding for embedding dedup: 16 bands × 4 sign bits over the
-# 64 components. Band key = band*16 + 4-bit sign code (0..255).
+# Sign-LSH banding for embedding dedup: ``bands`` disjoint slices of
+# ``bits`` sign bits each over the 64 components; band key = band
+# offset + sign code.
 #
-# SCALE DIAL: bucket count per band is 2^bits and candidate volume per
-# band is Σ_buckets |bucket|² ≈ n²/2^bits for well-spread vectors, so
-# bits must grow ~log2(n) to hold per-bucket occupancy (and therefore
-# candidate volume per input row) constant. The (16, 4) default is
-# tuned for the sf0.01 oracle scale; the sf1 soak measured 30× runtime
-# for 10× rows at fixed bits (BASELINE.md). Callers at larger scale
-# should move along (bands, bits) = (16,4) → (8,8) → (4,16): fewer,
-# wider bands trade recall at the similarity threshold for bucket
-# selectivity — recall of a cos-θ pair per band is (1 - acos(θ)/π)^bits.
-EMB_BANDS, EMB_BAND_BITS = 16, 4
+# SCALE DIAL, AUTO-DERIVED: bucket count per band is 2^bits and
+# candidate volume per band is Σ_buckets |bucket|² ≈ n²/2^bits for
+# well-spread vectors, so bits must grow ~log2(n) to hold per-bucket
+# occupancy (and therefore candidate volume per input row) constant.
+# The round-3 fixed (16, 4) default needed hand retuning per scale (the
+# sf1 soak measured 30× runtime for 10× rows at fixed bits —
+# BASELINE.md finding 3); ``derive_banding`` now picks
+# ``bits = clamp(ceil(log2 n) − 2, 4, 16)``, ``bands = 64 // bits``:
+# expected bucket occupancy ~2² = 4, so candidates stay ~O(4n) per band
+# at ANY corpus size, and the −2 slack buys recall — per-band hit
+# probability of a cos-θ pair is (1 − acos(θ)/π)^bits, so for true
+# near-dups (cos ≥ 0.9, p ≈ 0.9/bit) recall across bands stays ≥ ~99%
+# while growing bits with log2(n) keeps the join linear. The oracle SQL
+# derives the identical parameters from COUNT(*) so both engines band
+# identically at every scale factor.
+EMB_DIM = 64
 
 
-def emb_band_keys(bands: int = EMB_BANDS, bits: int = EMB_BAND_BITS):
+def derive_banding(n: int, dim: int = EMB_DIM) -> tuple[int, int]:
+    """(bands, bits) for a corpus of ``n`` vectors — see the dial
+    comment above. Mirrored digit-for-digit by SQL_EMB_PARAMS."""
+    import math
+
+    bits = max(4, min(16, math.ceil(math.log2(max(n, 2))) - 2))
+    return dim // bits, bits
+
+
+SQL_EMB_PARAMS = """
+    p AS (SELECT LEAST(16, GREATEST(4,
+                     CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT) - 2)) AS bits
+          FROM embeddings),
+    p2 AS (SELECT bits, 64 // bits AS bands FROM p)
+"""
+
+
+def emb_band_keys(bands: int, bits: int):
     """Band-key array column over a quantized embedding column ``q``:
     band b's key encodes the sign pattern of components
     [b·bits+1 .. b·bits+bits] offset into its own key space. Requires
@@ -326,20 +350,36 @@ def emb_band_keys(bands: int = EMB_BANDS, bits: int = EMB_BAND_BITS):
         for b in range(bands)
     ])
 
-SQL_EMB_BANDS = f"""
-    SELECT vec_id, UNNEST(list_transform(generate_series(0, {EMB_BANDS - 1}),
-        b -> b * 16 + (CASE WHEN q[4*b+1] > 0 THEN 8 ELSE 0 END)
-                    + (CASE WHEN q[4*b+2] > 0 THEN 4 ELSE 0 END)
-                    + (CASE WHEN q[4*b+3] > 0 THEN 2 ELSE 0 END)
-                    + (CASE WHEN q[4*b+4] > 0 THEN 1 ELSE 0 END))) AS bk
-    FROM q
+# Band keys with the derived (bands, bits) — the inner list_sum builds
+# band b's sign code bit-by-bit, exactly like emb_band_keys.
+SQL_EMB_BANDS = """
+    SELECT vec_id, UNNEST(list_transform(generate_series(0, p2.bands - 1),
+        b -> b * (1 << p2.bits)
+             + list_sum(list_transform(generate_series(0, p2.bits - 1),
+                 i -> CASE WHEN q.q[p2.bits * b + i + 1] > 0
+                      THEN (1 << (p2.bits - 1 - i)) ELSE 0 END)))) AS bk
+    FROM q, p2
 """.strip()
+
+
+def emb_candidates(base: DataFrame, bands: int, bits: int) -> DataFrame:
+    """Distinct (va < vb) candidate pairs from the sign-LSH bucket join
+    over a (vec_id, q) frame — only (vec_id, band_key) rows move."""
+    slim = base.select("vec_id", F.explode(emb_band_keys(bands, bits)).alias("bk"))
+    x, y = slim.alias("x"), slim.alias("y")
+    return (
+        x.join(y, (F.col("x.bk") == F.col("y.bk"))
+               & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))
+        .distinct()
+    )
 
 
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH q AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
+    {SQL_EMB_PARAMS},
     n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
     bands AS ({SQL_EMB_BANDS}),
     cand AS (
@@ -356,39 +396,40 @@ SQL_EMB_BANDS = f"""
     tags=("dedup", "embedding", "lsh"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
-                           bands: int = EMB_BANDS,
-                           bits: int = EMB_BAND_BITS) -> DataFrame:
+                           bands: int | None = None,
+                           bits: int | None = None) -> DataFrame:
     """Embedding near-dup: sign-LSH candidate generation, then pairs
     with quantized cosine ≥ 0.45 verified *within buckets only*.
 
-    The scale path: 16 bands × 4 sign bits (all 64 components) produce
-    one short band key per (vector, band); candidates are a bucket
-    equi-join on that key carrying only (vec_id, bk) — never the
+    The scale path: ``bands`` disjoint slices of ``bits`` sign bits
+    produce one short band key per (vector, band); candidates are a
+    bucket equi-join on that key carrying only (vec_id, bk) — never the
     vectors — followed by DISTINCT on the id pair and two keyed joins
     back to the quantized vectors for the cosine verify. No all-pairs
     product anywhere: every shuffle is keyed and AQE-splittable.
-    Measured recall vs the exact twin (dedup_embedding_cosine_exact):
-    7/7 at sf0.001, 14/14 at sf0.01, 140/142 at sf0.1 — banding
-    width/count are the recall/cost dials, exposed as the
-    ``bands``/``bits`` kwargs (defaults pin the oracle's layout).
-    Measured on the sf1 soak (20k vectors): (16,4) = 306 s/16.4k pairs
-    (candidates ~n²/16 per band — GC-pressure territory), (8,8) = 9 s/
-    4.0k pairs keeping the high-similarity pairs; widen bits ~log2(n)
-    as the corpus grows (see EMB_BANDS comment). Fixed-point
+
+    Banding is AUTO-DERIVED from the corpus size by default
+    (``derive_banding``: bits grows with log2(n) so per-bucket occupancy
+    — and with it candidate volume per row — stays constant; the 100×
+    operator needs no hand retuning per scale, the round-3 lesson from
+    the sf1 soak where fixed (16,4) cost 30× runtime for 10× rows).
+    The oracle SQL derives identical parameters from COUNT(*), so both
+    engines band identically at every scale factor. Explicit
+    ``bands``/``bits`` kwargs remain as the manual override dial.
+    Measured recall vs the exact twin (dedup_embedding_cosine_exact)
+    with derived params: see tests/test_queries.py. Fixed-point
     quantization (floor(x·1000)) keeps the arithmetic bit-identical
     across engines.
     """
     e = load_table(spark, sf_dir, "embeddings")
+    if bits is None:
+        d_bands, bits = derive_banding(e.count())
+        bands = d_bands if bands is None else bands
+    elif bands is None:
+        bands = EMB_DIM // bits
     base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
             .withColumn("n2", V.qnorm2(F.col("q"))))
-    slim = base.select("vec_id", F.explode(emb_band_keys(bands, bits)).alias("bk"))
-    x, y = slim.alias("x"), slim.alias("y")
-    cand = (
-        x.join(y, (F.col("x.bk") == F.col("y.bk"))
-               & (F.col("x.vec_id") < F.col("y.vec_id")))
-        .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))
-        .distinct()
-    )
+    cand = emb_candidates(base, bands, bits)
     a, b = base.alias("a"), base.alias("b")
     cos = (V.qdot(F.col("a.q"), F.col("b.q")).cast("double")
            / (F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))))

@@ -38,17 +38,48 @@ def test_oracle_coverage():
 
 
 def test_embedding_dedup_bucketed_subset_and_recall(spark, sf_dir):
-    """The banded operator's pairs are a subset of the all-pairs truth
-    (same threshold), and at test SFs recall is 100% (measured; the
-    banding width/count are the recall dials — see docstring)."""
+    """Two contracts: (1) under the manual narrow-band dial (16 bands ×
+    4 bits — the recall-maximal layout for the 64-bit budget at this
+    threshold) the banded pairs EQUAL the all-pairs truth at test SFs;
+    (2) the auto-derived default (wider bits for bucket selectivity —
+    trades recall at threshold-grazing similarities, see derive_banding)
+    stays SOUND: a subset of the truth, never a false pair."""
     import pyspark.sql.functions as F
 
-    banded = plans.QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir)
+    narrow = plans.QUERIES["dedup_embedding_cosine"].fn(
+        spark, sf_dir, bands=16, bits=4)
+    derived = plans.QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir)
     exact = plans.QUERIES["dedup_embedding_cosine_exact"].fn(spark, sf_dir)
-    got = {(r.vec_a, r.vec_b) for r in banded.where(F.col("vec_a") < 300)
-           .where(F.col("vec_b") < 300).collect()}
+
+    def under300(df):
+        return {(r.vec_a, r.vec_b) for r in df.where(F.col("vec_a") < 300)
+                .where(F.col("vec_b") < 300).collect()}
+
     want = {(r.vec_a, r.vec_b) for r in exact.collect()}
-    assert got == want and isinstance(want, set)
+    assert under300(narrow) == want and isinstance(want, set)
+    assert under300(derived) <= want
+
+
+def test_embedding_dedup_derived_candidates_linear(spark, sf_dir):
+    """The derive_banding invariant: candidate volume from the derived
+    layout stays ~O(n·k) (expected bucket occupancy ~4 ⇒ ~4n candidate
+    pairs per band), never the O(n²/2^bits) a fixed narrow layout
+    degrades to as n grows."""
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.functions import vectors as V
+    from jira_scraper_etl_spark.plans.llm_ops import (derive_banding,
+                                                      emb_candidates)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    bands, bits = derive_banding(n)
+    base = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    n_cand = emb_candidates(base, bands, bits).count()
+    # occupancy ~2^2 per bucket => ~ C(4,2)*(n/4) = 1.5n pairs per band
+    # before dedup; allow generous headroom for skewed sign patterns
+    assert n_cand <= 16 * n * bands, (n_cand, n, bands, bits)
 
 
 def test_embedding_dedup_wide_bands_sound(spark, sf_dir):

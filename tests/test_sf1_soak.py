@@ -58,6 +58,24 @@ def test_cluster_canonical_invariants_sf1(spark):
     out.unpersist()
 
 
+def test_embedding_derived_banding_candidates_linear_sf1(spark):
+    """derive_banding at sf1 (20k vectors): candidate volume stays
+    ~O(n·k) — the finding-3 regression was O(n²/2^bits) ≈ 16.4k-pair
+    verify stages taking 306 s at the fixed (16,4) layout."""
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark.functions import vectors as V
+    from jira_scraper_etl_spark.plans.llm_ops import (derive_banding,
+                                                      emb_candidates)
+
+    e = spark.read.parquet(f"{SF1}/embeddings.parquet")
+    n = e.count()
+    bands, bits = derive_banding(n)
+    base = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    n_cand = emb_candidates(base, bands, bits).count()
+    assert n_cand <= 16 * n * bands, (n_cand, n, bands, bits)
+
+
 def test_embedding_cosine_sound_and_scaled_sf1(spark):
     """Wide-band (8,8) embedding dedup at sf1: every returned pair's
     cosine clears the threshold (soundness is dial-independent), and the
