@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_span_exact",
     "text_corpus_freq_score",
     "join_skewed_events_by_type",
+    "join_skewed_peers_1h",
     "curate_corpus_v2",
     "mm_byte_stats",
     "decontaminate_hashed",

@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_events
-from ..operators.skew import salted_join
+from ..operators.skew import salted_join, salted_join_cond
 from .registry import register, davg, o_davg
 
 
@@ -50,4 +50,63 @@ def join_skewed_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "value", "type_avg",
         (F.col("value") - F.col("type_avg")).alias("value_dev"),
+    )
+
+@register(
+    "join_skewed_peers_1h",
+    oracle="""
+    SELECT a.event_id, a.event_type,
+           CAST(COUNT(b.peer_id) AS BIGINT) AS n_recent_peers,
+           MAX(b.peer_value) AS max_peer_value
+    FROM events a LEFT JOIN
+         (SELECT event_id AS peer_id, event_type AS peer_type,
+                 ts AS peer_ts, value AS peer_value FROM events) b
+      ON b.peer_type = a.event_type
+     AND b.peer_id <> a.event_id
+     AND b.peer_ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+    GROUP BY a.event_id, a.event_type
+    """,
+    tags=("join", "skew", "band"),
+)
+def join_skewed_peers_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour peer load: for every event, the count and
+    max value of OTHER same-type events in the preceding hour — the
+    big×big skewed band join that neither broadcast nor AQE rescues.
+
+    Why this shape matters: the semantics are exactly a
+    ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` window
+    partitioned by event_type — but that window funnels each type's
+    ENTIRE row mass through one task (5 types ⇒ 5 busy cores at any
+    cluster size; the hot partition holds 20% of a 100 TB table). Both
+    join sides are the full events table (broadcast-ineligible — the
+    merge hint pins the shuffle join the way a 100 TB side would), and
+    the equi-key is the 5-value event_type, so an unsalted shuffle join
+    is exactly as skewed as the window. ``salted_join_cond`` sprays the
+    probe side over 8 salts and replicates the peer side 8×: the hot
+    key's partition shrinks 8× while the band predicate rides along as
+    a residual. Output re-aggregates per event, so result size is O(n)
+    regardless of peer density. At warehouse scale the peer side would
+    first be restricted to the hot keys (hot-key isolation) — here all
+    5 keys are equally hot, the worst case for key-hashed distribution.
+
+    Cross-engine determinism: COUNT is exact; MAX over doubles involves
+    no accumulation order; ties are irrelevant to both.
+    """
+    ev = load_events(spark, sf_dir)
+    a = ev.select("event_id", "event_type", "ts")
+    b = (ev.select(F.col("event_id").alias("peer_id"),
+                   F.col("event_type").alias("peer_type"),
+                   F.col("ts").alias("peer_ts"),
+                   F.col("value").alias("peer_value"))
+         .hint("merge"))
+    joined = salted_join_cond(
+        a, b,
+        lambda x, y: (y["peer_type"] == x["event_type"])
+        & (y["peer_id"] != x["event_id"])
+        & (y["peer_ts"] >= x["ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (y["peer_ts"] <= x["ts"]),
+        salt=8, how="left")
+    return joined.groupBy("event_id", "event_type").agg(
+        F.count("peer_id").cast("long").alias("n_recent_peers"),
+        F.max("peer_value").alias("max_peer_value"),
     )

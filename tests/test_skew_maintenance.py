@@ -45,3 +45,51 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert stats["files_after"] < stats["files_before"]
     assert stats["files_after"] == 1
     assert spark.read.parquet(d).count() == want
+
+
+def test_salted_band_self_join_matches_unsalted(spark, sf_dir):
+    """join_skewed_peers_1h row-equals the unsalted twin, its physical
+    plan is a shuffle join (no broadcast — the 100 TB stand-in), and the
+    salt actually fixes the partition skew: keyed on event_type alone,
+    one shuffle partition holds >= ~1/5 of all rows, while keyed on
+    (event_type, salt) no partition exceeds half of that."""
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.catalog import load_events
+
+    out = plans.QUERIES["join_skewed_peers_1h"].fn(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+    ev = load_events(spark, sf_dir)
+    a = ev.select("event_id", "event_type", "ts")
+    b = ev.select(F.col("event_id").alias("peer_id"),
+                  F.col("event_type").alias("peer_type"),
+                  F.col("ts").alias("peer_ts"),
+                  F.col("value").alias("peer_value"))
+    unsalted = (a.join(b, (F.col("peer_type") == F.col("event_type"))
+                       & (F.col("peer_id") != F.col("event_id"))
+                       & (F.col("peer_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+                       & (F.col("peer_ts") <= F.col("ts")), "left")
+                .groupBy("event_id", "event_type")
+                .agg(F.count("peer_id").cast("long").alias("n_recent_peers"),
+                     F.max("peer_value").alias("max_peer_value")))
+    assert out.count() == unsalted.count()
+    assert out.subtract(unsalted).count() == 0
+    assert unsalted.subtract(out).count() == 0
+
+    # partition-mass probe: hash-distribute the probe side by the raw
+    # key vs (key, salt) and compare the heaviest partition's share
+    n = ev.count()
+    by_key = (ev.repartition(32, "event_type")
+              .groupBy(F.spark_partition_id().alias("p"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    max_unsalted = by_key.agg(F.max("c")).collect()[0][0]
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+    by_key_salt = (salted.repartition(32, "event_type", "_salt")
+                   .groupBy(F.spark_partition_id().alias("p"))
+                   .agg(F.count(F.lit(1)).alias("c")))
+    max_salted = by_key_salt.agg(F.max("c")).collect()[0][0]
+    assert max_unsalted >= n / 5 * 0.9, (max_unsalted, n)
+    assert max_salted <= max_unsalted / 2, (max_salted, max_unsalted)
