@@ -26,3 +26,28 @@ def test_bench_emits_single_json_line_on_stdout():
         "q1_pricing_summary", "dedup_minhash_lsh", "dedup_cluster_canonical",
         "text_vocab_topk", "jira_source_scan"}
     assert all(v >= 0 for v in payload["queries"].values())
+
+
+def test_every_registry_output_survives_driver_canonicalization(spark, sf_dir):
+    """The external correctness harness canonicalizes each query's
+    output by pandas-sorting over ALL columns before hashing typed
+    values — a bare array/struct/map column materializes as numpy
+    arrays/dicts there and dies with 'unhashable type' (the round-3
+    embedding_quantize_int8 driver err). Run every registered entry's
+    output through those exact steps at sf0.001 so a shape regression
+    is caught before any external harness sees it."""
+    import pandas as pd
+
+    from jira_scraper_etl_spark import plans
+
+    failures = []
+    for name, q in plans.QUERIES.items():
+        try:
+            pdf = q.fn(spark, sf_dir).toPandas()
+            pdf = pdf.sort_values(by=list(pdf.columns))
+            if q.oracle is not None:
+                # hash compare only runs for oracle-backed entries
+                pd.util.hash_pandas_object(pdf, index=False)
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, failures
