@@ -26,49 +26,55 @@ from . import event_time  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # Newest (no external signal yet): int8 vector compression,
-    # dataset-card accounting, asymmetric containment dedup.
-    "embedding_quantize_int8", "similarity_topk_sq8",
-    "curate_dataset_card", "dedup_containment", "text_char_diversity",
-    "curate_corpus_v3",
-    # New this round: salted skew join, real-codec multimodal decode,
-    # hash-prefiltered decontamination, composed multimodal flagship.
-    "join_skewed_events_by_type", "decontaminate_hashed",
+    # -- Entries #1-50: the round-4 correctness window. ------------------
+    # Never externally checked after three rounds (the r3 verdict's #1
+    # visibility gap): the custom Python Data Source scan path, the
+    # rows-only jira parity tail, and this round's two new queries.
+    "jira_source_scan", "jira_corpus_stats", "jira_transform_silver",
+    "jira_qa_pairs_udtf", "similarity_ann_ivf",
+    "text_length_percentiles_approx",
+    "join_skewed_peers_1h", "dedup_simhash_pairs",
+    # Fixed or semantically changed this round: the r3 `err` entry
+    # (codes_csv reshape), the bounded per-doc simhash form, and the
+    # auto-derived embedding banding.
+    "embedding_quantize_int8", "dedup_simhash", "dedup_embedding_cosine",
+    # Plan changed this round (conditional fan-out replaced the
+    # unconditional repartition; values identical, but the external
+    # hash should confirm it).
+    "dedup_minhash_lsh", "dedup_span_exact", "dedup_cluster_canonical",
+    "dedup_incremental_novel", "dedup_ngram_jaccard",
+    "text_corpus_freq_score", "text_vocab_topk", "text_char_pair_stats",
+    "text_bigram_assoc", "text_char_diversity", "text_repetition_stats",
+    "decontaminate_ngram", "decontaminate_hashed",
+    "curate_pretrain_corpus", "curate_corpus_v2", "curate_corpus_v3",
+    # Externally green only ONCE ever (r1 or r2), never since.
+    "similarity_ann_mllsh", "events_session_concurrency",
+    "events_cohort_retention", "join_full_outer_entity_activity",
+    "window_ntile_distribution", "window_first_last_orders",
+    "events_hourly_gapfill", "events_pivot_type_counts",
+    "events_transition_matrix",
+    # Externally green only once (r3), unchanged — keep one more round
+    # of signal while slots allow.
+    "similarity_topk_sq8", "curate_dataset_card", "dedup_containment",
     "curate_multimodal_corpus", "decontaminate_embedding",
     "mm_decode_meta", "mm_byte_stats", "mm_resize_plan", "mm_frame_sample",
-    # Changed this round: events loader grew timestamp-unit detection
-    # (representatives below — every events query shares the load path,
-    # so a subset in-window covers the change and the driver-green-in-r2
-    # rest yield their slots); join_revenue_by_nation lost its customer
-    # broadcast hint.
-    "join_revenue_by_nation",
-    "events_tumbling_1h", "events_session_30m", "events_attribution_1h",
-    "events_latest_state_per_user", "events_trailing_1h_sum",
-    "join_asof_last_event_before_order",
-    # Oracle-backed LLM-pipeline entries the round-2 driver file never
-    # reached (north-star mandate; judge-green only so far).
-    "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_exact", "dedup_cluster_canonical",
-    "dedup_span_exact", "dedup_incremental_novel",
-    "dedup_pairs_edit_distance",
+    "events_attribution_1h", "dedup_pairs_edit_distance",
+    "text_fingerprint", "text_pii_redact",
+    "text_length_percentiles",  # entry #50 — last slot inside the window
+    # -- Entries #51+: past the 50-entry window. -------------------------
+    # r3-green-once entries that lost the slot tiebreak, then everything
+    # externally green in two or more rounds (they can yield their slots;
+    # the registry tail keeps import order).
+    "split_train_test", "sample_stratified", "pack_sequences",
+    "sample_mixture_weights", "embedding_label_centroids",
     "similarity_topk_bruteforce", "similarity_ann_signlsh",
     "text_language_id", "text_quality_score", "text_token_stats",
-    "text_fingerprint", "text_vocab_topk", "text_repetition_stats",
-    "text_corpus_freq_score", "text_bigram_assoc", "text_char_pair_stats",
-    "text_pii_redact",
-    "text_length_percentiles",
-    "split_train_test", "sample_stratified", "pack_sequences",
-    "decontaminate_ngram", "sample_mixture_weights",
-    "curate_pretrain_corpus", "curate_corpus_v2",
-    "embedding_label_centroids",
-    # Past the 50-entry window (the round-3 additions took their slots):
-    # r2-driver-green events/relational entries, the rows-only
-    # jira_corpus_stats (weakest signal), and flagships driver-green in
-    # both earlier rounds.
-    "events_sliding_1h_30m", "events_session_concurrency",
-    "events_cohort_retention", "filter_project_shipped_window",
-    "jira_corpus_stats", "jira_source_scan",
-    "q1_pricing_summary",
+    "dedup_embedding_cosine_exact", "dedup_exact",
+    "join_skewed_events_by_type",
+    "join_revenue_by_nation", "events_tumbling_1h", "events_session_30m",
+    "events_latest_state_per_user", "events_trailing_1h_sum",
+    "join_asof_last_event_before_order", "events_sliding_1h_30m",
+    "filter_project_shipped_window", "q1_pricing_summary",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
