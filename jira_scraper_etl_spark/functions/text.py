@@ -98,7 +98,9 @@ def first_answer(comments: Column) -> Column:
     return F.try_element_at(qualifying, F.lit(1))["body"]
 
 
-def qa_pairs(description: Column, comments: Column) -> Column:
+def qa_pairs(description: Column, comments: Column,
+             raw_answer: Column | None = None,
+             answer: Column | None = None) -> Column:
     """Derived QA task (transformer.py:92-116): one {question, answer}
     per extracted question, all answered by ``first_answer``; empty
     array when there is no qualifying comment (or no questions).
@@ -106,9 +108,17 @@ def qa_pairs(description: Column, comments: Column) -> Column:
     The answer is ``clean_text``-ed AGAIN (the reference cleans comment
     bodies at :266 and the chosen answer a second time at :112 — the
     re-collapse of spaces left by markup removal is observable in the
-    golden corpus, so we preserve it)."""
-    raw_answer = first_answer(comments)
-    answer = clean_text(raw_answer)
+    golden corpus, so we preserve it).
+
+    ``raw_answer``/``answer`` may be passed as precomputed columns: the
+    answer expression sits inside the per-question ``transform`` lambda,
+    so when inlined its clean_text fold re-runs once PER QUESTION —
+    loop-invariant work a caller can hoist into an earlier projection
+    (operators/transform.py does)."""
+    if raw_answer is None:
+        raw_answer = first_answer(comments)
+    if answer is None:
+        answer = clean_text(raw_answer)
     pairs = F.transform(
         extract_questions(description),
         lambda q: F.struct(pystrip(q).alias("question"), answer.alias("answer")),

@@ -57,16 +57,21 @@ def transform_issues(raw: DataFrame) -> DataFrame:
         ),
     )
 
-    classifications = X.classify_issue(
-        f["summary"], f["labels"], f["issuetype"]["name"])
-    summary_task = X.generate_summary(title, description)
-    qa = X.qa_pairs(description, comments)
-
     id_col = F.coalesce(F.col("key"), F.lit("UNKNOWN"))
-    created = f["created"]
-    updated = f["updated"]
 
-    out = raw.select(
+    # TWO projections on purpose. clean_text is an interpreted
+    # ``aggregate`` fold (functions/text.py P8) — the most expensive
+    # expression here — and the derived-task expressions reference
+    # title/description/comments several times each. Inlined (the
+    # former one-projection form) each reference re-evaluates its fold
+    # per row — ~4× the per-row line-scan work, which is what dominates
+    # on a real corpus at scale. CollapseProject keeps the stages apart
+    # because the aliases are non-cheap and multi-referenced (the
+    # operators/dedup.shingled_docs argument); the second stage's
+    # references then read the computed attribute. (One-shot latency on
+    # the 5-row fixture is codegen-compile-bound, ~4 s either way — the
+    # staging targets per-row throughput, not that constant.)
+    base = raw.select(
         id_col.alias("id"),
         title.alias("title"),
         description.alias("description"),
@@ -74,18 +79,36 @@ def transform_issues(raw: DataFrame) -> DataFrame:
         _null_safe_name(f["priority"], "name").alias("priority"),
         _null_safe_name(f["reporter"], "displayName").alias("reporter"),
         _null_safe_name(f["assignee"], "displayName").alias("assignee"),
-        created.alias("created"),
-        updated.alias("updated"),
+        f["created"].alias("created"),
+        f["updated"].alias("updated"),
         F.coalesce(f["labels"], F.array().cast("array<string>")).alias("labels"),
         F.coalesce(
             F.transform(f["components"], lambda c: c["name"]),
             F.array().cast("array<string>"),
         ).alias("components"),
         comments.alias("comments"),
+        f["summary"].alias("_summary_raw"),
+        f["labels"].alias("_labels_raw"),
+        f["issuetype"]["name"].alias("_issuetype"),
+    )
+    # hoist the loop-invariant answer fold out of qa_pairs' per-question
+    # lambda (see the qa_pairs docstring); first_answer itself is a
+    # cheap filter+element_at, fine to appear twice
+    staged = base.withColumns({
+        "_raw_answer": X.first_answer(F.col("comments")),
+        "_answer": X.clean_text(X.first_answer(F.col("comments"))),
+    })
+    out = staged.select(
+        "id", "title", "description", "status", "priority", "reporter",
+        "assignee", "created", "updated", "labels", "components", "comments",
         F.struct(
-            summary_task.alias("summary"),
-            classifications.alias("classifications"),
-            qa.alias("qa_pairs"),
+            X.generate_summary(F.col("title"), F.col("description"))
+            .alias("summary"),
+            X.classify_issue(F.col("_summary_raw"), F.col("_labels_raw"),
+                             F.col("_issuetype")).alias("classifications"),
+            X.qa_pairs(F.col("description"), F.col("comments"),
+                       raw_answer=F.col("_raw_answer"),
+                       answer=F.col("_answer")).alias("qa_pairs"),
         ).alias("derived_tasks"),
     )
     errors = X.validation_errors(
@@ -113,7 +136,10 @@ def transform_flat_issues(flat: DataFrame) -> DataFrame:
             c["created"].alias("created"),
         ),
     )
-    out = flat.select(
+    # staged like transform_issues: materialize the clean_text folds
+    # once, then derive from the computed attributes (see the
+    # two-projection comment there)
+    base = flat.select(
         F.coalesce(F.col("key"), F.lit("UNKNOWN")).alias("id"),
         F.col("project"),
         title.alias("title"),
@@ -127,11 +153,25 @@ def transform_flat_issues(flat: DataFrame) -> DataFrame:
         F.coalesce(F.col("labels"), F.array().cast("array<string>")).alias("labels"),
         F.coalesce(F.col("components"), F.array().cast("array<string>")).alias("components"),
         comments.alias("comments"),
+        F.col("summary").alias("_summary_raw"),
+        F.col("issuetype").alias("_issuetype"),
+    )
+    staged = base.withColumns({
+        "_raw_answer": X.first_answer(F.col("comments")),
+        "_answer": X.clean_text(X.first_answer(F.col("comments"))),
+    })
+    out = staged.select(
+        "id", "project", "title", "description", "status", "priority",
+        "reporter", "assignee", "created", "updated", "labels", "components",
+        "comments",
         F.struct(
-            X.generate_summary(title, description).alias("summary"),
-            X.classify_issue(F.col("summary"), F.col("labels"),
-                             F.col("issuetype")).alias("classifications"),
-            X.qa_pairs(description, comments).alias("qa_pairs"),
+            X.generate_summary(F.col("title"), F.col("description"))
+            .alias("summary"),
+            X.classify_issue(F.col("_summary_raw"), F.col("labels"),
+                             F.col("_issuetype")).alias("classifications"),
+            X.qa_pairs(F.col("description"), F.col("comments"),
+                       raw_answer=F.col("_raw_answer"),
+                       answer=F.col("_answer")).alias("qa_pairs"),
         ).alias("derived_tasks"),
     )
     errors = X.validation_errors(

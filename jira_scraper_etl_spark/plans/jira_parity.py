@@ -83,7 +83,11 @@ def _fixture_rows() -> list[dict]:
 
 
 def fixture_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(_fixture_rows(), RAW_ISSUE_SCHEMA)
+    # one partition on purpose: createDataFrame spreads the 5 fixture
+    # rows over defaultParallelism partitions, and every task then pays
+    # the full setup of the (very large) transform expression tree —
+    # 32 near-empty tasks cost ~4 s/action where one costs ~0.5 s
+    return spark.createDataFrame(_fixture_rows(), RAW_ISSUE_SCHEMA).coalesce(1)
 
 
 @register("jira_transform_silver", oracle=None, tags=("jira", "parity"))
