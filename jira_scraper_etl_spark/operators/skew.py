@@ -63,3 +63,43 @@ def salted_join_cond(big: DataFrame, other: DataFrame, cond,
                      cond(big_s, other_s) & (big_s["_salt"] == other_s["_salt2"]),
                      how)
     return out.drop("_salt", "_salt2")
+
+
+def hotkey_salted_join(big: DataFrame, small: DataFrame, key: str,
+                       salt: int = 8, hot_fraction: float = 0.05,
+                       how: str = "inner") -> DataFrame:
+    """Salted join with HOT-KEY ISOLATION — the form a warehouse runs.
+
+    Uniform salting (``salted_join``) replicates the entire small side
+    ``salt``×, which at 100 TB multiplies a possibly-large dimension for
+    the benefit of a handful of keys. This variant first measures the
+    big side's key histogram (one map-side-combined count aggregation),
+    marks keys holding more than ``hot_fraction`` of the rows as hot
+    (broadcast — the hot set is tiny by construction: at most
+    ``1/hot_fraction`` keys can exceed the threshold), and then:
+
+    * hot-key rows: big side sprayed over ``salt`` sub-keys, small side
+      replicated ``salt``× — but only its hot-key rows;
+    * cold-key rows: plain equi-join, no replication, no spray.
+
+    The two branches union to a result row-identical to the plain join.
+    Extra cost over the naive join: one count agg over the big side's
+    key column and ``salt``× replication of only the small side's hot
+    rows — both independent of the small side's total size.
+    """
+    counts = big.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    total = big.count()
+    hot = (counts.where(F.col("_n") > total * hot_fraction)
+           .select(key).withColumn("_hot", F.lit(True)))
+
+    big_t = big.join(F.broadcast(hot), key, "left")
+    small_t = small.join(F.broadcast(hot), key, "left")
+
+    hot_out = salted_join(
+        big_t.where(F.col("_hot").isNotNull()).drop("_hot"),
+        small_t.where(F.col("_hot").isNotNull()).drop("_hot"),
+        key, salt=salt, how=how)
+    cold_out = (big_t.where(F.col("_hot").isNull()).drop("_hot")
+                .join(small_t.where(F.col("_hot").isNull()).drop("_hot"),
+                      key, how))
+    return hot_out.unionByName(cold_out)

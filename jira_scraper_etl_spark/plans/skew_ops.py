@@ -16,8 +16,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load_events
-from ..operators.skew import salted_join, salted_join_cond
+from ..catalog import load_events, load_table
+from ..functions import hashing as H
+from ..operators.skew import hotkey_salted_join, salted_join, salted_join_cond
+from .llm_ops import SQL_TOKS
 from .registry import register, davg, o_davg
 
 
@@ -109,4 +111,52 @@ def join_skewed_peers_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "event_type").agg(
         F.count("peer_id").cast("long").alias("n_recent_peers"),
         F.max("peer_value").alias("max_peer_value"),
+    )
+
+@register(
+    "join_hotkey_isolated_lang",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      CAST(len({SQL_TOKS}) AS INTEGER) AS n_tokens
+               FROM documents WHERE text IS NOT NULL),
+    dim AS (SELECT lang,
+                   CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) / COUNT(*)
+                     AS lang_avg_tokens
+            FROM t GROUP BY lang)
+    SELECT t.doc_id, t.lang, t.n_tokens, dim.lang_avg_tokens,
+           t.n_tokens / dim.lang_avg_tokens AS rel_len
+    FROM t JOIN dim USING (lang)
+    """,
+    tags=("join", "skew"),
+)
+def join_hotkey_isolated_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc relative length vs its language's corpus average — the
+    HOT-KEY-ISOLATED salted join (operators/skew.hotkey_salted_join).
+
+    The documents table's lang key is the realistic skew profile: one
+    dominant value ('en', ~41% of rows) over a cold tail (~15% each).
+    Uniform salting would replicate the whole dim for every key; the
+    isolated form measures the key histogram first (one map-side-
+    combined count agg), broadcasts the tiny hot set ('en' alone at
+    hot_fraction=0.25), sprays only hot-key rows over 8 salts with only
+    the dim's hot rows replicated, and lets the cold tail flow through
+    a plain equi-join. Union is row-identical to the plain join. At
+    100 TB the count agg costs one scan of the key column (or comes
+    free from table stats) and replication is bounded by the hot rows
+    alone — independent of dim size.
+
+    Numeric determinism: integer token counts; the lang average is
+    exact-int sum / count in one fixed double division on both engines.
+    """
+    d = (load_table(spark, sf_dir, "documents")
+         .where(F.col("text").isNotNull())
+         .select("doc_id", "lang",
+                 F.size(H.word_tokens(F.col("text"))).alias("n_tokens")))
+    dim = d.groupBy("lang").agg(
+        (F.sum("n_tokens").cast("long") / F.count(F.lit(1)))
+        .alias("lang_avg_tokens"))
+    out = hotkey_salted_join(d, dim, "lang", salt=8, hot_fraction=0.25)
+    return out.select(
+        "doc_id", "lang", "n_tokens", "lang_avg_tokens",
+        (F.col("n_tokens") / F.col("lang_avg_tokens")).alias("rel_len"),
     )

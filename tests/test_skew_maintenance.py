@@ -93,3 +93,34 @@ def test_salted_band_self_join_matches_unsalted(spark, sf_dir):
     max_salted = by_key_salt.agg(F.max("c")).collect()[0][0]
     assert max_unsalted >= n / 5 * 0.9, (max_unsalted, n)
     assert max_salted <= max_unsalted / 2, (max_salted, max_unsalted)
+
+
+def test_hotkey_isolated_join_parity_and_hot_set(spark, sf_dir):
+    """hotkey_salted_join: result row-identical to the plain join, and
+    at hot_fraction=0.25 exactly the dominant 'en' key takes the salted
+    branch (the cold tail joins unsalted, unreplicated)."""
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.functions import hashing as H
+
+    out = plans.QUERIES["join_hotkey_isolated_lang"].fn(spark, sf_dir)
+    d = (load_table(spark, sf_dir, "documents")
+         .where(F.col("text").isNotNull())
+         .select("doc_id", "lang",
+                 F.size(H.word_tokens(F.col("text"))).alias("n_tokens")))
+    dim = d.groupBy("lang").agg(
+        (F.sum("n_tokens").cast("long") / F.count(F.lit(1)))
+        .alias("lang_avg_tokens"))
+    plain = d.join(dim, "lang").select(
+        "doc_id", "lang", "n_tokens", "lang_avg_tokens",
+        (F.col("n_tokens") / F.col("lang_avg_tokens")).alias("rel_len"))
+    assert out.count() == plain.count()
+    assert out.subtract(plain).count() == 0
+    assert plain.subtract(out).count() == 0
+
+    total = d.count()
+    hot = {r.lang for r in d.groupBy("lang").count()
+           .where(F.col("count") > total * 0.25).collect()}
+    assert hot == {"en"}, hot
