@@ -11,13 +11,15 @@ Real-format coverage: **PNG** (signature + chunk walk with CRC verify,
 IHDR dims/bit-depth/channels, IDAT payload size), **WAV** (RIFF/WAVE
 chunk walk, fmt rate/channels/bits, data size → sample-frame count),
 **JPEG** (marker-segment walk to the SOF frame header for
-precision/dims/components, SOS→EOI payload size), and **MP4**
+precision/dims/components, SOS→EOI payload size), **MP4**
 (ISO-BMFF box walk: mvhd duration/timescale, tkhd 16.16 dims, mdat
-payload size) are decoded for real with stdlib ``struct``/``zlib`` —
-no codec library needed for header-level metadata. Pixel/sample
-*payload* decoding (JPEG entropy decode, AVI demux, codec bitstreams)
-genuinely needs codec libraries absent from this container and stays
-a clearly-marked ``NotImplementedError`` stub. Everything Spark-side is real and tested: the binary schema,
+payload size), and **AVI** (RIFF LIST walk: avih frame count/interval/
+dims/streams, movi payload size) are decoded for real with stdlib
+``struct``/``zlib`` — no codec library needed for header-level
+metadata. Only pixel/sample *payload* decoding (JPEG entropy scans,
+codec bitstreams) genuinely needs codec libraries absent from this
+container; no query depends on it.
+Everything Spark-side is real and tested: the binary schema,
 the container headers, Arrow batch shapes, partitioning behavior, and
 the row-multiplying frame-sample pass.
 
@@ -346,10 +348,11 @@ def _parse_header(buf: bytes) -> tuple[int, int, int]:
 def decode_one(buf: bytes) -> dict:
     """Decode one binary payload's header metadata, dispatching on magic.
 
-    FAKE / PNG / WAV / JPEG / MP4 headers parse for real. AVI demuxing
-    (and all pixel/sample payload decoding) needs codec libraries this
-    container doesn't ship, so that magic raises a clearly-marked stub
-    error.
+    FAKE / PNG / WAV / JPEG / MP4 / AVI container headers all parse for
+    real (stdlib struct/zlib). Only pixel/sample *payload* decoding
+    (JPEG entropy scans, codec bitstreams inside mp4 mdat / avi movi)
+    needs codec libraries this container doesn't ship — no query here
+    depends on it.
     """
     fmt = sniff_format(buf)
     if fmt == "fake":
@@ -369,12 +372,55 @@ def decode_one(buf: bytes) -> dict:
     if fmt == "mp4":
         return decode_mp4(buf)
     if fmt == "avi":
-        raise NotImplementedError(
-            "STUB: AVI demuxing (and all pixel/sample payload decoding) "
-            "needs a codec library not present in this container; "
-            "header-level PNG/WAV/JPEG/MP4/FAKE decode is real"
-        )
+        return decode_avi(buf)
     raise ValueError("unrecognized media container")
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Walk RIFF chunks in buf[start:end] yielding (id, body_start,
+    body_end). Little-endian sizes; chunks are word-aligned."""
+    pos = start
+    while pos + 8 <= end:
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        body = pos + 8
+        if body + size > end:
+            raise ValueError("truncated RIFF chunk")
+        yield cid, body, body + size
+        pos = body + size + (size & 1)
+
+
+def decode_avi(buf: bytes) -> dict:
+    """Real AVI (RIFF) header demux (stdlib only): LIST-hdrl walk to the
+    avih MainAVIHeader (frame interval, total frames, stream count,
+    dims — ten LE u32s per the VfW spec) and the LIST-movi chunk for
+    the interleaved payload size. sample_rate reports the frame rate
+    (round(1e6 / dwMicroSecPerFrame)). Only the codec *bitstreams*
+    inside movi need a codec library — the demux itself is pure RIFF
+    chunk walking, same as WAV."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    avih, movi_len = None, 0
+    for cid, b, e in _riff_chunks(buf, 12, len(buf)):
+        if cid != b"LIST":
+            continue
+        ltype = buf[b:b + 4]
+        if ltype == b"hdrl":
+            for cid2, b2, e2 in _riff_chunks(buf, b + 4, e):
+                if cid2 == b"avih" and e2 - b2 >= 40:
+                    avih = struct.unpack("<10I", buf[b2:b2 + 40])
+        elif ltype == b"movi":
+            movi_len = e - (b + 4)
+    if avih is None:
+        raise ValueError("AVI missing avih header")
+    usec_pf, _, _, _, total_frames, _, n_streams, _, width, height = avih
+    return {
+        "format": "avi", "media_type": "video",
+        "n_frames": int(total_frames), "payload_len": movi_len,
+        "width": width or None, "height": height or None,
+        "sample_rate": round(1_000_000 / usec_pf) if usec_pf else None,
+        "n_channels": n_streams or None, "bit_depth": None,
+    }
 
 
 DECODED_SCHEMA = T.StructType([

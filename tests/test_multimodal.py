@@ -275,8 +275,34 @@ def test_decode_mp4_rejects_degenerate_largesize():
         MM.decode_one(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00" + bad)
 
 
-def test_avi_decode_is_stubbed():
-    with pytest.raises(NotImplementedError, match="STUB"):
-        MM.decode_one(b"RIFF\x00\x00\x00\x24AVI " + b"\x00" * 16)
+def _make_avi(width: int, height: int, n_frames: int = 90,
+              usec_per_frame: int = 33333, n_streams: int = 1,
+              payload: bytes = b"\xcd" * 24) -> bytes:
+    import struct as S
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + S.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    avih = chunk(b"avih", S.pack(
+        "<10I", usec_per_frame, 0, 0, 0, n_frames, 0, n_streams, 0,
+        width, height) + b"\x00" * 16)
+    hdrl = chunk(b"LIST", b"hdrl" + avih)
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", payload))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + S.pack("<I", len(body)) + body
+
+
+def test_decode_avi_real_bytes():
+    meta = MM.decode_one(_make_avi(720, 480, n_frames=90))
+    assert meta["format"] == "avi" and meta["media_type"] == "video"
+    assert meta["width"] == 720 and meta["height"] == 480
+    assert meta["n_frames"] == 90 and meta["n_channels"] == 1
+    assert meta["sample_rate"] == 30  # round(1e6 / 33333)
+    assert meta["payload_len"] == 32  # movi list body minus the 4-byte type
+
+
+def test_decode_avi_rejects_missing_avih():
+    with pytest.raises(ValueError, match="avih"):
+        MM.decode_one(b"RIFF\x00\x00\x00\x04AVI ")
     with pytest.raises(ValueError):
         MM.decode_one(b"NOPE" + b"\x00" * 16)
