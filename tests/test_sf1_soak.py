@@ -58,6 +58,29 @@ def test_cluster_canonical_invariants_sf1(spark):
     out.unpersist()
 
 
+def test_simhash_neighbor_stats_bounded_and_consistent_sf1(spark):
+    """The round-4 bounded dedup_simhash form at sf1 — the regime where
+    the old pair listing exceeded maxResultSize (BASELINE finding 4):
+    output is exactly one row per document, and neighbor counts are
+    consistent with the cluster labeling (hamming <= 3 adjacency is a
+    subgraph of the cluster's transitive closure, so every doc's
+    n_neighbors is bounded by cluster_size - 1; docs in singleton
+    clusters have zero neighbors and no min_neighbor)."""
+    out = plans.QUERIES["dedup_simhash"].fn(spark, SF1).cache()
+    n_docs = spark.read.parquet(f"{SF1}/documents.parquet").count()
+    assert out.count() == n_docs
+    labels = plans.QUERIES["dedup_cluster_canonical"].fn(spark, SF1) \
+        .select("doc_id", "cluster_size")
+    joined = out.join(labels, "doc_id")
+    assert joined.where(
+        F.col("n_neighbors") > F.col("cluster_size") - 1).count() == 0
+    singletons = joined.where(F.col("cluster_size") == 1)
+    assert singletons.where(
+        (F.col("n_neighbors") != 0) | F.col("min_neighbor").isNotNull()
+    ).count() == 0
+    out.unpersist()
+
+
 def test_embedding_derived_banding_candidates_linear_sf1(spark):
     """derive_banding at sf1 (20k vectors): candidate volume stays
     ~O(n·k) — the finding-3 regression was O(n²/2^bits) ≈ 16.4k-pair
