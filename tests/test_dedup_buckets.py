@@ -56,3 +56,38 @@ def test_small_buckets_exact_chain_only_above_cap(spark):
                                          chain_width=1).collect()}
     # bucket {1,2,3} chains to consecutive pairs; bucket {4,5} unchanged
     assert capped == {(1, 2), (2, 3), (4, 5)}
+
+
+def test_simhash_neighbor_stats_matches_bruteforce_random(spark):
+    """Differential check of the contracted-graph neighbor math
+    (clique sizes, second-min election, cross-clique adjacency): on
+    seeded random corpora with tiny vocabularies (forcing fingerprint
+    collisions and near-collisions), per-doc (n_neighbors, min_neighbor)
+    must equal a brute-force O(n^2) recomputation from the SAME
+    fingerprints."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark.operators.dedup import (
+        simhash_fingerprints, simhash_neighbor_stats)
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(6)]
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(1, 12))))
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+
+        fps = {r.doc_id: r.simhash
+               for r in simhash_fingerprints(df).collect()}
+        want = {}
+        for a, fa in fps.items():
+            nbrs = [b for b, fb in fps.items()
+                    if b != a and bin(fa ^ fb).count("1") <= 3]
+            want[a] = (len(nbrs), min(nbrs) if nbrs else None)
+
+        got = {r.doc_id: (r.n_neighbors, r.min_neighbor)
+               for r in simhash_neighbor_stats(df).collect()}
+        assert got == want, f"seed {seed}: {sorted(set(got.items()) ^ set(want.items()))[:4]}"

@@ -124,3 +124,26 @@ def test_hotkey_isolated_join_parity_and_hot_set(spark, sf_dir):
     hot = {r.lang for r in d.groupBy("lang").count()
            .where(F.col("count") > total * 0.25).collect()}
     assert hot == {"en"}, hot
+
+
+def test_hotkey_salted_join_random_distributions(spark):
+    """hotkey_salted_join equals the plain join on seeded random key
+    distributions across the interesting shapes: no hot keys, one hot
+    key, all keys hot, and keys present on only one side (inner-join
+    semantics must drop them identically)."""
+    import random
+
+    from jira_scraper_etl_spark.operators.skew import hotkey_salted_join
+
+    for seed, weights in ((1, [1] * 10), (2, [20, 1, 1, 1]), (3, [5, 5])):
+        rng = random.Random(seed)
+        keys = [f"k{i}" for i in range(len(weights))]
+        big_rows = [(rng.choices(keys, weights)[0], i) for i in range(300)]
+        big = spark.createDataFrame(big_rows, "k string, v long")
+        small_rows = [(k, f"dim-{k}") for k in keys[:-1]]  # last key dimless
+        small = spark.createDataFrame(small_rows, "k string, d string")
+        out = hotkey_salted_join(big, small, "k", salt=4, hot_fraction=0.3)
+        plain = big.join(small, "k")
+        assert out.count() == plain.count(), seed
+        assert out.subtract(plain).count() == 0, seed
+        assert plain.subtract(out).count() == 0, seed
