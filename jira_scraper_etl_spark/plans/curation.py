@@ -655,3 +655,63 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_chars", "max_chars", "n_unique",
         (F.col("n_unique").cast("double") / F.col("n_docs")).alias("uniq_ratio"),
     )
+
+# Shuffle-hash arithmetic: first 4 md5 hex chars of "<seed>:<doc_id>"
+# -> uint16; shard = hash % n_shards. Position within a shard orders by
+# the FULL 32-char digest (then doc_id for total order).
+SHUFFLE_SEED, SHUFFLE_SHARDS = 42, 8
+_HEXS = ("(strpos('0123456789abcdef', substring(md5('"
+         f"{SHUFFLE_SEED}" "' || ':' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)")
+SQL_SHUFFLE_HASH = (f"({_HEXS.format(i=1)}*4096 + {_HEXS.format(i=2)}*256 + "
+                    f"{_HEXS.format(i=3)}*16 + {_HEXS.format(i=4)})")
+
+
+@register(
+    "corpus_shard_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5('{SHUFFLE_SEED}' || ':' || CAST(doc_id AS VARCHAR)) AS hh,
+               CAST({SQL_SHUFFLE_HASH} % {SHUFFLE_SHARDS} AS INTEGER) AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+    tags=("curation", "shuffle"),
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str,
+                         seed: int = SHUFFLE_SEED,
+                         n_shards: int = SHUFFLE_SHARDS) -> DataFrame:
+    """Deterministic global shuffle into training shards: every doc gets
+    a (shard, pos) assignment by hashing ``seed:doc_id`` — the
+    randomize-document-order step every pretraining run performs before
+    writing tfrecord/webdataset shards.
+
+    Scale shape — the reason this is NOT ``ORDER BY hash``: a global
+    sort is a range-exchange over the full corpus. Sharding first
+    (map-only hash, shuffle keyed on the shard id) and ranking within
+    each shard gives the same statistical shuffle with per-shard sorts
+    bounded by shard size; pick ``n_shards ≈ corpus / target shard
+    size`` so each sort fits an executor. Hash-determinism means the
+    assignment is reproducible across engines, cluster sizes, and
+    reruns (same properties as split_train_test), and under corpus
+    growth the RELATIVE order of existing docs never changes (new ids
+    interleave by hash; absolute positions shift, order doesn't).
+
+    Consumers write each shard with
+    ``df.repartition(n_shards, "shard").sortWithinPartitions("pos")``
+    — one exchange total, no global sort anywhere.
+    """
+    h = F.md5(F.concat(F.lit(str(seed)), F.lit(":"),
+                       F.col("doc_id").cast("string")))
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", h.alias("hh"))
+         .withColumn("shard",
+                     (H.hex4_to_int(F.substring("hh", 1, 4))
+                      % F.lit(n_shards)).cast("int")))
+    w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+    return d.select("doc_id", "shard",
+                    F.row_number().over(w).cast("long").alias("pos"))

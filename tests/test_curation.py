@@ -89,3 +89,53 @@ def test_approx_percentiles_within_tolerance_of_exact(spark, sf_dir):
     for lang in exact:
         for e, a in zip(exact[lang], approx[lang]):
             assert abs(e - a) <= max(2.0, 0.05 * e), (lang, e, a)
+
+
+def test_corpus_shard_shuffle_invariants(spark, sf_dir):
+    """Every doc shuffled exactly once; per-shard positions are a
+    contiguous 1..len ranking; shards are reasonably balanced; and the
+    relative order of existing docs is stable under corpus growth (new
+    ids interleave by hash, absolute positions shift, order doesn't)."""
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.catalog import load_table
+
+    out = plans.QUERIES["corpus_shard_shuffle"].fn(spark, sf_dir).cache()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    per = out.groupBy("shard").agg(F.count(F.lit(1)).alias("c"),
+                                   F.min("pos").alias("lo"),
+                                   F.max("pos").alias("hi"),
+                                   F.count_distinct("pos").alias("dp"))
+    bad = per.where((F.col("lo") != 1) | (F.col("hi") != F.col("c"))
+                    | (F.col("dp") != F.col("c")))
+    assert bad.count() == 0
+    counts = [r.c for r in per.collect()]
+    assert max(counts) <= 3 * min(counts), counts  # hash balance
+
+    # growth stability: shuffle of the first-half corpus preserves the
+    # relative order of those docs within each shard of the full run
+    half = sorted(r.doc_id for r in out.select("doc_id").collect())
+    half = set(half[: len(half) // 2])
+    full_rows = out.collect()
+    sub = {(r.shard, r.doc_id): r.pos for r in full_rows if r.doc_id in half}
+    by_shard_full = {}
+    for (s, d), p in sub.items():
+        by_shard_full.setdefault(s, []).append((p, d))
+    # rerun the operator on the restricted corpus via the same logic
+    import pyspark.sql.functions as FF
+    from jira_scraper_etl_spark.plans.curation import corpus_shard_shuffle
+    d_ids = spark.createDataFrame([(i,) for i in sorted(half)], "doc_id long")
+    restricted = (corpus_shard_shuffle(spark, sf_dir)
+                  .join(d_ids, "doc_id"))
+    # ranking restricted output by pos must equal full-run relative order
+    got = {}
+    for r in restricted.collect():
+        got.setdefault(r.shard, []).append((r.pos, r.doc_id))
+    for s, lst in by_shard_full.items():
+        want_order = [d for _, d in sorted(lst)]
+        got_order = [d for _, d in sorted(got[s])]
+        assert got_order == want_order, s
+    out.unpersist()
