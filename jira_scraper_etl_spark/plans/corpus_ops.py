@@ -878,3 +878,53 @@ def curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fp").cast("double") / (F.lit(1000000.0) * F.col("n_docs")))
         .alias("avg_simpson"),
     )
+
+@register(
+    "text_dedup_lines",
+    oracle=r"""
+    WITH l AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)), x -> TRIM(x) <> '')
+                 AS lines
+        FROM documents WHERE text IS NOT NULL
+    ),
+    k AS (
+        SELECT doc_id, lines,
+               list_filter(lines, (x, i) -> list_position(lines, x) = i)
+                 AS kept
+        FROM l
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS text_deduped,
+           CAST(len(lines) AS INTEGER) AS n_lines,
+           CAST(len(lines) - len(kept) AS INTEGER) AS n_removed
+    FROM k
+    """,
+    tags=("dedup", "textstats"),
+)
+def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line removal — the C4/Gopher "dedupe
+    lines" filter that strips repeated boilerplate (nav chrome, cookie
+    banners, signatures) INSIDE a page while dedup_span_exact handles
+    repetition ACROSS documents. Keeps the first occurrence of each
+    non-blank line, preserves order, reports removal accounting.
+
+    Pure map-only columnar pass: split → blank-filter → first-occurrence
+    filter (``array_position(lines, x) == index`` — per-doc quadratic in
+    the LINE count only, never rows) → rejoin. Zero shuffles at any
+    scale; both engines' position functions return the FIRST index on
+    duplicates, which is the exact semantic needed.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    lines = F.filter(F.split("text", "\n"),
+                     lambda x: F.trim(x) != "")
+    l = d.select("doc_id", lines.alias("lines"))
+    kept = F.filter("lines",
+                    lambda x, i: F.array_position(F.col("lines"), x) == i + 1)
+    k = l.select("doc_id", "lines", kept.alias("kept"))
+    return k.select(
+        "doc_id",
+        F.array_join("kept", "\n").alias("text_deduped"),
+        F.size("lines").alias("n_lines"),
+        (F.size("lines") - F.size("kept")).alias("n_removed"),
+    )

@@ -227,3 +227,28 @@ def test_gapfill_spine_is_dense_and_consistent(spark, sf_dir):
     assert len(hours) == span
     assert sum(r.n for r in rows) == spark.read.parquet(
         f"{sf_dir}/events.parquet").count()
+
+
+def test_text_dedup_lines_matches_python(spark, sf_dir):
+    """Differential: per-doc first-occurrence line dedup recomputed in
+    Python over the raw text must match the columnar operator exactly
+    (order preserved, blank lines dropped, accounting consistent)."""
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.catalog import load_table
+
+    out = {r.doc_id: r for r in
+           plans.QUERIES["text_dedup_lines"].fn(spark, sf_dir).collect()}
+    raw = {r.doc_id: r.text for r in
+           load_table(spark, sf_dir, "documents")
+           .select("doc_id", "text").collect() if r.text is not None}
+    assert set(out) == set(raw)
+    for doc_id, text in raw.items():
+        lines = [l for l in text.split("\n") if l.strip() != ""]
+        seen, kept = set(), []
+        for l in lines:
+            if l not in seen:
+                seen.add(l)
+                kept.append(l)
+        r = out[doc_id]
+        assert r.text_deduped == "\n".join(kept), doc_id
+        assert r.n_lines == len(lines) and r.n_removed == len(lines) - len(kept)
