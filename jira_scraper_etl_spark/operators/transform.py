@@ -193,3 +193,23 @@ def write_silver_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> N
     """The engine-native silver sink: parquet, partitioned by nothing at
     test scale; at 100 TB partition by project/date upstream of this."""
     df.write.mode(mode).parquet(path)
+
+
+def write_training_shards(assigned: DataFrame, path: str,
+                          mode: str = "overwrite") -> None:
+    """Materialize a shuffled corpus as training shards — the consumer
+    of plans/curation.corpus_shard_shuffle's (shard, pos) assignment:
+    one directory per shard, rows stored in shuffle order.
+
+    Exactly ONE exchange (hash on the shard id) and per-shard local
+    sorts — never a global sort: ``repartition(shard)`` co-locates each
+    shard, ``sortWithinPartitions(pos)`` orders it in place, and the
+    partitioned write streams each shard's rows in that order. A
+    training loader that reads shard directories sequentially then sees
+    the deterministic shuffled order at any corpus size.
+    """
+    n_shards = assigned.select("shard").distinct().count()
+    (assigned
+     .repartition(n_shards, "shard")
+     .sortWithinPartitions("pos")
+     .write.mode(mode).partitionBy("shard").parquet(path))

@@ -928,3 +928,60 @@ def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("lines").alias("n_lines"),
         (F.size("lines") - F.size("kept")).alias("n_removed"),
     )
+
+CHUNK_TOKENS, CHUNK_STRIDE = 32, 24  # window size / stride (8-token overlap)
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    c AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(
+                   toks[(i*{CHUNK_STRIDE}+1):(i*{CHUNK_STRIDE}+{CHUNK_TOKENS})],
+                   ' ') AS chunk,
+               len(toks[(i*{CHUNK_STRIDE}+1):(i*{CHUNK_STRIDE}+{CHUNK_TOKENS})])
+                 AS n_tokens
+        FROM (SELECT doc_id, toks,
+                     unnest(range(CAST(
+                        CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                             ELSE ceil((len(toks) - {CHUNK_TOKENS})
+                                       / {CHUNK_STRIDE}.0) + 1 END AS BIGINT)))
+                       AS i
+              FROM t WHERE len(toks) > 0)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk,
+           CAST(n_tokens AS INTEGER) AS n_tokens
+    FROM c
+    """,
+    tags=("curation", "chunking"),
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token windows: split every document into
+    32-token chunks at a 24-token stride (8-token overlap so no answer
+    span straddles a boundary unseen) — the indexing precursor for the
+    similarity-search family, complementing pack_sequences (training
+    packing, disjoint) with the retrieval layout.
+
+    Map-only: tokenize → per-doc window-count arithmetic → explode →
+    slice+join. Zero shuffles at any scale; chunk count per doc is
+    ``1 + ceil((len − window) / stride)`` so the last window is the
+    only short one (never an empty trailing chunk).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = H.word_tokens(F.col("text"))
+    t = (fan_out(d.select("doc_id", toks.alias("toks")), LIGHT)
+         .where(F.size("toks") > 0))
+    n_chunks = F.when(
+        F.size("toks") <= CHUNK_TOKENS, F.lit(1)
+    ).otherwise(
+        F.ceil((F.size("toks") - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE)))
+        .cast("int") + 1)
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice("toks", i * CHUNK_STRIDE + 1, CHUNK_TOKENS))
+    return (t.select("doc_id", F.posexplode(windows).alias("chunk_idx", "w"))
+            .select("doc_id", "chunk_idx",
+                    F.array_join("w", " ").alias("chunk"),
+                    F.size("w").alias("n_tokens")))

@@ -252,3 +252,33 @@ def test_text_dedup_lines_matches_python(spark, sf_dir):
         r = out[doc_id]
         assert r.text_deduped == "\n".join(kept), doc_id
         assert r.n_lines == len(lines) and r.n_removed == len(lines) - len(kept)
+
+
+def test_chunk_documents_overlap_covers_and_overlaps(spark, sf_dir):
+    """Chunk layout invariants: stride-positioned windows cover every
+    token of every doc (union of [i*stride, i*stride+window) spans
+    [0, len)), consecutive full chunks overlap by window - stride
+    tokens, and only the final chunk may be short."""
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.plans.corpus_ops import (CHUNK_STRIDE,
+                                                         CHUNK_TOKENS)
+
+    chunks = {}
+    for r in plans.QUERIES["chunk_documents_overlap"].fn(spark, sf_dir).collect():
+        chunks.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk, r.n_tokens))
+    docs = {r.doc_id: [t for t in r.text.lower().split() if t]
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").collect() if r.text}
+    docs = {k: v for k, v in docs.items() if v}
+    assert set(chunks) == set(docs)
+    for doc_id, toks in docs.items():
+        got = sorted(chunks[doc_id])
+        for i, (idx, chunk, n) in enumerate(got):
+            assert idx == i
+            want = toks[i * CHUNK_STRIDE: i * CHUNK_STRIDE + CHUNK_TOKENS]
+            assert chunk == " ".join(want) and n == len(want), (doc_id, i)
+            if i < len(got) - 1:
+                assert n == CHUNK_TOKENS  # only the last chunk may be short
+        covered = (len(got) - 1) * CHUNK_STRIDE + got[-1][2]
+        assert covered == len(toks)

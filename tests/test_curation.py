@@ -139,3 +139,25 @@ def test_corpus_shard_shuffle_invariants(spark, sf_dir):
         got_order = [d for _, d in sorted(got[s])]
         assert got_order == want_order, s
     out.unpersist()
+
+
+def test_write_training_shards_order_and_completeness(spark, sf_dir, tmp_path):
+    """The sharded writer materializes every (shard, pos) row with each
+    shard directory's parquet rows already in shuffle order."""
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.operators.transform import write_training_shards
+
+    assigned = plans.QUERIES["corpus_shard_shuffle"].fn(spark, sf_dir)
+    out = str(tmp_path / "shards")
+    write_training_shards(assigned, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == assigned.count()
+    assert back.select("doc_id").distinct().count() == assigned.count()
+    import glob
+    for shard_dir in sorted(glob.glob(f"{out}/shard=*")):
+        import pyarrow.parquet as pq
+        import pandas as pd
+        files = sorted(glob.glob(f"{shard_dir}/*.parquet"))
+        pdf = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        assert list(pdf["pos"]) == sorted(pdf["pos"])  # stored in order
