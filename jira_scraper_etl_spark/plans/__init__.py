@@ -36,6 +36,7 @@ _PRIORITY = [
     "join_skewed_peers_1h", "dedup_simhash_pairs",
     "join_hotkey_isolated_lang", "corpus_shard_shuffle",
     "text_dedup_lines", "chunk_documents_overlap",
+    "dedup_embedding_cosine_rp",
     # Fixed or semantically changed this round: the r3 `err` entry
     # (codes_csv reshape), the bounded per-doc simhash form, and the
     # auto-derived embedding banding.
@@ -59,13 +60,13 @@ _PRIORITY = [
     # of signal while slots allow.
     "similarity_topk_sq8", "curate_dataset_card", "dedup_containment",
     "curate_multimodal_corpus", "decontaminate_embedding",
-    "mm_decode_meta", "mm_byte_stats", "mm_resize_plan", "mm_frame_sample",
-    "events_attribution_1h",  # entry #50 — last slot inside the window
+    "mm_decode_meta", "mm_byte_stats", "mm_resize_plan",
+    "mm_frame_sample",  # entry #50 — last slot inside the window
     # -- Entries #51+: past the 50-entry window. -------------------------
     # r3-green-once entries that lost the slot tiebreak, then everything
     # externally green in two or more rounds (they can yield their slots;
     # the registry tail keeps import order).
-    "dedup_pairs_edit_distance",
+    "events_attribution_1h", "dedup_pairs_edit_distance",
     "text_fingerprint", "text_pii_redact", "text_length_percentiles",
     "split_train_test", "sample_stratified", "pack_sequences",
     "sample_mixture_weights", "embedding_label_centroids",

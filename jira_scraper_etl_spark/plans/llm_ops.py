@@ -1116,3 +1116,169 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str,
         F.count(F.lit(1)).alias("cluster_size"))
     return (docs_out.join(sizes, "cluster_id")
             .select("doc_id", "cluster_id", F.col("cluster_size").cast("int")))
+
+# ---------------------------------------------------------------------------
+# Multi-table random-hyperplane LSH (the recall-preserving scale path)
+# ---------------------------------------------------------------------------
+# The slice-based banding above draws each band's bits from DISJOINT
+# component slices, capping bands × bits ≤ dim (64). That cap is what
+# costs recall as bits grow with log2(n): at sf1's derived (4, 13) a
+# cos-0.9 pair survives a 13-bit band with probability ~0.25 and only 4
+# bands exist. Random-hyperplane LSH (classic SimHash-for-cosine,
+# Charikar '02) removes the cap: every band hashes the FULL vector
+# against `bits` pseudo-random ±1 (Rademacher) hyperplanes, so the band
+# count is a free recall dial (RP_BANDS=32 ⇒ the same pair survives
+# with 1-(1-0.25)^32 ≈ 99.99%) while candidate volume stays
+# ~bands · occupancy · n. The hyperplane signs are derived from md5
+# parity of "band:bit:component" — data-independent, and reproduced
+# digit-for-digit by the oracle SQL, so both engines band identically.
+RP_BANDS = 32
+
+
+def _rp_signs(bands: int, bits: int, dim: int = EMB_DIM) -> list:
+    import hashlib
+
+    def s(b, i, j):
+        h = hashlib.md5(f"{b}:{i}:{j}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    return [[[s(b, i, j) for j in range(dim)]
+             for i in range(bits)] for b in range(bands)]
+
+
+def rp_hyperplane_dots(bands: int, bits: int) -> list:
+    """One ±sum expression per hyperplane over the pre-projected
+    component columns e0..e63, as SQL strings (composed Column objects
+    would cost one py4j round trip per node — minutes of driver time
+    for ~14k nodes; F.expr parses each in microseconds). Emitted as
+    SEPARATE columns on purpose: Spark's codegen splits a projection
+    into one method per expression, while a single
+    explode(array(<everything>)) generator expression compiles as one
+    giant method and OOMs Janino (measured at 32×7 hyperplanes)."""
+    signs = _rp_signs(bands, bits)
+
+    def dot(b, i):
+        return " ".join(("+" if s == 1 else "-") + f" e{j}"
+                        for j, s in enumerate(signs[b][i]))
+
+    return [F.expr(dot(b, i)).alias(f"d{b}_{i}")
+            for b in range(bands) for i in range(bits)]
+
+
+def rp_band_keys(bands: int, bits: int):
+    """Band-key array from the materialized hyperplane dot columns:
+    band b's key packs sign(d_b_i) bits above a per-band offset."""
+
+    def key(b):
+        terms = " + ".join(
+            f"(CASE WHEN d{b}_{i} > 0 THEN {1 << (bits - 1 - i)} "
+            f"ELSE 0 END)"
+            for i in range(bits))
+        return f"{b * (1 << bits)} + {terms}"
+
+    return F.expr("array(" + ", ".join(key(b) for b in range(bands)) + ")")
+
+
+@register(
+    "dedup_embedding_cosine_rp",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
+    p AS (SELECT LEAST(16, GREATEST(4,
+              CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT) - 2)) AS bits
+          FROM embeddings),
+    mat AS (
+        SELECT gb.b AS b, gi.i AS i, gj.j AS j,
+               CASE WHEN (strpos('0123456789abcdef',
+                    substring(md5(CAST(gb.b AS VARCHAR) || ':' ||
+                              CAST(gi.i AS VARCHAR) || ':' ||
+                              CAST(gj.j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM generate_series(0, {RP_BANDS - 1}) AS gb(b), p,
+             generate_series(0, 15) AS gi(i),
+             generate_series(0, 63) AS gj(j)
+        WHERE gi.i < p.bits
+    ),
+    bt AS (
+        SELECT q.vec_id, m.b, m.i,
+               CASE WHEN SUM(m.s * q.q[m.j + 1]) > 0 THEN 1 ELSE 0 END AS bit
+        FROM q, mat m GROUP BY q.vec_id, m.b, m.i
+    ),
+    keys AS (
+        SELECT vec_id, b, CAST(SUM(bit << (p.bits - 1 - i)) AS BIGINT) AS k
+        FROM bt, p GROUP BY vec_id, b
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+        FROM keys x JOIN keys y
+          ON x.b = y.b AND x.k = y.k AND x.vec_id < y.vec_id
+    ),
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST({SQL_QDOT_AB} AS DOUBLE)
+             / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cos_sim
+    FROM cand JOIN n a ON cand.va = a.vec_id JOIN n b ON cand.vb = b.vec_id
+    WHERE CAST({SQL_QDOT_AB} AS DOUBLE)
+             / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) >= 0.45
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
+                              bands: int = RP_BANDS,
+                              bits: int | None = None) -> DataFrame:
+    """Embedding near-dup via MULTI-TABLE random-hyperplane LSH — the
+    recall-preserving counterpart of dedup_embedding_cosine. Each of
+    ``bands`` tables hashes the FULL vector against ``bits``
+    pseudo-random Rademacher hyperplanes (md5-parity signs, identical
+    in both engines), so the band count is unbounded by the dimension:
+    bits still grows with log2(n) to hold bucket occupancy (and with it
+    candidate volume ~bands·4n) constant, while 32 independent tables
+    hold recall where the 64-bit slice budget cannot (a cos-0.9 pair at
+    sf1's derived 13 bits survives slice banding's 4 tables with
+    p≈0.68 but 32 RP tables with p≈0.9999).
+
+    Spark shape: one projection widens the quantized vector into 64
+    component columns (evaluated once), the ±sums for all bands·bits
+    hyperplanes stay in whole-stage codegen, and candidates/verify are
+    the same keyed bucket-join + fixed-point-cosine stages as the slice
+    variant. Everything after key generation is identical plan shape;
+    only the key family changed.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    if bits is None:
+        _, bits = derive_banding(e.count())
+    base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+            .withColumn("n2", V.qnorm2(F.col("q"))))
+    wide = base.select(
+        "vec_id",
+        *[F.element_at("q", j + 1).alias(f"e{j}") for j in range(EMB_DIM)])
+    # The hash-table materialization seam: the bands×bits dot columns
+    # are checkpointed so (a) key packing can't be collapsed back into
+    # one Janino-breaking mega-expression and (b) the hyperplane
+    # arithmetic runs exactly once — this is the LSH "build the tables"
+    # step; at warehouse scale it is a parquet write of n×(bands·bits)
+    # longs, here a localCheckpoint of the same.
+    dots = wide.select("vec_id", *rp_hyperplane_dots(bands, bits)) \
+        .localCheckpoint()
+    # merge hint: at any real scale the key table is broadcast-
+    # ineligible; broadcasting would also rebuild it on the driver
+    slim = dots.select(
+        "vec_id", F.explode(rp_band_keys(bands, bits)).alias("bk")
+    ).hint("merge")
+    x, y = slim.alias("x"), slim.alias("y")
+    cand = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk"))
+               & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))
+        .distinct()
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = (V.qdot(F.col("a.q"), F.col("b.q")).cast("double")
+           / (F.sqrt(F.col("a.n2").cast("double"))
+              * F.sqrt(F.col("b.n2").cast("double"))))
+    return (
+        cand.join(a, F.col("va") == F.col("a.vec_id"))
+        .join(b, F.col("vb") == F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.45)
+    )

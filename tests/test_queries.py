@@ -210,3 +210,49 @@ def test_char_diversity_invariants(spark, sf_dir):
     assert bad.count() == 0
     one = df.where((F.col("n_distinct") == 1) & (F.col("n_alpha") > 0))
     assert one.where(F.col("simpson") != 0.0).count() == 0
+
+
+def test_embedding_dedup_rp_sound_and_higher_recall(spark, sf_dir):
+    """The multi-table RP variant: (1) SOUND — every returned pair is a
+    true >=-threshold pair; (2) its recall on the ground-truth slice is
+    at least the slice-banded variant's (32 full-width tables vs the
+    64-bit slice budget — the reason the family exists); (3) candidate
+    volume stays ~O(n·bands) (bucket occupancy is held by the same
+    derived bits)."""
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.functions import vectors as V
+    from jira_scraper_etl_spark.plans.llm_ops import (EMB_DIM, RP_BANDS,
+                                                      derive_banding,
+                                                      rp_band_keys,
+                                                      rp_hyperplane_dots)
+
+    def under300(df):
+        return {(r.vec_a, r.vec_b) for r in df.where(F.col("vec_a") < 300)
+                .where(F.col("vec_b") < 300).collect()}
+
+    rp = plans.QUERIES["dedup_embedding_cosine_rp"].fn(spark, sf_dir)
+    slice_banded = plans.QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir)
+    exact = plans.QUERIES["dedup_embedding_cosine_exact"].fn(spark, sf_dir)
+    want = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    rp300 = under300(rp)
+    assert rp300 <= want
+    assert len(rp300) >= len(under300(slice_banded))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    _, bits = derive_banding(n)
+    base = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    wide = base.select(
+        "vec_id",
+        *[F.element_at("q", j + 1).alias(f"e{j}") for j in range(EMB_DIM)])
+    dots = wide.select("vec_id", *rp_hyperplane_dots(RP_BANDS, bits)) \
+        .localCheckpoint()
+    slim = dots.select("vec_id",
+                       F.explode(rp_band_keys(RP_BANDS, bits)).alias("bk"))
+    x, y = slim.alias("x"), slim.alias("y")
+    n_cand = (x.join(y, (F.col("x.bk") == F.col("y.bk"))
+                     & (F.col("x.vec_id") < F.col("y.vec_id")))
+              .select("x.vec_id", "y.vec_id").distinct().count())
+    assert n_cand <= 16 * n * RP_BANDS, (n_cand, n, bits)
