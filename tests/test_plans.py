@@ -224,3 +224,13 @@ def test_corpus_v3_char_fold_not_duplicated(spark):
     df = plans.QUERIES["curate_corpus_v3"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("aggregate(array") == 1
+
+
+def test_rp_lsh_key_join_is_shuffle_join(spark, sf_dir):
+    """The RP key-table self-join must stay a shuffle join (merge hint):
+    broadcasting would rebuild the hyperplane arithmetic inside the
+    driver-side broadcast build, and at real scale the key table is
+    never broadcastable."""
+    df = plans.QUERIES["dedup_embedding_cosine_rp"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
