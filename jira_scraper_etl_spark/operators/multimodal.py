@@ -144,6 +144,8 @@ def decode_jpeg(buf: bytes) -> dict:
         # fill bytes — consume padding before reading the marker code.
         while pos + 4 <= len(buf) and buf[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(buf):  # stream ends inside padding / short seg
+            raise ValueError("truncated JPEG after fill bytes")
         marker = buf[pos + 1]
         if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
             pos += 2

@@ -82,24 +82,36 @@ def hotkey_salted_join(big: DataFrame, small: DataFrame, key: str,
       replicated ``salt``× — but only its hot-key rows;
     * cold-key rows: plain equi-join, no replication, no spray.
 
-    The two branches union to a result row-identical to the plain join.
-    Extra cost over the naive join: one count agg over the big side's
-    key column and ``salt``× replication of only the small side's hot
-    rows — both independent of the small side's total size.
+    Result is row-identical to the plain join. Extra cost over it: one
+    count agg over the big side's key column and ``salt``× replication
+    of only the small side's hot rows — both independent of the small
+    side's total size.
+
+    Implementation is ONE join with a data-dependent salt, not a
+    hot/cold union: a union would scan each (possibly expensive,
+    uncached) input once per branch, doubling the upstream map work.
+    Hot-tagged big rows get a uniform salt, cold rows salt 0; the small
+    side explodes to all ``salt`` values for hot keys and just [0] for
+    cold ones — same pairs, one pass per side. The total row count
+    comes from the histogram itself (``sum(_n)``), not a second scan.
     """
-    counts = big.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
-    total = big.count()
+    counts = (big.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+              .localCheckpoint())
+    total = counts.agg(F.sum("_n")).collect()[0][0] or 0
     hot = (counts.where(F.col("_n") > total * hot_fraction)
            .select(key).withColumn("_hot", F.lit(True)))
 
-    big_t = big.join(F.broadcast(hot), key, "left")
-    small_t = small.join(F.broadcast(hot), key, "left")
-
-    hot_out = salted_join(
-        big_t.where(F.col("_hot").isNotNull()).drop("_hot"),
-        small_t.where(F.col("_hot").isNotNull()).drop("_hot"),
-        key, salt=salt, how=how)
-    cold_out = (big_t.where(F.col("_hot").isNull()).drop("_hot")
-                .join(small_t.where(F.col("_hot").isNull()).drop("_hot"),
-                      key, how))
-    return hot_out.unionByName(cold_out)
+    big_s = (big.join(F.broadcast(hot), key, "left")
+             .withColumn("_salt",
+                         F.when(F.col("_hot").isNotNull(),
+                                F.pmod(F.monotonically_increasing_id(),
+                                       F.lit(salt))).otherwise(F.lit(0)))
+             .drop("_hot"))
+    salt_values = F.when(
+        F.col("_hot").isNotNull(),
+        F.array(*[F.lit(i) for i in range(salt)])
+    ).otherwise(F.array(F.lit(0)))
+    small_s = (small.join(F.broadcast(hot), key, "left")
+               .withColumn("_salt", F.explode(salt_values))
+               .drop("_hot"))
+    return big_s.join(small_s, [key, "_salt"], how).drop("_salt")

@@ -196,6 +196,7 @@ def write_silver_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> N
 
 
 def write_training_shards(assigned: DataFrame, path: str,
+                          n_shards: int | None = None,
                           mode: str = "overwrite") -> None:
     """Materialize a shuffled corpus as training shards — the consumer
     of plans/curation.corpus_shard_shuffle's (shard, pos) assignment:
@@ -203,13 +204,27 @@ def write_training_shards(assigned: DataFrame, path: str,
 
     Exactly ONE exchange (hash on the shard id) and per-shard local
     sorts — never a global sort: ``repartition(shard)`` co-locates each
-    shard, ``sortWithinPartitions(pos)`` orders it in place, and the
-    partitioned write streams each shard's rows in that order. A
-    training loader that reads shard directories sequentially then sees
-    the deterministic shuffled order at any corpus size.
+    shard, the local sort orders it in place, and the partitioned write
+    streams each shard's rows in that order. A training loader that
+    reads shard directories sequentially then sees the deterministic
+    shuffled order at any corpus size.
+
+    The local sort is on ``(shard, pos)``, not ``pos`` alone: the
+    partitioned write REQUIRES its output ordered by the partition
+    column and layers its own SortExec(shard) over a child that can't
+    prove that ordering — and a spilling sort does not keep same-key
+    input order between spill runs, which would silently scramble
+    per-shard pos order at exactly the scale this function targets.
+    Sorting (shard, pos) satisfies the required ordering structurally,
+    so no extra sort is inserted and pos order is guaranteed.
+
+    Pass ``n_shards`` when known (corpus_shard_shuffle's parameter) —
+    deriving it would cost a full extra job over the assignment
+    pipeline just to count distinct shard ids.
     """
-    n_shards = assigned.select("shard").distinct().count()
+    if n_shards is None:
+        n_shards = assigned.select("shard").distinct().count()
     (assigned
      .repartition(n_shards, "shard")
-     .sortWithinPartitions("pos")
+     .sortWithinPartitions("shard", "pos")
      .write.mode(mode).partitionBy("shard").parquet(path))

@@ -702,13 +702,23 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str,
     interleave by hash; absolute positions shift, order doesn't).
 
     Consumers write each shard with
-    ``df.repartition(n_shards, "shard").sortWithinPartitions("pos")``
-    — one exchange total, no global sort anywhere.
+    ``operators/transform.write_training_shards`` (repartition on shard
+    + a local sort on ``(shard, pos)`` — the shard prefix satisfies the
+    partitioned write's required ordering so no second, spill-unstable
+    sort gets layered on top) — one exchange total, no global sort.
     """
+    return shard_shuffle_assign(
+        load_table(spark, sf_dir, "documents"), seed, n_shards)
+
+
+def shard_shuffle_assign(df: DataFrame, seed: int = SHUFFLE_SEED,
+                         n_shards: int = SHUFFLE_SHARDS) -> DataFrame:
+    """Core of corpus_shard_shuffle over any frame with a ``doc_id``
+    column — separated so tests can verify growth stability by running
+    the SAME assignment over a restricted corpus."""
     h = F.md5(F.concat(F.lit(str(seed)), F.lit(":"),
                        F.col("doc_id").cast("string")))
-    d = (load_table(spark, sf_dir, "documents")
-         .select("doc_id", h.alias("hh"))
+    d = (df.select("doc_id", h.alias("hh"))
          .withColumn("shard",
                      (H.hex4_to_int(F.substring("hh", 1, 4))
                       % F.lit(n_shards)).cast("int")))

@@ -337,11 +337,19 @@ SQL_EMB_PARAMS = """
 """
 
 
-def emb_band_keys(bands: int, bits: int):
+def emb_band_keys(bands: int, bits: int, dim: int = EMB_DIM):
     """Band-key array column over a quantized embedding column ``q``:
     band b's key encodes the sign pattern of components
     [b·bits+1 .. b·bits+bits] offset into its own key space. Requires
-    bands·bits ≤ dim (bands use disjoint component slices)."""
+    bands·bits ≤ dim (bands use disjoint component slices) — enforced,
+    because slices past the vector read NULL, every sign test goes to
+    its else-branch, and the out-of-range bands assign ALL vectors one
+    key, silently degenerating the bucket join to O(n²)."""
+    if bands * bits > dim:
+        raise ValueError(
+            f"bands*bits = {bands}*{bits} exceeds dim {dim}: disjoint "
+            f"slice banding cannot cover it (use dedup_embedding_cosine_rp "
+            f"for band counts beyond the dim budget)")
     return F.array(*[
         F.lit(b * (1 << bits))
         + sum((F.when(F.element_at("q", bits * b + i + 1) > 0,
@@ -422,9 +430,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
     across engines.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    if bits is None:
-        d_bands, bits = derive_banding(e.count())
-        bands = d_bands if bands is None else bands
+    if bits is None and bands is None:
+        bands, bits = derive_banding(e.count())
+    elif bits is None:
+        # caller fixed the band count: give each band its full share of
+        # the 64-bit slice budget (deriving bits from n here could make
+        # bands*bits exceed the dim — emb_band_keys rejects that)
+        bits = EMB_DIM // bands
     elif bands is None:
         bands = EMB_DIM // bits
     base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))

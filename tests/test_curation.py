@@ -115,29 +115,33 @@ def test_corpus_shard_shuffle_invariants(spark, sf_dir):
     counts = [r.c for r in per.collect()]
     assert max(counts) <= 3 * min(counts), counts  # hash balance
 
-    # growth stability: shuffle of the first-half corpus preserves the
-    # relative order of those docs within each shard of the full run
+    # growth stability: RE-RANKING the first-half corpus through the
+    # same assignment (fresh row_numbers over only those docs — not a
+    # filter of the full run) must preserve the full run's relative
+    # order inside every shard: a smaller corpus changes absolute
+    # positions but never reorders surviving docs
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.plans.curation import shard_shuffle_assign
+
     half = sorted(r.doc_id for r in out.select("doc_id").collect())
     half = set(half[: len(half) // 2])
-    full_rows = out.collect()
-    sub = {(r.shard, r.doc_id): r.pos for r in full_rows if r.doc_id in half}
     by_shard_full = {}
-    for (s, d), p in sub.items():
-        by_shard_full.setdefault(s, []).append((p, d))
-    # rerun the operator on the restricted corpus via the same logic
-    import pyspark.sql.functions as FF
-    from jira_scraper_etl_spark.plans.curation import corpus_shard_shuffle
-    d_ids = spark.createDataFrame([(i,) for i in sorted(half)], "doc_id long")
-    restricted = (corpus_shard_shuffle(spark, sf_dir)
-                  .join(d_ids, "doc_id"))
-    # ranking restricted output by pos must equal full-run relative order
+    for r in out.collect():
+        if r.doc_id in half:
+            by_shard_full.setdefault(r.shard, []).append((r.pos, r.doc_id))
+    restricted_input = (load_table(spark, sf_dir, "documents")
+                        .where(F.col("doc_id").isin(list(half))))
+    restricted = shard_shuffle_assign(restricted_input)
     got = {}
     for r in restricted.collect():
         got.setdefault(r.shard, []).append((r.pos, r.doc_id))
+    assert set(got) == set(by_shard_full)
     for s, lst in by_shard_full.items():
         want_order = [d for _, d in sorted(lst)]
         got_order = [d for _, d in sorted(got[s])]
         assert got_order == want_order, s
+        # and the restricted ranking is a fresh contiguous 1..len
+        assert sorted(p for p, _ in got[s]) == list(range(1, len(lst) + 1))
     out.unpersist()
 
 
@@ -147,9 +151,11 @@ def test_write_training_shards_order_and_completeness(spark, sf_dir, tmp_path):
     from jira_scraper_etl_spark import plans
     from jira_scraper_etl_spark.operators.transform import write_training_shards
 
+    from jira_scraper_etl_spark.plans.curation import SHUFFLE_SHARDS
+
     assigned = plans.QUERIES["corpus_shard_shuffle"].fn(spark, sf_dir)
     out = str(tmp_path / "shards")
-    write_training_shards(assigned, out)
+    write_training_shards(assigned, out, n_shards=SHUFFLE_SHARDS)
 
     back = spark.read.parquet(out)
     assert back.count() == assigned.count()

@@ -306,3 +306,10 @@ def test_decode_avi_rejects_missing_avih():
         MM.decode_one(b"RIFF\x00\x00\x00\x04AVI ")
     with pytest.raises(ValueError):
         MM.decode_one(b"NOPE" + b"\x00" * 16)
+
+
+def test_decode_jpeg_truncated_in_padding_raises_valueerror():
+    """A stream ending inside 0xFF fill bytes must fail with the
+    module's ValueError contract, not a raw struct.error."""
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        MM.decode_one(b"\xff\xd8\xff\xff\xff\xfe\x00")
