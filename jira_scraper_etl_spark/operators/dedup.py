@@ -211,6 +211,17 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _check_nibble_hamming(max_hamming: int) -> None:
+    """4-nibble banding is lossless only for hamming <= 3 (pigeonhole
+    over 4 blocks); larger radii would silently drop pairs that share
+    no nibble block — shared guard for both public simhash APIs."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4-nibble banding is lossless only "
+            f"for hamming <= 3 (pigeonhole over 4 blocks); larger radii "
+            f"would silently drop pairs that share no nibble block")
+
+
 def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            max_hamming: int = 3) -> DataFrame:
@@ -224,11 +235,7 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     form) or the cluster labeling (plans/llm_ops dedup_cluster_canonical)
     when the duplicate density is unknown; this pair form is for bounded
     slices and verify stages."""
-    if not 0 <= max_hamming <= 3:
-        raise ValueError(
-            f"max_hamming={max_hamming}: 4-nibble banding is lossless only "
-            f"for hamming <= 3 (pigeonhole over 4 blocks); larger radii "
-            f"would silently drop pairs that share no nibble block")
+    _check_nibble_hamming(max_hamming)
     # fan out of the single-file scan partition before per-token hashing
     # (same rationale as minhash_near_dup_pairs)
     fp = simhash_fingerprints(
@@ -276,11 +283,7 @@ def simhash_neighbor_stats(df: DataFrame, id_col: str = "doc_id",
     form that survives dup-dense corpora where the pair listing is
     O(Σ|clique|²).
     """
-    if not 0 <= max_hamming <= 3:
-        raise ValueError(
-            f"max_hamming={max_hamming}: 4-nibble banding is lossless only "
-            f"for hamming <= 3 (pigeonhole over 4 blocks); larger radii "
-            f"would silently drop pairs that share no nibble block")
+    _check_nibble_hamming(max_hamming)
     # fp feeds three consumers (clique agg, second-min agg, the final
     # join-back); checkpoint so the tokenize+hash map pass runs once —
     # at warehouse scale this seam is a parquet materialization

@@ -78,7 +78,7 @@ def fan_out(df: DataFrame, min_bytes: int = LIGHT) -> DataFrame:
 
 _BYTE_SUFFIXES = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
                   "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
-                  "t": 1 << 40, "tb": 1 << 40}
+                  "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}
 
 
 def _parse_bytes(v: str) -> int:

@@ -17,6 +17,18 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _check_outer(how: str) -> None:
+    """Salting replicates the small side per salt value; replicas whose
+    salt no big row happens to carry would survive a right/full outer
+    join as spurious null-extended rows — reject those join types."""
+    if how.lower().replace("_", "") in {"right", "rightouter", "full",
+                                        "fullouter", "outer"}:
+        raise ValueError(
+            f"how={how!r}: salted joins preserve row-identity only for "
+            f"inner/left/semi/anti joins (small-side salt replicas would "
+            f"surface as extra null-extended rows in right/full outer)")
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 salt: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with the hot-key spray.
@@ -28,6 +40,7 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     the big side now occupies S partitions instead of one. Cost: the
     small side shuffles S× its size — keep S near the skew factor, not
     higher."""
+    _check_outer(how)
     big_s = big.withColumn("_salt",
                            F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
     small_s = small.withColumn(
@@ -55,6 +68,7 @@ def salted_join_cond(big: DataFrame, other: DataFrame, cond,
     ``other`` to the hot keys' rows first (hot-key isolation) and union
     the cold remainder through a plain join. The two frames must have
     disjoint column names (rename before calling)."""
+    _check_outer(how)
     big_s = big.withColumn("_salt",
                            F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
     other_s = (other.withColumn(
@@ -95,6 +109,7 @@ def hotkey_salted_join(big: DataFrame, small: DataFrame, key: str,
     cold ones — same pairs, one pass per side. The total row count
     comes from the histogram itself (``sum(_n)``), not a second scan.
     """
+    _check_outer(how)
     counts = (big.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
               .localCheckpoint())
     total = counts.agg(F.sum("_n")).collect()[0][0] or 0

@@ -195,7 +195,7 @@ def write_silver_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> N
     df.write.mode(mode).parquet(path)
 
 
-def write_training_shards(assigned: DataFrame, path: str,
+def write_training_shards(assigned: DataFrame, path: str, *,
                           n_shards: int | None = None,
                           mode: str = "overwrite") -> None:
     """Materialize a shuffled corpus as training shards — the consumer

@@ -345,11 +345,14 @@ def emb_band_keys(bands: int, bits: int, dim: int = EMB_DIM):
     because slices past the vector read NULL, every sign test goes to
     its else-branch, and the out-of-range bands assign ALL vectors one
     key, silently degenerating the bucket join to O(n²)."""
-    if bands * bits > dim:
+    if not (1 <= bits <= 32 and bands >= 1 and bands * bits <= dim):
         raise ValueError(
-            f"bands*bits = {bands}*{bits} exceeds dim {dim}: disjoint "
-            f"slice banding cannot cover it (use dedup_embedding_cosine_rp "
-            f"for band counts beyond the dim budget)")
+            f"invalid banding (bands={bands}, bits={bits}, dim={dim}): "
+            f"need 1 <= bits <= 32, bands >= 1, bands*bits <= dim — "
+            f"degenerate values silently produce O(n²) joins (bits=0: "
+            f"every vector shares every bucket) or empty results "
+            f"(bands=0); use dedup_embedding_cosine_rp for band counts "
+            f"beyond the dim budget)")
     return F.array(*[
         F.lit(b * (1 << bits))
         + sum((F.when(F.element_at("q", bits * b + i + 1) > 0,

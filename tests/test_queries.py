@@ -270,8 +270,12 @@ def test_banding_guards(spark, sf_dir):
         simhash_near_dup_pairs, simhash_neighbor_stats)
     from jira_scraper_etl_spark.plans.llm_ops import emb_band_keys
 
-    with _pytest.raises(ValueError, match="exceeds dim"):
+    with _pytest.raises(ValueError, match="invalid banding"):
         emb_band_keys(16, 13)
+    with _pytest.raises(ValueError, match="invalid banding"):
+        emb_band_keys(100, 0)   # bits=0 would put every vector in one bucket
+    with _pytest.raises(ValueError, match="invalid banding"):
+        emb_band_keys(0, 65)    # bands=0 would silently return no pairs
     # bands-only override: bits auto-fits the 64-bit budget
     out = plans.QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir, bands=16)
     assert out.count() >= 0
