@@ -3,6 +3,7 @@
 from .registry import QUERIES, Query, queries, oracle_sql  # noqa: F401
 
 # Importing the plan modules populates the registry.
+from . import analysis_ops  # noqa: F401,E402
 from . import vector_ops  # noqa: F401,E402
 from . import skew_ops  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
@@ -37,6 +38,10 @@ _PRIORITY = [
     "join_hotkey_isolated_lang", "corpus_shard_shuffle",
     "text_dedup_lines", "chunk_documents_overlap",
     "dedup_embedding_cosine_rp",
+    # New this session: cross-sectional analytics + perceptual media
+    # dedup (plans/analysis_ops.py) — never externally checked.
+    "text_tfidf_topk", "pareto_revenue_by_brand", "orders_yoy_growth",
+    "events_debounce_5m", "mm_dedup_phash",
     # Fixed or semantically changed this round: the r3 `err` entry
     # (codes_csv reshape), the bounded per-doc simhash form, and the
     # auto-derived embedding banding.
@@ -59,13 +64,16 @@ _PRIORITY = [
     # Externally green only once (r3), unchanged — keep one more round
     # of signal while slots allow.
     "similarity_topk_sq8", "curate_dataset_card", "dedup_containment",
-    "curate_multimodal_corpus", "decontaminate_embedding",
-    "mm_decode_meta", "mm_byte_stats", "mm_resize_plan",
-    "mm_frame_sample",  # entry #50 — last slot inside the window
+    "curate_multimodal_corpus",  # entry #50 — last slot inside the window
     # -- Entries #51+: past the 50-entry window. -------------------------
-    # r3-green-once entries that lost the slot tiebreak, then everything
-    # externally green in two or more rounds (they can yield their slots;
-    # the registry tail keeps import order).
+    # r3-green-once entries that lost the slot tiebreak (the five new
+    # analysis_ops entries displaced decontaminate_embedding + the mm_*
+    # block, all r3-green), then everything externally green in two or
+    # more rounds (they can yield their slots; the registry tail keeps
+    # import order).
+    "decontaminate_embedding",
+    "mm_decode_meta", "mm_byte_stats", "mm_resize_plan",
+    "mm_frame_sample",
     "events_attribution_1h", "dedup_pairs_edit_distance",
     "text_fingerprint", "text_pii_redact", "text_length_percentiles",
     "split_train_test", "sample_stratified", "pack_sequences",

@@ -1,0 +1,101 @@
+"""Semantic invariants for plans/analysis_ops.py (value-level parity vs
+DuckDB is covered by tools/check_oracle.py; these pin the properties the
+oracle compare can't express as a hash)."""
+
+from __future__ import annotations
+
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from jira_scraper_etl_spark import plans
+
+
+def test_tfidf_topk_ranking_invariants(spark, sf_dir):
+    rows = plans.QUERIES["text_tfidf_topk"].fn(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1)), lang
+        assert len(rs) <= 10
+        # score is the exact ratio sum_tf·N/df and non-increasing in rank
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert r.df >= 1 and r.sum_tf >= 1 and r.score > 0
+
+
+def test_pareto_cumulative_share_monotone_to_one(spark, sf_dir):
+    rows = sorted(
+        plans.QUERIES["pareto_revenue_by_brand"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    revs = [r.rev for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
+    # exact-decimal cumsum: the last cumulative share is exactly 1.0
+    assert shares[-1] == 1.0
+    assert abs(sum(revs) - rows[-1].cum_rev) < 1e-6 * rows[-1].cum_rev
+
+
+def test_yoy_growth_only_across_adjacent_years(spark, sf_dir):
+    rows = plans.QUERIES["orders_yoy_growth"].fn(spark, sf_dir).collect()
+    seen_growth = 0
+    by_key = {(r.priority, r.yr): r for r in rows}
+    for r in rows:
+        if r.yoy_growth is not None:
+            seen_growth += 1
+            prev = by_key[(r.priority, r.yr - 1)]  # adjacent year must exist
+            assert r.prev_rev == prev.rev
+            assert abs(r.yoy_growth - (r.rev - prev.rev) / prev.rev) == 0.0
+    assert seen_growth > 0
+
+
+def test_debounce_keeps_first_event_per_key_and_gaps_exceed_5m(spark, sf_dir):
+    out = plans.QUERIES["events_debounce_5m"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    firsts = sum(1 for r in rows if r.gap_us is None)
+    n_keys = (out.select("user_id", "event_type").distinct().count())
+    # exactly one null-gap (first) event per surviving key
+    assert firsts == n_keys
+    assert all(r.gap_us > 300_000_000 for r in rows if r.gap_us is not None)
+    # debounced output is a subset of the input
+    n_events = plans.QUERIES["events_debounce_5m"].fn(spark, sf_dir) \
+        .sparkSession.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(rows) <= n_events
+
+
+def test_phash_clusters_partition_the_corpus(spark, sf_dir):
+    df = plans.QUERIES["mm_dedup_phash"].fn(spark, sf_dir)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs  # every doc labeled exactly once
+    by_sig: dict[str, list] = {}
+    for r in rows:
+        by_sig.setdefault(r.phash, []).append(r)
+    for sig, rs in by_sig.items():
+        ids = {r.doc_id for r in rs}
+        canon = {r.canonical_id for r in rs}
+        sizes = {r.cluster_size for r in rs}
+        assert canon == {min(ids)} and sizes == {len(ids)}, sig
+        for r in rs:
+            assert r.is_dup == (r.doc_id != min(ids))
+        # signature prefix agrees with the deterministic media type
+        mt = {0: "image", 1: "audio", 2: "video"}
+        for r in rs:
+            assert sig.startswith(mt[r.doc_id % 3] + "-")
+    # the signature space is bounded: 3 media types × 4 levels^4
+    assert len(by_sig) <= 3 * 4 ** 4
+
+
+def test_phash_join_is_broadcast(spark, sf_dir):
+    plan = plans.QUERIES["mm_dedup_phash"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
