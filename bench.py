@@ -39,6 +39,8 @@ HEADLINE = [
     "mm_byte_stats",
     "decontaminate_hashed",
     "curate_corpus_v3",
+    "text_tfidf_topk",
+    "mm_dedup_phash",
 ]
 
 
