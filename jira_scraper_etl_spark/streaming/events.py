@@ -169,6 +169,76 @@ def dedup_within_watermark(events: DataFrame, key: str = "event_id",
             .dropDuplicatesWithinWatermark([key]))
 
 
+# Debounce output/state: ts in int64 microseconds so state round-trips
+# through Arrow without tz coercion (same rationale as USER_STATE_*).
+DEBOUNCE_OUTPUT = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("ts_micros", T.LongType()),
+    T.StructField("gap_us", T.LongType()),
+])
+
+DEBOUNCE_STATE = T.StructType([
+    T.StructField("last_ts_micros", T.LongType()),
+    T.StructField("last_event_id", T.LongType()),
+])
+
+_DEBOUNCE_GAP_US = 300_000_000  # 5 minutes
+
+
+def _update_debounce_state(key: Any, pdfs: Iterator, state) -> Iterator:
+    """Per-(user, event_type) debounce fold: emit an event iff the gap
+    to the PREVIOUS same-key event (in (ts, event_id) order) exceeds
+    5 minutes — the first event of a key always passes (gap NULL).
+    State is one (last_ts, last_id) pair per key, O(keys) not
+    O(events); the previous-event reference is the last *seen* event,
+    not the last *kept* one, matching the batch LAG twin exactly."""
+    import pandas as pd
+
+    user_id, event_type = key
+    last_us, _last_id = state.get if state.exists else (None, -1)
+    out = []
+    rows: list[tuple[int, int]] = []
+    for pdf in pdfs:
+        rows.extend(zip((int(u) for u in pdf["ts_micros"]),
+                        (int(e) for e in pdf["event_id"])))
+    rows.sort()
+    for us, eid in rows:
+        gap = None if last_us is None else us - last_us
+        if gap is None or gap > _DEBOUNCE_GAP_US:
+            out.append((eid, user_id, event_type, us, gap))
+        last_us, _last_id = us, eid
+    state.update((last_us, _last_id))
+    yield pd.DataFrame(out, columns=[f.name for f in DEBOUNCE_OUTPUT.fields])
+
+
+def debounce_events(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_debounce_5m`` plan
+    (plans/analysis_ops.py): drop same-(user, event_type) repeats
+    arriving within 5 minutes, via ``applyInPandasWithState``.
+
+    Equivalence to the batch LAG holds under per-key in-order delivery
+    across micro-batches (the tests replay time-range files; a Kafka
+    source partitioned by user delivers per-key in order). A stream
+    with cross-batch reordering would need watermark-delayed emission
+    to reproduce the batch answer — at which point the session-window
+    operators are usually the better tool."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (events
+            .select("user_id", "event_type", "event_id",
+                    F.expr("unix_micros(cast(ts as timestamp))").alias("ts_micros"))
+            .groupBy("user_id", "event_type")
+            .applyInPandasWithState(
+                _update_debounce_state,
+                outputStructType=DEBOUNCE_OUTPUT,
+                stateStructType=DEBOUNCE_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
+
+
 def attribution_1h(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """STREAM-STREAM interval join: click→purchase last-touch
     attribution, the streaming twin of the batch

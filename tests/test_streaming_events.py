@@ -166,3 +166,22 @@ def test_stream_stream_attribution_join(spark, sf_dir, events_dir, tmp_path):
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("c_ts") < F.col("p_ts"))).collect()}
     assert got == want and want
+
+
+def test_streaming_debounce_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    """The stateful streaming debounce, drained over the 3 time-range
+    files (per-key in-order delivery), must keep exactly the events the
+    batch LAG plan keeps, with identical gaps."""
+    stream = SE.stream_events(spark, events_dir, glob="*.parquet",
+                              max_files_per_trigger=1)
+    out = SE.debounce_events(stream)
+    SE.drain_query(lambda: (
+        out.writeStream.format("memory").queryName("debounce_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()))
+    got = {(r.event_id, r.gap_us)
+           for r in spark.table("debounce_sink").collect()}
+    want = {(r.event_id, r.gap_us)
+            for r in plans.QUERIES["events_debounce_5m"].fn(spark, sf_dir).collect()}
+    assert got == want and want
