@@ -285,6 +285,76 @@ def events_debounce_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout codes (operators/layout.py — the writer's key column)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_zorder_code",
+    oracle="""
+    WITH dims AS (
+        SELECT event_id, user_id AS x,
+               epoch_us(ts) // 3600000000 AS y
+        FROM events
+    ),
+    st AS (SELECT MIN(x) AS xlo, MAX(x) AS xhi,
+                  MIN(y) AS ylo, MAX(y) AS yhi FROM dims),
+    scaled AS (
+        SELECT event_id,
+               ((x - xlo) * 65535) // greatest(1, xhi - xlo) AS zx,
+               ((y - ylo) * 65535) // greatest(1, yhi - ylo) AS zy
+        FROM dims, st
+    )
+    SELECT event_id, zx, zy,
+           CAST(list_sum(list_transform(generate_series(0, 15),
+                k -> (((zx >> k) & 1) << (2*k)) + (((zy >> k) & 1) << (2*k+1))))
+                AS BIGINT) AS z,
+           CAST(list_sum(list_transform(generate_series(0, 15),
+                k -> (((zx >> k) & 1) << (2*k)) + (((zy >> k) & 1) << (2*k+1))))
+                AS BIGINT) >> 22 AS file_bucket
+    FROM scaled
+    """,
+    tags=("layout",),
+)
+def events_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering codes over (user_id, event hour) —
+    the key column behind ``operators/layout.py::zorder_write``: a
+    multi-dimensionally clustered layout where each output file covers
+    a small rectangle in (user, time) space, so parquet footer stats
+    prune scans filtered on EITHER dimension (the Delta/Iceberg
+    OPTIMIZE ZORDER BY trick). Each dimension is min-max scaled onto
+    the full 16-bit budget first (unequal raw bit-spans degenerate the
+    curve into a plain sort on the wider dimension — measured before
+    the fix: per-file user range stayed 100% of global).
+    ``file_bucket`` is the top-10-bit prefix — the coarse assignment a
+    1024-file layout would use; the writer range-partitions on the
+    full code instead so file sizes stay balanced under skew.
+
+    One 1-row stats broadcast + a map-only 32-term shift/mask/or
+    expression per row, fully inside whole-stage codegen; no shuffle
+    of the fact table, no UDF. Exact integer arithmetic on both
+    engines (integral `div`; see operators/layout.py::scale_to_bits).
+    """
+    from ..operators.layout import morton_interleave, scale_to_bits
+
+    e = load_table(spark, sf_dir, "events")
+    # integral `div`, not `/`: float division of a ~2^50 µs value can
+    # round across an hour boundary where DuckDB's // floors exactly
+    d = e.select(
+        "event_id", F.col("user_id").alias("x"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("y"))
+    st = d.agg(F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+               F.min("y").alias("ylo"), F.max("y").alias("yhi"))
+    zx = scale_to_bits(F.col("x"), F.col("xlo"), F.col("xhi"))
+    zy = scale_to_bits(F.col("y"), F.col("ylo"), F.col("yhi"))
+    return (
+        d.join(F.broadcast(st))
+        .select("event_id", zx.alias("zx"), zy.alias("zy"))
+        .withColumn("z", morton_interleave(F.col("zx"), F.col("zy")))
+        .withColumn("file_bucket", F.shiftright(F.col("z"), 22))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Perceptual-hash media dedup (aHash shape over byte histograms)
 # ---------------------------------------------------------------------------
 
