@@ -42,6 +42,7 @@ _PRIORITY = [
     # dedup (plans/analysis_ops.py) — never externally checked.
     "text_tfidf_topk", "pareto_revenue_by_brand", "orders_yoy_growth",
     "events_debounce_5m", "mm_dedup_phash", "events_zorder_code",
+    "events_type_cooccurrence", "agg_incremental_merge",
     # Fixed or semantically changed this round: the r3 `err` entry
     # (codes_csv reshape), the bounded per-doc simhash form, and the
     # auto-derived embedding banding.
@@ -63,14 +64,14 @@ _PRIORITY = [
     "events_transition_matrix",
     # Externally green only once (r3), unchanged — keep one more round
     # of signal while slots allow.
-    "similarity_topk_sq8", "curate_dataset_card",
-    "dedup_containment",  # entry #50 — last slot inside the window
+    "similarity_topk_sq8",  # entry #50 — last slot inside the window
     # -- Entries #51+: past the 50-entry window. -------------------------
     # r3-green-once entries that lost the slot tiebreak (the five new
     # analysis_ops entries displaced decontaminate_embedding + the mm_*
     # block, all r3-green), then everything externally green in two or
     # more rounds (they can yield their slots; the registry tail keeps
     # import order).
+    "curate_dataset_card", "dedup_containment",
     "curate_multimodal_corpus", "decontaminate_embedding",
     "mm_decode_meta", "mm_byte_stats", "mm_resize_plan",
     "mm_frame_sample",

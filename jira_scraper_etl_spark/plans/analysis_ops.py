@@ -285,6 +285,119 @@ def events_debounce_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Co-occurrence mining: event-type associations by shared users
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_type_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM ut GROUP BY event_type),
+    co AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_co,
+           na.n_users AS n_a, nb.n_users AS n_b,
+           CAST(n_co AS DOUBLE) / (na.n_users + nb.n_users - n_co) AS jaccard
+    FROM co
+    JOIN n na ON na.event_type = co.type_a
+    JOIN n nb ON nb.event_type = co.type_b
+    """,
+    tags=("events", "mining"),
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence mining: for every pair of event types,
+    how many users perform both, with the Jaccard association — the
+    item-item collaborative-filtering shape (swap event_type for an
+    item id and this is "users who did X also did Y").
+
+    Scale shape: the distinct (user, type) projection partial-
+    aggregates map-side before anything else, so the self-join input is
+    one row per (user, type) — bounded by users × |type vocabulary|,
+    not by raw event volume. The join key is user_id (high-cardinality,
+    AQE-handled); output cardinality is |types|², tiny, and the
+    per-type totals join back as broadcasts. Jaccard is one int/int
+    IEEE division — bit-identical cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    co = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("type_a"),
+                 F.col("b.event_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+    )
+    na = F.broadcast(n.select(F.col("event_type").alias("type_a"),
+                              F.col("n_users").alias("n_a")))
+    nb = F.broadcast(n.select(F.col("event_type").alias("type_b"),
+                              F.col("n_users").alias("n_b")))
+    return (
+        co.join(na, "type_a").join(nb, "type_b")
+        .select("type_a", "type_b", "n_co", "n_a", "n_b",
+                (F.col("n_co").cast("double")
+                 / (F.col("n_a") + F.col("n_b") - F.col("n_co")))
+                .alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: merge a new batch into partials
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "incremental"),
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the nightly-refresh pattern:
+    the historical partition's PARTIAL aggregates (count + exact-decimal
+    sum per priority, the materialized state a warehouse keeps) are
+    merged with the new batch's partials by re-aggregation, instead of
+    rescanning history. The oracle is the full recompute over all rows —
+    equality IS the correctness statement (count/sum are commutative
+    monoids, so merge-of-partials ≡ recompute; decimal sums keep the
+    merge exact where float partials would drift).
+
+    At 100 TB the `old` branch is a few hundred pre-aggregated rows
+    read from the state table, not a scan — here both branches derive
+    from the same table with a date predicate pushed to the parquet
+    scan (two prunable scans, two map-side-combined shuffles of
+    |priorities| rows each, one trivial merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).cast("long").alias("pn"),
+            F.sum(money("o_totalprice")).alias("psum"))
+
+    old = partials(o.where(F.col("o_orderdate") < cutoff))
+    new = partials(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        old.unionByName(new)
+        .groupBy("priority")
+        .agg(F.sum("pn").cast("long").alias("n_orders"),
+             F.sum("psum").cast("double").alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-order layout codes (operators/layout.py — the writer's key column)
 # ---------------------------------------------------------------------------
 

@@ -99,3 +99,32 @@ def test_phash_join_is_broadcast(spark, sf_dir):
     plan = plans.QUERIES["mm_dedup_phash"].fn(
         spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cooccurrence_bounds_and_ordering(spark, sf_dir):
+    rows = plans.QUERIES["events_type_cooccurrence"].fn(spark, sf_dir).collect()
+    assert rows
+    types = {t for r in rows for t in (r.type_a, r.type_b)}
+    assert len(rows) <= len(types) * (len(types) - 1) // 2
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 1 <= r.n_co <= min(r.n_a, r.n_b)
+        union = r.n_a + r.n_b - r.n_co
+        assert r.jaccard == r.n_co / union and 0 < r.jaccard <= 1
+
+
+def test_incremental_merge_equals_direct_aggregation(spark, sf_dir):
+    """Merge-of-partials must equal a single full aggregation — the
+    monoid property the nightly-refresh pattern relies on."""
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.plans.registry import dsum
+
+    merged = {tuple(r) for r in
+              plans.QUERIES["agg_incremental_merge"].fn(spark, sf_dir).collect()}
+    direct = {tuple(r) for r in (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+             dsum("o_totalprice", "total_price"))
+        .collect())}
+    assert merged == direct and merged
