@@ -43,6 +43,7 @@ _PRIORITY = [
     "text_tfidf_topk", "pareto_revenue_by_brand", "orders_yoy_growth",
     "events_debounce_5m", "mm_dedup_phash", "events_zorder_code",
     "events_type_cooccurrence", "agg_incremental_merge",
+    "agg_hll_mergeable",
     # Fixed or semantically changed this round: the r3 `err` entry
     # (codes_csv reshape), the bounded per-doc simhash form, and the
     # auto-derived embedding banding.
@@ -64,8 +65,9 @@ _PRIORITY = [
     "events_transition_matrix",
     # Externally green only once (r3), unchanged — keep one more round
     # of signal while slots allow.
-    "similarity_topk_sq8",  # entry #50 — last slot inside the window
+    # (entry #50 — window boundary falls after events_transition_matrix)
     # -- Entries #51+: past the 50-entry window. -------------------------
+    "similarity_topk_sq8",
     # r3-green-once entries that lost the slot tiebreak (the five new
     # analysis_ops entries displaced decontaminate_embedding + the mm_*
     # block, all r3-green), then everything externally green in two or

@@ -398,6 +398,42 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mergeable-sketch distinct counts (HLL partials → union → estimate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_hll_mergeable",
+    oracle=None,  # rows-only: Datasketches HLL has no DuckDB parity
+    tags=("agg", "approx", "incremental"),
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via MERGEABLE HLL sketches: each
+    shard builds a sketch partial (``hll_sketch_agg``), partials merge
+    with ``hll_union_agg``, and only the merged sketch is estimated —
+    the two-level shape of a warehouse sketch state table, where
+    COUNT(DISTINCT) over 100 TB is a per-partition sketch build plus a
+    byte-sized merge instead of a global shuffle of raw keys.
+
+    The test pins the invariant that makes this sound: merging the
+    8 shard partials yields the SAME estimate as one direct sketch
+    over all rows (sketch union is exact over sketch state), and the
+    estimate lands within HLL's error envelope of the exact count.
+    Rows-only by design, like agg_approx_count_distinct: Datasketches
+    HLL has no cross-engine DuckDB twin."""
+    e = load_table(spark, sf_dir, "events")
+    partials = (
+        e.groupBy("event_type",
+                  F.pmod(F.col("user_id"), F.lit(8)).alias("shard"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(
+            F.hll_union_agg("sk")).alias("est_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-order layout codes (operators/layout.py — the writer's key column)
 # ---------------------------------------------------------------------------
 

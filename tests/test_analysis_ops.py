@@ -128,3 +128,24 @@ def test_incremental_merge_equals_direct_aggregation(spark, sf_dir):
              dsum("o_totalprice", "total_price"))
         .collect())}
     assert merged == direct and merged
+
+
+def test_hll_merge_of_partials_equals_direct_sketch(spark, sf_dir):
+    """Sketch union must be lossless over sketch state: merging the 8
+    shard partials gives the SAME estimate as one direct sketch over
+    all rows, and both land inside HLL's error envelope of exact."""
+    from jira_scraper_etl_spark.catalog import load_table
+
+    merged = {(r.event_type, r.est_users) for r in
+              plans.QUERIES["agg_hll_mergeable"].fn(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    direct = {(r.event_type, r.est)
+              for r in e.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id")).alias("est")).collect()}
+    assert merged == direct and merged
+    exact = {r.event_type: r.n
+             for r in e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for etype, est in merged:
+        assert abs(est - exact[etype]) <= max(2, 0.05 * exact[etype])

@@ -28,6 +28,7 @@ def test_oracle_coverage():
     rows_only = {name for name, q in plans.QUERIES.items() if q.oracle is None}
     assert rows_only == {
         "agg_approx_count_distinct",
+        "agg_hll_mergeable",
         "similarity_ann_mllsh",
         "similarity_ann_ivf",
         "jira_transform_silver",
