@@ -43,7 +43,8 @@ _PRIORITY = [
     "text_tfidf_topk", "pareto_revenue_by_brand", "orders_yoy_growth",
     "events_debounce_5m", "mm_dedup_phash", "events_zorder_code",
     "events_type_cooccurrence", "agg_incremental_merge",
-    "agg_hll_mergeable",
+    "agg_hll_mergeable", "sample_weighted_hash",
+    "events_winsorize_p1_p99", "events_scd2_history",
     # Fixed or semantically changed this round: the r3 `err` entry
     # (codes_csv reshape), the bounded per-doc simhash form, and the
     # auto-derived embedding banding.
@@ -60,14 +61,11 @@ _PRIORITY = [
     # Externally green only ONCE ever (r1 or r2), never since.
     "similarity_ann_mllsh", "events_session_concurrency",
     "events_cohort_retention", "join_full_outer_entity_activity",
-    "window_ntile_distribution", "window_first_last_orders",
-    "events_hourly_gapfill", "events_pivot_type_counts",
-    "events_transition_matrix",
-    # Externally green only once (r3), unchanged — keep one more round
-    # of signal while slots allow.
-    # (entry #50 — window boundary falls after events_transition_matrix)
+    "window_ntile_distribution",
+    "window_first_last_orders",  # entry #50 — last slot inside the window
     # -- Entries #51+: past the 50-entry window. -------------------------
-    "similarity_topk_sq8",
+    "events_hourly_gapfill", "events_pivot_type_counts",
+    "events_transition_matrix", "similarity_topk_sq8",
     # r3-green-once entries that lost the slot tiebreak (the five new
     # analysis_ops entries displaced decontaminate_embedding + the mm_*
     # block, all r3-green), then everything externally green in two or

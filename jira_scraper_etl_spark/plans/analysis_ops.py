@@ -398,6 +398,167 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted hash sampling (importance sampling for data mixing)
+# ---------------------------------------------------------------------------
+
+# salted md5 → uint16, mirroring curation.SQL_DOC_BUCKET's construction
+_WHEXP = ("(strpos('0123456789abcdef', substring(md5('ws:' || "
+          "CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)")
+SQL_WU16 = (f"({_WHEXP.format(i=1)}*4096 + {_WHEXP.format(i=2)}*256 + "
+            f"{_WHEXP.format(i=3)}*16 + {_WHEXP.format(i=4)})")
+
+
+@register(
+    "sample_weighted_hash",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           CAST(least(n_chars, 2000) AS BIGINT) AS w,
+           CAST({SQL_WU16} AS BIGINT) AS u
+    FROM documents
+    WHERE {SQL_WU16} * 2000 < least(n_chars, 2000) * 65536
+    """,
+    tags=("curation", "sampling"),
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling: keep each document with
+    probability proportional to its (capped) length — the importance-
+    sampling move behind data-mixing recipes that up-weight long or
+    high-quality documents without an RNG.
+
+    Keep iff ``u·2000 < w·65536`` where u is a salted-md5 uint16 of the
+    id and w = min(n_chars, 2000): pure integer arithmetic, so the
+    decision is a reproducible function of (id, weight) — re-running on
+    a grown corpus never flips an old document's fate, and both engines
+    agree bit-for-bit. Map-only; at 100 TB this is a free column on the
+    scan (same scaling story as split_train_test). The salt keeps the
+    draw independent of the split/stratified buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    u = H.hex4_to_int(F.substring(
+        F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+        1, 4)).cast("long")
+    w = F.least(F.col("n_chars"), F.lit(2000)).cast("long")
+    return (
+        d.select("doc_id", "lang", "n_chars", w.alias("w"), u.alias("u"))
+        .where(F.col("u") * 2000 < F.col("w") * 65536)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: clamp metric outliers to exact per-group order stats
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_winsorize_p1_p99",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = 1 + (n - 1) // 100 THEN value END) AS lo,
+               MIN(CASE WHEN rn = 1 + (99 * (n - 1)) // 100 THEN value END) AS hi
+        FROM r GROUP BY event_type
+    )
+    SELECT event_id, r.event_type, value, lo, hi,
+           CASE WHEN value < lo THEN lo
+                WHEN value > hi THEN hi ELSE value END AS value_w
+    FROM r JOIN b ON r.event_type = b.event_type
+    """,
+    tags=("events", "cleaning"),
+)
+def events_winsorize_p1_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each event's value to its type's exact
+    [p1, p99] order statistics — the standard outlier-taming pass
+    before metric aggregation (a fat-fingered 10^6 purchase stops
+    dominating the mean). Percentile indices are pure integer
+    arithmetic (1 + (n−1)//100), and the clamp only ever COPIES an
+    existing double — no float computation to drift cross-engine.
+
+    The exact order statistic needs a per-type sort, and event_type is
+    low-cardinality — the same single-partition-per-group hazard as
+    text_length_percentiles, and the same answer applies at 100 TB:
+    swap the window for approx_percentile partials (the registered
+    ``_approx`` twin pattern) once groups stop fitting a partition;
+    the clamp join is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_id", "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    lo_idx = 1 + F.expr("(n - 1) div 100")
+    hi_idx = 1 + F.expr("(99 * (n - 1)) div 100")
+    b = (r.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == lo_idx, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_idx, F.col("value"))).alias("hi")))
+    return (
+        r.join(F.broadcast(b), "event_type")
+        .select("event_id", "event_type", "value", "lo", "hi",
+                F.when(F.col("value") < F.col("lo"), F.col("lo"))
+                .when(F.col("value") > F.col("hi"), F.col("hi"))
+                .otherwise(F.col("value")).alias("value_w"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state history (warehouse slowly-changing-dimension build)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_scd2_history",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    ch AS (
+        SELECT user_id, event_type AS state, ts AS valid_from, event_id
+        FROM c WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id)
+                AS INTEGER) AS version
+    FROM ch
+    """,
+    tags=("events", "window", "warehouse"),
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: collapse each user's event stream into
+    state-CHANGE rows with [valid_from, valid_to) effective ranges and
+    a version counter (valid_to NULL = current state) — the slowly-
+    changing-dimension table every warehouse maintains, derived here
+    from the raw event log in one pass.
+
+    Both windows partition on user_id (high-cardinality — no skew
+    hazard, unlike the winsorize pass), and the second window's input
+    is already collapsed to change rows, a fraction of the log. One
+    hash shuffle total: the change-filter and both downstream windows
+    share the same (user_id-partitioned, ts-sorted) exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (e.withColumn("prev_type", F.lag("event_type").over(w))
+          .where(F.col("prev_type").isNull()
+                 | (F.col("prev_type") != F.col("event_type")))
+          .select("user_id", F.col("event_type").alias("state"),
+                  F.col("ts").alias("valid_from"), "event_id"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return ch.select(
+        "user_id", "state", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("int").alias("version"))
+
+
+# ---------------------------------------------------------------------------
 # Mergeable-sketch distinct counts (HLL partials → union → estimate)
 # ---------------------------------------------------------------------------
 

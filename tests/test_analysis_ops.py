@@ -149,3 +149,54 @@ def test_hll_merge_of_partials_equals_direct_sketch(spark, sf_dir):
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     for etype, est in merged:
         assert abs(est - exact[etype]) <= max(2, 0.05 * exact[etype])
+
+
+def test_weighted_sample_decision_is_exact_hash_function(spark, sf_dir):
+    """Recompute the keep decision in Python over every doc: the kept
+    set must match exactly (pure function of id and weight)."""
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "n_chars").collect()
+    want = set()
+    for r in docs:
+        u = int(hashlib.md5(f"ws:{r.doc_id}".encode()).hexdigest()[:4], 16)
+        w = min(r.n_chars, 2000)
+        if u * 2000 < w * 65536:
+            want.add((r.doc_id, w, u))
+    got = {(r.doc_id, r.w, r.u) for r in
+           plans.QUERIES["sample_weighted_hash"].fn(spark, sf_dir).collect()}
+    assert got == want and want
+
+
+def test_winsorize_bounds_and_row_preservation(spark, sf_dir):
+    out = plans.QUERIES["events_winsorize_p1_p99"].fn(spark, sf_dir)
+    rows = out.collect()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(rows) == n_events  # clamp never drops rows
+    n_clamped = 0
+    for r in rows:
+        assert r.lo <= r.value_w <= r.hi
+        if r.lo <= r.value <= r.hi:
+            assert r.value_w == r.value
+        else:
+            n_clamped += 1
+            assert r.value_w in (r.lo, r.hi)
+    # ~2% of rows sit outside [p1, p99] by construction
+    assert 0 < n_clamped <= 0.05 * n_events
+
+
+def test_scd2_ranges_tile_each_users_timeline(spark, sf_dir):
+    rows = plans.QUERIES["events_scd2_history"].fn(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(1 for r in rs if r.valid_to is None) == 1
+        assert rs[-1].valid_to is None  # only the latest state is open
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from  # ranges tile, no gaps
+            assert a.state != b.state  # consecutive states differ
