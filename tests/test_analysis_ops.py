@@ -200,3 +200,36 @@ def test_scd2_ranges_tile_each_users_timeline(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from  # ranges tile, no gaps
             assert a.state != b.state  # consecutive states differ
+
+
+def _plan(spark, sf_dir, name):
+    return plans.QUERIES[name].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both SCD2 windows must share ONE user_id hash exchange — the
+    change-filter preserves the partitioning and sort, so a second
+    Exchange (or Sort) appearing means the plan regressed."""
+    p = _plan(spark, sf_dir, "events_scd2_history")
+    assert p.count("Exchange") == 1
+    assert p.count("+- Sort") == 1
+
+
+def test_winsorize_clamp_join_is_broadcast(spark, sf_dir):
+    """The per-type bounds table (|types| rows) must join back as a
+    broadcast, never shuffling the event stream a second time."""
+    p = _plan(spark, sf_dir, "events_winsorize_p1_p99")
+    assert "BroadcastHashJoin" in p
+
+
+def test_tfidf_persisted_seam_feeds_both_consumers(spark, sf_dir):
+    """The tokenize→explode→count pipeline is the expensive stage; the
+    persisted tf seam must serve BOTH the df aggregation and the
+    scoring join (two InMemoryTableScans, zero re-reads of text)."""
+    p = _plan(spark, sf_dir, "text_tfidf_topk")
+    assert p.count("InMemoryTableScan") == 2
+    # WindowGroupLimit: Spark pushes the per-language top-10 below the
+    # exchange, which is what keeps the ranking safe in a wide-vocab
+    # regime — pin that it stays in the plan
+    assert "WindowGroupLimit" in p
