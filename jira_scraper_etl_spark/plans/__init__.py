@@ -44,7 +44,8 @@ _PRIORITY = [
     "events_debounce_5m", "mm_dedup_phash", "events_zorder_code",
     "events_type_cooccurrence", "agg_incremental_merge",
     "agg_hll_mergeable", "sample_weighted_hash",
-    "events_winsorize_p1_p99", "events_scd2_history",
+    "events_winsorize_p1_p99", "events_winsorize_approx",
+    "events_scd2_history",
     # Fixed or semantically changed this round: the r3 `err` entry
     # (codes_csv reshape), the bounded per-doc simhash form, and the
     # auto-derived embedding banding.
@@ -61,9 +62,9 @@ _PRIORITY = [
     # Externally green only ONCE ever (r1 or r2), never since.
     "similarity_ann_mllsh", "events_session_concurrency",
     "events_cohort_retention", "join_full_outer_entity_activity",
-    "window_ntile_distribution",
-    "window_first_last_orders",  # entry #50 — last slot inside the window
+    "window_ntile_distribution",  # entry #50 — last slot inside the window
     # -- Entries #51+: past the 50-entry window. -------------------------
+    "window_first_last_orders",
     "events_hourly_gapfill", "events_pivot_type_counts",
     "events_transition_matrix", "similarity_topk_sq8",
     # r3-green-once entries that lost the slot tiebreak (the five new

@@ -505,6 +505,33 @@ def events_winsorize_p1_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_winsorize_approx",
+    oracle=None,  # rows-only: approx_percentile sketch has no DuckDB twin
+    tags=("events", "cleaning", "approx"),
+)
+def events_winsorize_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for winsorization (named by the exact entry's
+    docstring): per-type [p1, p99] from ``approx_percentile`` — a
+    mergeable sketch aggregation that partial-combines map-side, so no
+    per-type sort and no single-partition-per-group hazard — then the
+    same broadcast clamp join. Rows-only like the other sketch entries
+    (no DuckDB twin); the test pins it against the exact plan: same
+    row count, bounds within the sketch's rank-error envelope, and
+    every clamp decision consistent with its own bounds."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.01, 10000)").alias("lo"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("hi"))
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .select("event_id", "event_type", "value", "lo", "hi",
+                F.when(F.col("value") < F.col("lo"), F.col("lo"))
+                .when(F.col("value") > F.col("hi"), F.col("hi"))
+                .otherwise(F.col("value")).alias("value_w"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD2 state history (warehouse slowly-changing-dimension build)
 # ---------------------------------------------------------------------------

@@ -233,3 +233,30 @@ def test_tfidf_persisted_seam_feeds_both_consumers(spark, sf_dir):
     # exchange, which is what keeps the ranking safe in a wide-vocab
     # regime — pin that it stays in the plan
     assert "WindowGroupLimit" in p
+
+
+def test_winsorize_approx_consistent_with_exact(spark, sf_dir):
+    """The sketch-based twin must preserve every row, clamp only
+    against its own bounds, and land each bound inside a ±1-percentile
+    rank window of the true distribution (approx_percentile's index
+    convention differs from the exact plan's floor-based order
+    statistic, so exact equality is not the contract — rank proximity
+    is)."""
+    vals: dict[str, list] = {}
+    for r in spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for v in vals.values():
+        v.sort()
+    out = plans.QUERIES["events_winsorize_approx"].fn(spark, sf_dir)
+    rows = out.collect()
+    n_events = sum(len(v) for v in vals.values())
+    assert len(rows) == n_events
+    for r in rows:
+        assert r.lo <= r.value_w <= r.hi
+        if r.lo <= r.value <= r.hi:
+            assert r.value_w == r.value
+        v = vals[r.event_type]
+        n = len(v)
+        assert v[0] <= r.lo <= v[min(n - 1, (2 * (n - 1)) // 100 + 1)]
+        assert v[max(0, (98 * (n - 1)) // 100 - 1)] <= r.hi <= v[n - 1]

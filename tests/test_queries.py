@@ -29,6 +29,7 @@ def test_oracle_coverage():
     assert rows_only == {
         "agg_approx_count_distinct",
         "agg_hll_mergeable",
+        "events_winsorize_approx",
         "similarity_ann_mllsh",
         "similarity_ann_ivf",
         "jira_transform_silver",
