@@ -4,6 +4,8 @@ from .registry import QUERIES, Query, queries, oracle_sql  # noqa: F401
 
 # Importing the plan modules populates the registry.
 from . import analysis_ops  # noqa: F401,E402
+from . import warehouse_ops  # noqa: F401,E402
+from . import setsim_ops  # noqa: F401,E402
 from . import vector_ops  # noqa: F401,E402
 from . import skew_ops  # noqa: F401,E402
 from . import llm_ops  # noqa: F401,E402
@@ -46,6 +48,11 @@ _PRIORITY = [
     "agg_hll_mergeable", "sample_weighted_hash",
     "events_winsorize_p1_p99", "events_winsorize_approx",
     "events_scd2_history",
+    # New this session, wave 2: warehouse maintenance + exact set-
+    # similarity join (plans/warehouse_ops.py, plans/setsim_ops.py).
+    "dq_profile_orders", "merge_upsert_customer_balance",
+    "events_merge_intervals", "window_rolling_median",
+    "stats_corr_matrix", "dedup_jaccard_prefix", "ngram_count_of_counts",
     # Fixed or semantically changed this round: the r3 `err` entry
     # (codes_csv reshape), the bounded per-doc simhash form, and the
     # auto-derived embedding banding.
@@ -55,15 +62,19 @@ _PRIORITY = [
     # hash should confirm it).
     "dedup_minhash_lsh", "dedup_span_exact", "dedup_cluster_canonical",
     "dedup_incremental_novel", "dedup_ngram_jaccard",
-    "text_corpus_freq_score", "text_vocab_topk", "text_char_pair_stats",
-    "text_bigram_assoc", "text_char_diversity", "text_repetition_stats",
+    "text_corpus_freq_score", "text_vocab_topk",
+    "text_char_diversity", "text_repetition_stats",
     "decontaminate_ngram", "decontaminate_hashed",
-    "curate_pretrain_corpus", "curate_corpus_v2", "curate_corpus_v3",
-    # Externally green only ONCE ever (r1 or r2), never since.
+    "curate_pretrain_corpus", "curate_corpus_v2",
+    "curate_corpus_v3",  # entry #50 — last slot inside the window
+    # -- Entries #51+: past the 50-entry window. -------------------------
+    # Displaced by the wave-2 entries: these two share the fan_out seam
+    # with the in-window dedup/text entries (confirmed by those rows),
+    # and the green-once tail yields to never-checked entries.
+    "text_bigram_assoc", "text_char_pair_stats",
     "similarity_ann_mllsh", "events_session_concurrency",
     "events_cohort_retention", "join_full_outer_entity_activity",
-    "window_ntile_distribution",  # entry #50 — last slot inside the window
-    # -- Entries #51+: past the 50-entry window. -------------------------
+    "window_ntile_distribution",
     "window_first_last_orders",
     "events_hourly_gapfill", "events_pivot_type_counts",
     "events_transition_matrix", "similarity_topk_sq8",

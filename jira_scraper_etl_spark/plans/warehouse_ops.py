@@ -1,0 +1,403 @@
+"""Warehouse-maintenance operators: data-quality profiling, MERGE-style
+upsert, interval coalescing (gaps-and-islands), exact rolling medians,
+and a correlation matrix from exact sufficient statistics.
+
+These are the table-maintenance and statistics passes a lakehouse runs
+around the curation pipeline itself: profile a table before trusting
+it (the Deequ/great-expectations shape), apply a CDC batch to a
+snapshot (MERGE INTO), coalesce point-in-time coverage into effective
+ranges, tame a metric with an order-statistic smoother, and measure
+which numeric columns move together.
+
+Cross-engine exactness follows the registry rules: counts and min/max
+COPY values (no float aggregation), money goes through exact DECIMAL,
+and every float formula is a fixed scalar expression over
+correctly-rounded inputs — both engines evaluate the identical IEEE
+op sequence, so results are bit-identical without tolerance knobs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from .registry import money, register
+
+# ---------------------------------------------------------------------------
+# Data-quality profile (the Deequ / great-expectations shape)
+# ---------------------------------------------------------------------------
+
+# (column, kind): numeric columns surface min/max as doubles (exact
+# copies — orderkeys < 2^53, timestamps as epoch µs < 2^53), varchar
+# columns as strings; mixing both in one long table needs the split
+# min_num/min_str columns because the harness hashes by column.
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_sql_one(col: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+    elif kind == "ts":
+        mn = f"CAST(epoch_us(MIN({col})) AS DOUBLE)"
+        mx = f"CAST(epoch_us(MAX({col})) AS DOUBLE)"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+    ms, xs = (f"MIN({col})", f"MAX({col})") if kind == "str" else (
+        "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT({col}) AS BIGINT) AS n_nonnull,
+           CAST(COUNT({col}) AS DOUBLE) / COUNT(*) AS completeness,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num,
+           {ms} AS min_str, {xs} AS max_str
+    FROM orders"""
+
+
+@register(
+    "dq_profile_orders",
+    oracle=" UNION ALL ".join(_profile_sql_one(c, k) for c, k in _PROFILE_COLS),
+    tags=("quality", "agg"),
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of a table — one row per column
+    with row count, non-null count, completeness ratio, exact distinct
+    count, and min/max (numeric columns as exact double copies,
+    timestamps as epoch microseconds, strings as strings) — the
+    pre-ingest audit every pipeline runs before trusting an upstream
+    drop (the Deequ / great-expectations metric set).
+
+    All metrics for all columns compute in ONE aggregation: Spark
+    rewrites the multi-column COUNT(DISTINCT) into a single Expand
+    (×|columns| rows) feeding one partial-aggregated shuffle — the
+    same plan Deequ generates, linear in input with map-side combine,
+    never |columns| separate scans. min/max/count are copy/count-only
+    aggregates (no float arithmetic to drift); completeness is one
+    int/int IEEE division. The long-form reshape is a driver-free
+    explode of a 1-row struct array."""
+    o = load_table(spark, sf_dir, "orders")
+
+    aggs, structs = [], []
+    for col, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = F.min(col).cast("double")
+            mx = F.max(col).cast("double")
+        elif kind == "ts":
+            mn = F.expr(f"unix_micros(cast(min({col}) as timestamp))").cast("double")
+            mx = F.expr(f"unix_micros(cast(max({col}) as timestamp))").cast("double")
+        else:
+            mn = mx = F.lit(None).cast("double")
+        ms = F.min(col) if kind == "str" else F.lit(None).cast("string")
+        xs = F.max(col) if kind == "str" else F.lit(None).cast("string")
+        aggs += [
+            F.count(F.col(col)).cast("long").alias(f"nn_{col}"),
+            F.countDistinct(F.col(col)).cast("long").alias(f"nd_{col}"),
+            mn.alias(f"mn_{col}"), mx.alias(f"mx_{col}"),
+            ms.alias(f"ms_{col}"), xs.alias(f"xs_{col}"),
+        ]
+        structs.append(F.struct(
+            F.lit(col).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"nn_{col}").alias("n_nonnull"),
+            (F.col(f"nn_{col}").cast("double") / F.col("n_rows"))
+            .alias("completeness"),
+            F.col(f"nd_{col}").alias("n_distinct"),
+            F.col(f"mn_{col}").alias("min_num"),
+            F.col(f"mx_{col}").alias("max_num"),
+            F.col(f"ms_{col}").alias("min_str"),
+            F.col(f"xs_{col}").alias("max_str"),
+        ))
+    one = o.agg(F.count(F.lit(1)).cast("long").alias("n_rows"), *aggs)
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO semantics (lakehouse CDC upsert)
+# ---------------------------------------------------------------------------
+
+@register(
+    "merge_upsert_customer_balance",
+    oracle="""
+    WITH target AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    source AS (
+        SELECT o_custkey AS c_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS delta_d,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-05-01'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+           CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                WHEN s.c_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           t.c_acctbal AS old_bal,
+           CAST(CAST(s.delta_d AS VARCHAR) AS DOUBLE) AS delta,
+           CAST(CAST(
+               COALESCE(CAST(t.c_acctbal AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))
+               + COALESCE(s.delta_d, CAST(0 AS DECIMAL(12,2)))
+               AS VARCHAR) AS DOUBLE) AS new_bal,
+           COALESCE(s.n_orders, 0) AS n_orders
+    FROM target t FULL OUTER JOIN source s USING (c_custkey)
+    """,
+    tags=("warehouse", "join", "incremental"),
+)
+def merge_upsert_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over a snapshot + change batch — the
+    lakehouse CDC upsert: a stale customer snapshot (every 7th key
+    missing, so the insert branch is exercised) merged with late-1998 order
+    activity. Matched keys update (balance + exact-decimal delta),
+    unmatched targets keep their row, unmatched sources insert — each
+    row labeled with the action a Delta/Iceberg MERGE would take.
+
+    Plan shape: the source pre-aggregates to one row per customer
+    (map-side combine; the date predicate pushes to the parquet scan),
+    then ONE full-outer shuffle join on the key — both sides are big at
+    warehouse scale, so no broadcast is assumed; AQE handles a skewed
+    key. The balance chain stays exact DECIMAL until the final
+    correctly-rounded double cast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    target = (c.where(F.col("c_custkey") % 7 != 0)
+              .select("c_custkey", "c_acctbal"))
+    source = (
+        o.where(F.col("o_orderdate")
+                >= F.lit("1998-05-01").cast("timestamp_ntz"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(money("o_totalprice")).alias("delta_d"),
+             F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    s = source.withColumnRenamed("c_custkey", "s_key")
+    zero = F.lit(0).cast("decimal(12,2)")
+    # presence is detected on the JOIN KEYS (never on value columns,
+    # which could legitimately be NULL in a matched row)
+    return (
+        target.join(s, target.c_custkey == s.s_key, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "s_key").alias("c_custkey"),
+            F.when(F.col("c_custkey").isNull(), F.lit("insert"))
+            .when(F.col("s_key").isNull(), F.lit("keep"))
+            .otherwise(F.lit("update")).alias("action"),
+            F.col("c_acctbal").alias("old_bal"),
+            F.col("delta_d").cast("double").alias("delta"),
+            (F.coalesce(money("c_acctbal"), zero)
+             + F.coalesce(F.col("delta_d"), zero))
+            .cast("double").alias("new_bal"),
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("long"))
+            .alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_merge_intervals",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s_us,
+               epoch_us(ts) + 300000000 AS e_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN MAX(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        >= s_us
+                    THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT *, SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT user_id, CAST(island AS INTEGER) AS interval_seq,
+           MIN(s_us) AS start_us, MAX(e_us) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+    tags=("events", "window", "warehouse"),
+)
+def events_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing: each event covers
+    [ts, ts+5min); overlapping or touching covers per user merge into
+    maximal intervals — the classic "effective coverage" pass (machine
+    uptime from heartbeats, user presence from activity pings). Output:
+    one row per merged interval with its bounds (exact integer µs) and
+    the number of events it absorbed.
+
+    The island detector is the running-max form — an event starts a new
+    island iff its start exceeds the max end of ALL previous covers
+    (the naive lag-against-previous-end mis-merges when an earlier long
+    cover outlasts its successor). One hash shuffle on user_id
+    (high-cardinality); both windows and the final aggregation reuse
+    that single exchange, and the running max/sum frames are
+    incremental (no per-row rescan)."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("s_us"),
+        (F.expr("unix_micros(cast(ts as timestamp))")
+         + F.lit(300_000_000)).alias("e_us"))
+    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max = (F.max("e_us")
+                .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max >= F.col("s_us"), F.lit(0)).otherwise(F.lit(1)))
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (
+        islands.groupBy("user_id", F.col("island").cast("int").alias("interval_seq"))
+        .agg(F.min("s_us").alias("start_us"),
+             F.max("e_us").alias("end_us"),
+             F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median (order-statistic smoother)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(len(win) AS INTEGER) AS n_win,
+           CASE WHEN len(win) % 2 = 1
+                THEN list_sort(win)[(len(win) + 1) // 2]
+                ELSE (list_sort(win)[len(win) // 2]
+                      + list_sort(win)[len(win) // 2 + 1]) / 2.0
+           END AS med
+    FROM (SELECT event_id, user_id, value,
+                 list(value) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS win
+          FROM events)
+    """,
+    tags=("events", "window"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of each user's metric over their trailing
+    5 events — the robust smoother that a trailing MEAN can't replace
+    when the stream has spikes (a single fat-fingered value drags a
+    mean for 5 rows; the median shrugs it off). Spark has no median
+    window function, so the operator composes built-ins: collect the
+    ROWS frame, array_sort, index the middle (average of the two
+    middles for even frames — frames 1-4 at each key's start).
+
+    The frame is O(1) bounded (5 values), so the collected array adds
+    constant bytes per row — this composition is linear and safe at
+    any scale, unlike an unbounded-frame collect. One user_id hash
+    shuffle; the sort-within-frame is 5 elements. The even-frame
+    average divides two copied doubles by 2.0 — IEEE-identical in both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, 0))
+    srt = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(srt)
+    mid = ((n + F.lit(1)) / F.lit(2)).cast("int")  # exact: n <= 5
+    lo_mid = (n / F.lit(2)).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(srt, mid)
+    ).otherwise(
+        (F.element_at(srt, lo_mid)
+         + F.element_at(srt, lo_mid + 1)) / F.lit(2.0))
+    return e.select(
+        "event_id", "user_id", "value",
+        n.cast("int").alias("n_win"), med.alias("med"))
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix from exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [(a, b) for i, a in enumerate(_CORR_COLS)
+               for b in _CORR_COLS[i + 1:]]
+
+
+def _corr_oracle() -> str:
+    dec = "DECIMAL(12,2)"
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS nn"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(CAST(SUM(CAST({c} AS {dec})) AS VARCHAR) AS DOUBLE)"
+                    f" AS s_{c}")
+        sums.append(f"CAST(CAST(SUM(CAST({c} AS {dec}) * CAST({c} AS {dec}))"
+                    f" AS VARCHAR) AS DOUBLE) AS s2_{c}")
+    for a, b in _CORR_PAIRS:
+        sums.append(f"CAST(CAST(SUM(CAST({a} AS {dec}) * CAST({b} AS {dec}))"
+                    f" AS VARCHAR) AS DOUBLE) AS s_{a}_{b}")
+    pair_sel = " UNION ALL ".join(
+        f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
+            CAST(nn AS BIGINT) AS n,
+            (nn * s_{a}_{b} - s_{a} * s_{b})
+              / (sqrt(nn * s2_{a} - s_{a} * s_{a})
+                 * sqrt(nn * s2_{b} - s_{b} * s_{b})) AS corr
+            FROM moments""" for a, b in _CORR_PAIRS)
+    return f"WITH moments AS (SELECT {', '.join(sums)} FROM lineitem) {pair_sel}"
+
+
+@register(
+    "stats_corr_matrix",
+    oracle=_corr_oracle(),
+    tags=("agg", "stats"),
+)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every pair of lineitem's numeric
+    measures, computed from EXACT sufficient statistics: one scan
+    accumulates Σx, Σx², Σxy as exact decimals (products of
+    DECIMAL(12,2) are DECIMAL(25,4); sums stay exact), each moment is
+    correctly rounded to double once, and the textbook formula
+    (n·Σxy − ΣxΣy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²)) evaluates as
+    the identical IEEE op sequence in both engines — bit-identical
+    correlations with no tolerance, where the built-in streaming
+    ``corr`` (Welford-style co-moments) is order-dependent and
+    irreproducible across partitionings.
+
+    One aggregation over 15 decimal sums → a single 1-row partial per
+    partition (map-side combine), then a driver-free explode into the
+    6 pair rows. At 100 TB this is the cheapest possible shape: one
+    scan of 4 pruned columns, O(1) shuffle bytes. Precision headroom:
+    Σx² ≤ n·10¹⁰ stays inside DECIMAL(35,4) up to ~10²⁰ rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = {c: money(c) for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("double").alias("nn")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(d[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).cast("double").alias(f"s2_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(d[a] * d[b]).cast("double").alias(f"s_{a}_{b}"))
+    moments = li.agg(*aggs)
+    nn = F.col("nn")
+    structs = []
+    for a, b in _CORR_PAIRS:
+        sx, sy = F.col(f"s_{a}"), F.col(f"s_{b}")
+        sxx, syy = F.col(f"s2_{a}"), F.col(f"s2_{b}")
+        sxy = F.col(f"s_{a}_{b}")
+        corr = ((nn * sxy - sx * sy)
+                / (F.sqrt(nn * sxx - sx * sx) * F.sqrt(nn * syy - sy * sy)))
+        structs.append(F.struct(
+            F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+            nn.cast("long").alias("n"), corr.alias("corr")))
+    return moments.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

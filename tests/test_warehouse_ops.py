@@ -1,0 +1,175 @@
+"""Semantic invariants for plans/warehouse_ops.py and plans/setsim_ops.py
+(value-level parity vs DuckDB is covered by tools/check_oracle.py; these
+pin the properties the oracle compare can't express as a hash)."""
+
+from __future__ import annotations
+
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from jira_scraper_etl_spark import plans
+from jira_scraper_etl_spark.functions import hashing as H
+
+
+def test_dq_profile_one_row_per_column_with_consistent_counts(spark, sf_dir):
+    rows = {r.col_name: r for r in
+            plans.QUERIES["dq_profile_orders"].fn(spark, sf_dir).collect()}
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert set(rows) == {"o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice", "o_orderdate", "o_orderpriority"}
+    for col, r in rows.items():
+        assert r.n_rows == n
+        assert 0 <= r.n_nonnull <= n
+        assert r.completeness == r.n_nonnull / n
+        assert 1 <= r.n_distinct <= r.n_nonnull
+        if col in ("o_orderstatus", "o_orderpriority"):
+            assert r.min_num is None and r.max_num is None
+            assert r.min_str is not None and r.min_str <= r.max_str
+        else:
+            assert r.min_str is None and r.max_str is None
+            assert r.min_num is not None and r.min_num <= r.max_num
+    # primary key: every row distinct and present
+    pk = rows["o_orderkey"]
+    assert pk.n_distinct == pk.n_nonnull == n and pk.completeness == 1.0
+
+
+def test_merge_upsert_actions_partition_and_balance_arithmetic(spark, sf_dir):
+    rows = plans.QUERIES["merge_upsert_customer_balance"].fn(
+        spark, sf_dir).collect()
+    by_action: dict[str, list] = {}
+    for r in rows:
+        by_action.setdefault(r.action, []).append(r)
+    assert set(by_action) == {"update", "keep", "insert"}
+    # the stale snapshot drops every 7th key, so inserts are exactly the
+    # source keys ≡ 0 (mod 7); keys never duplicate across actions
+    keys = [r.c_custkey for r in rows]
+    assert len(keys) == len(set(keys))
+    for r in by_action["insert"]:
+        assert r.c_custkey % 7 == 0
+        assert r.old_bal is None and r.new_bal == r.delta and r.n_orders > 0
+    for r in by_action["keep"]:
+        assert r.delta is None and r.n_orders == 0
+        assert abs(r.new_bal - round(r.old_bal, 2)) < 1e-9
+    for r in by_action["update"]:
+        assert r.c_custkey % 7 != 0 and r.n_orders > 0
+        assert abs(r.new_bal - (round(r.old_bal, 2) + r.delta)) < 1e-6
+
+
+def test_merge_intervals_disjoint_and_event_conserving(spark, sf_dir):
+    rows = plans.QUERIES["events_merge_intervals"].fn(spark, sf_dir).collect()
+    per_user_events = {
+        r.user_id: r.n for r in
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(per_user_events)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.interval_seq)
+        assert [r.interval_seq for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.n_events for r in rs) == per_user_events[uid]
+        for r in rs:
+            assert r.end_us - r.start_us >= 300_000_000  # ≥ one cover
+        for a, b in zip(rs, rs[1:]):
+            assert b.start_us > a.end_us  # merged: strictly disjoint
+
+
+def test_rolling_median_matches_python_recompute(spark, sf_dir):
+    rows = plans.QUERIES["window_rolling_median"].fn(spark, sf_dir).collect()
+    med = {r.event_id: r for r in rows}
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "value").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id))
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(rows) == len(ev)
+    for uid, rs in by_user.items():
+        for i, r in enumerate(rs):
+            win = sorted(x.value for x in rs[max(0, i - 4):i + 1])
+            n = len(win)
+            want = win[n // 2] if n % 2 == 1 else \
+                (win[n // 2 - 1] + win[n // 2]) / 2.0
+            got = med[r.event_id]
+            assert got.n_win == n and got.med == want, (uid, r.event_id)
+
+
+def test_corr_matrix_agrees_with_builtin_corr(spark, sf_dir):
+    rows = plans.QUERIES["stats_corr_matrix"].fn(spark, sf_dir).collect()
+    assert len(rows) == 6
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for r in rows:
+        assert -1.0 <= r.corr <= 1.0 and r.n == li.count()
+        builtin = li.agg(F.corr(r.col_x, r.col_y)).collect()[0][0]
+        # built-in corr is order-dependent float; ours is exact-moment —
+        # they agree to ~1e-9, not bit-for-bit
+        assert abs(r.corr - builtin) < 1e-6, (r.col_x, r.col_y)
+    # the exact-moment formulation is DETERMINISTIC: re-evaluating
+    # yields bit-identical correlations (built-in corr, order-dependent
+    # over co-moments, cannot promise this across partitionings)
+    again = {(r.col_x, r.col_y): r.corr for r in
+             plans.QUERIES["stats_corr_matrix"].fn(spark, sf_dir).collect()}
+    assert again == {(r.col_x, r.col_y): r.corr for r in rows}
+
+
+def test_jaccard_prefix_equals_brute_force(spark, sf_dir):
+    """The whole point of prefix filtering: EXACT results (zero false
+    negatives) without the all-pairs join. Compare against brute force
+    over the full corpus."""
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in
+           plans.QUERIES["dedup_jaccard_prefix"].fn(spark, sf_dir).collect()}
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
+            .where(F.size("sh") > 0))
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    want = {(r.doc_a, r.doc_b): r.jaccard for r in (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                (inter.cast("double") / union).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5).collect())}
+    assert got == want and want
+
+
+def test_jaccard_prefix_plan_has_no_cartesian(spark, sf_dir):
+    plan = plans.QUERIES["dedup_jaccard_prefix"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_count_of_counts_conserves_tokens_and_vocab(spark, sf_dir):
+    rows = sorted(
+        plans.QUERIES["ngram_count_of_counts"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.r)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total_toks = docs.select(
+        F.explode(H.word_tokens(F.col("text"))).alias("t")).count()
+    vocab = docs.select(
+        F.explode(H.word_tokens(F.col("text"))).alias("t")) \
+        .select("t").distinct().count()
+    assert sum(r.r * r.n_tokens for r in rows) == total_toks
+    assert sum(r.n_tokens for r in rows) == vocab
+    assert len({r.r for r in rows}) == len(rows)
+    by_r = {r.r: r for r in rows}
+    for r in rows:
+        if r.r + 1 in by_r:
+            want = (r.r + 1) * by_r[r.r + 1].n_tokens / r.n_tokens
+            assert r.r_star == want
+        else:
+            assert r.r_star is None
+
+
+def test_corr_matrix_single_scan(spark, sf_dir):
+    """All 15 moments must come from ONE scan of lineitem (one
+    FileScan in the plan), not one scan per statistic."""
+    plan = plans.QUERIES["stats_corr_matrix"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
