@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
 from ..functions import hashing as H
@@ -75,9 +76,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of strings (cardinalities unchanged); strings are kept
     here so the oracle's list_intersect sees identical sets."""
     d = load_table(spark, sf_dir, "documents")
+    # persisted seam: the interpreted shingling HOF pipeline is the
+    # expensive map stage and has THREE consumers (df counts, rank
+    # join, verify arrays) — materialize it once (the text_tfidf_topk
+    # pattern; Catalyst won't reuse the subtree across branches)
     docs = (fan_out(d.select("doc_id", H.word_shingles(F.col("text"), 3)
                              .alias("sh")), LIGHT)
-            .where(F.size("sh") > 0))
+            .where(F.size("sh") > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    docs.count()
     flat = docs.select("doc_id", F.explode("sh").alias("tok"))
     dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # per-doc tokens sorted by the global (df, tok) order, rarest first
@@ -88,10 +95,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("sz", F.size("srt")))
     # prefix length z − ceil(τ·z) + 1; for τ=1/2: z − (z+1) div 2 + 1
     p = F.col("sz") - F.expr("(sz + 1) div 2") + F.lit(1)
+    # persisted too: the candidate self-join consumes prefix TWICE and
+    # Catalyst does not reuse the (join ⨝ groupBy) subtree across the
+    # aliased sides; the table is small (≈ half the shingle volume)
     prefix = (srt.select(
         "doc_id", "sz",
         F.explode(F.slice(F.transform("srt", lambda x: x["tok"]),
-                          F.lit(1), p)).alias("tok")))
+                          F.lit(1), p)).alias("tok"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    prefix.count()
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
