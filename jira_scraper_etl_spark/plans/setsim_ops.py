@@ -64,30 +64,39 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification then intersects the full shingle sets of candidates
     only.
 
-    Scale shape: candidate buckets are keyed on the RAREST tokens of
-    each document (rarest-first order is what makes prefix buckets
-    small — a stopword shingle never lands in a prefix unless the
-    document is almost all stopwords), plus the standard length filter
-    (τ·|a| ≤ |b| ≤ |a|/τ) prunes mismatched sizes before dedup. The
-    expensive stages are two token-keyed shuffles (df count, rank
-    join) and one doc-keyed shuffle (re-assembly) — all linear; the
-    verify join ships each doc's shingle array once per surviving
-    candidate. At 100 TB the arrays would carry 64-bit shingle hashes
-    instead of strings (cardinalities unchanged); strings are kept
-    here so the oracle's list_intersect sees identical sets."""
+    Scale shape: shingles are hash-compacted to 64-bit xxhash64 keys at
+    the source — every downstream stage (df counts, rank join, sorted
+    arrays, candidate join, verify intersects) moves longs, never
+    strings; the prefix lemma only needs A consistent total order, so
+    (df, hash) serves as well as (df, shingle) (collision risk ≈
+    |vocab|²/2⁶⁵ per corpus — ~10⁻¹¹ at sf1 — documented, and the
+    brute-force-equality test plus the string-based oracle would
+    surface one). Candidate buckets are keyed on the RAREST tokens of
+    each document; the standard length filter (τ·|a| ≤ |b| ≤ |a|/τ)
+    and the PPJoin positional filter (1 + min(|a|−i, |b|−j) ≥
+    ceil(τ/(1+τ)·(|a|+|b|)) — a pair matching only DEEP in both
+    prefixes cannot reach the required overlap) prune before the
+    distinct. All stages are linear in (doc, token) volume on Zipfian
+    vocabularies, where prefix tokens are genuinely rare. On
+    low-entropy corpora (the sf1 soak's 31-token vocabulary) candidate
+    volume degenerates toward density — intrinsic to any EXACT
+    similarity join; the operator-selection rule there is
+    dedup_minhash_lsh or a higher τ (see BASELINE.md)."""
     d = load_table(spark, sf_dir, "documents")
     # persisted seam: the interpreted shingling HOF pipeline is the
-    # expensive map stage and has THREE consumers (df counts, rank
-    # join, verify arrays) — materialize it once (the text_tfidf_topk
-    # pattern; Catalyst won't reuse the subtree across branches)
+    # expensive map stage and has two consumers (prefix pipeline,
+    # verify arrays) — materialize it once (the text_tfidf_topk
+    # pattern; Catalyst won't reuse the subtree across branches).
     docs = (fan_out(d.select("doc_id", H.word_shingles(F.col("text"), 3)
                              .alias("sh")), LIGHT)
             .where(F.size("sh") > 0)
+            .select("doc_id",
+                    F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
             .persist(StorageLevel.MEMORY_AND_DISK))
     docs.count()
     flat = docs.select("doc_id", F.explode("sh").alias("tok"))
     dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc tokens sorted by the global (df, tok) order, rarest first
+    # per-doc tokens sorted by the global (df, hash) order, rarest first
     srt = (flat.join(dfreq, "tok")
            .groupBy("doc_id")
            .agg(F.array_sort(F.collect_list(F.struct("df", "tok")))
@@ -100,17 +109,25 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aliased sides; the table is small (≈ half the shingle volume)
     prefix = (srt.select(
         "doc_id", "sz",
-        F.explode(F.slice(F.transform("srt", lambda x: x["tok"]),
-                          F.lit(1), p)).alias("tok"))
+        F.posexplode(F.slice(F.transform("srt", lambda x: x["tok"]),
+                             F.lit(1), p)).alias("idx", "tok"))
+        .withColumn("idx", F.col("idx") + 1)  # 1-based prefix position
         .persist(StorageLevel.MEMORY_AND_DISK))
     prefix.count()
     a, b = prefix.alias("a"), prefix.alias("b")
+    # required overlap α = ceil(τ/(1+τ)·(|a|+|b|)); τ=1/2 → ceil((…)/3)
+    alpha = F.expr("-((a.sz + b.sz) div -3)")
+    # positional filter upper bound: tokens at/after the matching
+    # positions are all that can still be common
+    ubound = (F.lit(1) + F.least(F.col("a.sz") - F.col("a.idx"),
+                                 F.col("b.sz") - F.col("b.idx")))
     cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                # length filter: τ·|a| ≤ |b| ≤ |a|/τ (integer-exact)
                & (F.col("b.sz") * 2 >= F.col("a.sz"))
-               & (F.col("a.sz") * 2 >= F.col("b.sz")))
+               & (F.col("a.sz") * 2 >= F.col("b.sz"))
+               & (ubound >= alpha))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -182,3 +199,126 @@ def ngram_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nxt_r == F.col("r") + 1,
                ((F.col("r") + 1) * nxt_n).cast("double") / F.col("n_tokens"))
         .alias("r_star"))
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge learning (tokenizer training)
+# ---------------------------------------------------------------------------
+
+BPE_STEPS = 4
+
+
+def _bpe_iteration_sql(i: int) -> str:
+    """One BPE iteration as chained CTEs: pair counts over the current
+    vocab symbolization, deterministic top pair, then greedy left-to-
+    right merge application expressed relationally — all matching
+    positions, islands of CONSECUTIVE matches (only possible when
+    left==right, e.g. 'aaa'), keep even offsets within each island
+    (proven equivalent to the sequential greedy fold; see the operator
+    docstring), rebuild the symbol lists positionally."""
+    return f"""
+    p{i} AS (
+        SELECT syms[g.i] AS l, syms[g.i+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM v{i-1}, LATERAL unnest(generate_series(1, len(syms)-1)) AS g(i)
+        GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    q{i} AS (SELECT w, freq, syms, g.i AS q
+             FROM v{i-1}, LATERAL unnest(generate_series(1, len(syms))) AS g(i)),
+    mm{i} AS (SELECT q{i}.w, q{i}.q FROM q{i}, t{i}
+              WHERE syms[q] = t{i}.l AND q < len(syms) AND syms[q+1] = t{i}.r),
+    isl{i} AS (SELECT w, q,
+                      q - ROW_NUMBER() OVER (PARTITION BY w ORDER BY q) AS isle
+               FROM mm{i}),
+    keep{i} AS (SELECT w, q
+                FROM (SELECT w, q, MIN(q) OVER (PARTITION BY w, isle) AS s
+                      FROM isl{i})
+                WHERE (q - s) % 2 = 0),
+    v{i} AS (
+        SELECT q{i}.w AS w, ANY_VALUE(q{i}.freq) AS freq,
+               list(CASE WHEN k.q IS NOT NULL THEN (SELECT l || r FROM t{i})
+                         ELSE q{i}.syms[q{i}.q] END ORDER BY q{i}.q)
+                 FILTER (WHERE k2.q IS NULL) AS syms
+        FROM q{i}
+        LEFT JOIN keep{i} k  ON q{i}.w = k.w  AND q{i}.q = k.q
+        LEFT JOIN keep{i} k2 ON q{i}.w = k2.w AND q{i}.q = k2.q + 1
+        GROUP BY q{i}.w
+    )"""
+
+
+_BPE_ORACLE = f"""
+WITH vocab0 AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({SQL_TOKS}) AS w FROM documents) GROUP BY w
+),
+v0 AS (SELECT w, freq,
+       list_transform(generate_series(1, len(w)), i -> substring(w, i, 1)) AS syms
+       FROM vocab0),
+{','.join(_bpe_iteration_sql(i) for i in range(1, BPE_STEPS + 1))}
+{' UNION ALL '.join(
+    f"SELECT {i} AS step, l AS left_sym, r AS right_sym, l || r AS merged,"
+    f" cnt AS pair_count FROM t{i}" for i in range(1, BPE_STEPS + 1))}
+"""
+
+
+@register("bpe_learn_merges", oracle=_BPE_ORACLE, tags=("textstats", "iterative"))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al., ACL'16) —
+    the tokenizer-training loop run as a distributed iterative
+    algorithm: count adjacent symbol pairs over the word-frequency
+    table (positions-based, overlaps included, weighted by word
+    frequency — the reference get_stats semantics), elect the most
+    frequent pair (ties broken lexicographically), apply the merge
+    greedily left-to-right, repeat. Closes the loop that
+    text_char_pair_stats (merge CANDIDATE stats) opens: this entry
+    learns the actual merge table.
+
+    Scale shape: all heavy work happens on the WORD-FREQUENCY table,
+    never the corpus — one corpus-wide shuffle builds (word, freq),
+    then every iteration is a pair-explode + map-side-combined count
+    over vocabulary-sized data (the classic BPE trick: 100 TB of text
+    with a 10M-word vocabulary iterates over 10M rows). Per-iteration
+    driver state is ONE row (the elected pair, like
+    dedup_cluster_canonical's bounded driver work); lineage is
+    truncated per iteration with localCheckpoint so the fold lambdas
+    don't stack. The greedy merge is a sequential fold per word
+    (F.aggregate); the oracle expresses the same greedy semantics
+    relationally — all matches, then even offsets within islands of
+    consecutive matches — an equivalence property-tested over 8000
+    random sequences in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(H.word_tokens(F.col("text"))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+             .select("freq", F.split("w", "").alias("syms"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    vocab.count()
+    merges: list[tuple] = []
+    cur = vocab
+    for step in range(1, BPE_STEPS + 1):
+        k = F.size("syms")
+        pl = F.slice("syms", 1, F.greatest(k - 1, F.lit(0)))
+        pr = F.slice("syms", 2, F.greatest(k - 1, F.lit(0)))
+        pairs = (cur.select(
+            "freq",
+            F.explode(F.arrays_zip(pl.alias("l"), pr.alias("r"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt")))
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, top[0].cnt
+        merges.append((step, l, r, l + r, int(cnt)))
+        merged = F.lit(l + r)
+        cur = cur.select("freq", F.aggregate(
+            "syms", F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l)) & (x == F.lit(r)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)))
+            .otherwise(F.concat(acc, F.array(x)))).alias("syms"))
+        cur = cur.localCheckpoint()
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        schema="step int, left_sym string, right_sym string, "
+               "merged string, pair_count long")

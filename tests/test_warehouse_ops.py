@@ -173,3 +173,86 @@ def test_corr_matrix_single_scan(spark, sf_dir):
     plan = plans.QUERIES["stats_corr_matrix"].fn(
         spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def _greedy_fold(syms, left, right):
+    out = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def _even_offset_islands(syms, left, right):
+    n = len(syms)
+    matches = [p for p in range(n - 1)
+               if syms[p] == left and syms[p + 1] == right]
+    keep, run_start, prev = [], None, None
+    for p in matches:
+        if prev is None or p != prev + 1:
+            run_start = p
+        if (p - run_start) % 2 == 0:
+            keep.append(p)
+        prev = p
+    ks, skip = set(keep), {k + 1 for k in keep}
+    out = []
+    for q in range(n):
+        if q in ks:
+            out.append(left + right)
+        elif q not in skip:
+            out.append(syms[q])
+    return out
+
+
+def test_bpe_greedy_fold_equals_relational_island_rule():
+    """The Spark side applies a merge with a sequential greedy fold;
+    the DuckDB oracle applies it relationally (all matches → islands
+    of consecutive matches → even offsets). Property-test their
+    equivalence — the overlap-handling subtlety lives entirely in
+    left==right runs like 'aaa'."""
+    import random
+
+    rng = random.Random(0)
+    for _ in range(2000):
+        syms = [rng.choice("ab") for _ in range(rng.randint(0, 8))]
+        for pair in [("a", "a"), ("a", "b"), ("b", "a"), ("aa", "a")]:
+            assert _greedy_fold(syms, *pair) == \
+                _even_offset_islands(syms, *pair), (syms, pair)
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """Recompute the full BPE loop in plain Python (reference
+    get_stats/merge semantics) over the same word-frequency table and
+    require identical merge tables."""
+    import collections
+
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.plans.setsim_ops import BPE_STEPS
+
+    d = load_table(spark, sf_dir, "documents")
+    words = collections.Counter()
+    for row in d.select(
+            F.explode(H.word_tokens(F.col("text"))).alias("w")).collect():
+        words[row.w] += 1
+    vocab = {w: (list(w), f) for w, f in words.items()}
+    want = []
+    for step in range(1, BPE_STEPS + 1):
+        counts = collections.Counter()
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        # deterministic tie-break: max count, then lexicographically
+        # smallest (l, r)
+        best = max(counts.values())
+        l, r = min(k for k, v in counts.items() if v == best)
+        want.append((step, l, r, l + r, best))
+        vocab = {w: (_greedy_fold(syms, l, r), f)
+                 for w, (syms, f) in vocab.items()}
+    got = sorted(
+        tuple(row) for row in
+        plans.QUERIES["bpe_learn_merges"].fn(spark, sf_dir).collect())
+    assert got == sorted(want) and got
