@@ -41,6 +41,8 @@ HEADLINE = [
     "curate_corpus_v3",
     "text_tfidf_topk",
     "mm_dedup_phash",
+    "dedup_jaccard_prefix",
+    "bpe_learn_merges",
 ]
 
 

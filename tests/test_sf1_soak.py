@@ -109,3 +109,31 @@ def test_embedding_cosine_sound_and_scaled_sf1(spark):
     # copy 0 (vec_id < 2000) carries the original engineered near-dups
     assert out.where((F.col("vec_a") < 2000) & (F.col("vec_b") < 2000)).count() > 0
     out.unpersist()
+
+
+def test_jaccard_prefix_exact_dup_recall_sf1(spark):
+    """Zero-false-negative spot check at sf1, where the all-pairs
+    DuckDB oracle is impractical (~1.25G list_intersect pairs): every
+    pair of documents with IDENTICAL text must be returned with
+    jaccard exactly 1.0 (their shingle sets are equal, so the prefix
+    lemma guarantees a shared prefix token), and every returned pair's
+    jaccard must clear the τ=0.5 threshold."""
+    out = plans.QUERIES["dedup_jaccard_prefix"].fn(spark, SF1).cache()
+    assert out.where(F.col("jaccard") < 0.5).count() == 0
+
+    d = spark.read.parquet(f"{SF1}/documents.parquet")
+    dup_groups = (d.groupBy("text")
+                  .agg(F.collect_list("doc_id").alias("ids"))
+                  .where(F.size("ids") > 1)
+                  .collect())
+    want = set()
+    for g in dup_groups:
+        ids = sorted(g.ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                want.add((a, b))
+    assert want  # the generator's copy-0 keeps engineered dups
+    got = {(r.doc_a, r.doc_b) for r in
+           out.where(F.col("jaccard") == 1.0).collect()}
+    assert want <= got, want - got
+    out.unpersist()
