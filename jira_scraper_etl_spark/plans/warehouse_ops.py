@@ -401,3 +401,47 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
             nn.cast("long").alias("n"), corr.alias("corr")))
     return moments.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Distinct count over a bounded sliding window
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_trailing_distinct_types",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(len(list_distinct(win)) AS INTEGER) AS n_distinct_types,
+           CAST(len(win) AS INTEGER) AS n_win
+    FROM (SELECT event_id, user_id, event_type,
+                 list(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                   AS win
+          FROM events)
+    """,
+    tags=("events", "window"),
+)
+def events_trailing_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT COUNT over a sliding window — how many different
+    event types each user's trailing 10 events span (a behavioral-
+    diversity signal: 1 = a repetitive bot-like run, high = active
+    exploration). COUNT(DISTINCT) OVER a moving frame is famously
+    unsupported by engines (no subtractable aggregate state: evicting
+    a row needs to know whether its value still occurs in the frame);
+    with a BOUNDED frame the composition collect_list → array_distinct
+    → size is exact and adds O(frame) bytes per row — safe at any
+    corpus size, unlike an unbounded-frame collect.
+
+    One user_id hash shuffle (high-cardinality, no skew hazard); the
+    frame work is 10 small strings per row inside whole-stage codegen.
+    The same shape serves trailing distinct-items, distinct-sessions,
+    distinct-SKUs — any bounded-recency diversity metric."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-9, 0))
+    win = F.collect_list("event_type").over(w)
+    return e.select(
+        "event_id", "user_id", "event_type",
+        F.size(F.array_distinct(win)).cast("int").alias("n_distinct_types"),
+        F.size(win).cast("int").alias("n_win"))

@@ -256,3 +256,23 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
         tuple(row) for row in
         plans.QUERIES["bpe_learn_merges"].fn(spark, sf_dir).collect())
     assert got == sorted(want) and got
+
+
+def test_trailing_distinct_types_matches_python_recompute(spark, sf_dir):
+    rows = {r.event_id: r for r in
+            plans.QUERIES["events_trailing_distinct_types"].fn(
+                spark, sf_dir).collect()}
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "event_type").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id))
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(rows) == len(ev)
+    for uid, rs in by_user.items():
+        for i, r in enumerate(rs):
+            win = [x.event_type for x in rs[max(0, i - 9):i + 1]]
+            got = rows[r.event_id]
+            assert got.n_win == len(win)
+            assert got.n_distinct_types == len(set(win)), (uid, r.event_id)
