@@ -1,0 +1,195 @@
+"""Custom Python DataSource WRITER: an exactly-once JSONL directory sink
+(``df.write.format("jsonl_commit").save(path)``) plus its streaming
+twin — the write-side counterpart of the ``jira_rest`` custom reader,
+so the engine demonstrates the full Spark 4 Python DataSource surface
+(reader, stream reader, writer, stream writer).
+
+Reference parity: the reference serializes its transformed records
+with a single ``open(path, "w")`` + ``json.dump`` per file
+(``transformer.py:359``) — a crash mid-write leaves a truncated,
+unparseable file, and a re-run double-writes. This sink implements the
+two-phase commit a distributed writer needs:
+
+- each TASK writes to a private ``_tmp-<uuid>.jsonl`` inside a staging
+  dir and returns a :class:`WriterCommitMessage` naming it;
+- the DRIVER's ``commit()`` renames every staged file to its final
+  ``part-NNNNN.jsonl`` name and writes a ``_SUCCESS`` manifest with
+  row counts — readers either see the complete directory or none of
+  it (manifest-last ordering);
+- ``abort()`` removes the staging dir, so failed/speculative task
+  attempts never leak partial output (each attempt stages under its
+  own uuid; only the attempts Spark reports in ``messages`` win).
+
+The sink is filesystem-based (the test/bench environment); on an
+object store the same protocol holds with put-then-manifest instead
+of rename. Values are serialized schema-aware (timestamps → ISO-8601,
+date → ISO date, bytes → base64) so ``spark.read.json`` round-trips.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+STAGING = "_staging"
+
+
+def _json_default(v: Any):
+    if isinstance(v, dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, dt.timedelta):
+        return v.total_seconds()
+    raise TypeError(f"not JSON-serializable: {type(v)}")
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    staged: str
+    n_rows: int
+
+
+def _write_partition(staging_dir: str, fields: list[str],
+                     rows: Iterator) -> _FileCommit:
+    """Executor-side: stream rows to a private staged file. The file
+    name embeds a fresh uuid per ATTEMPT, so a speculative duplicate
+    or a retried task stages separately and only the attempt whose
+    message reaches commit() is renamed into the final output."""
+    os.makedirs(staging_dir, exist_ok=True)
+    staged = os.path.join(staging_dir, f"_tmp-{uuid.uuid4().hex}.jsonl")
+    n = 0
+    with open(staged, "w", encoding="utf-8") as f:
+        for row in rows:
+            rec = {k: v for k, v in zip(fields, row)}
+            f.write(json.dumps(rec, default=_json_default,
+                               ensure_ascii=False) + "\n")
+            n += 1
+    return _FileCommit(staged=staged, n_rows=n)
+
+
+class JsonlCommitWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_commit requires a save path")
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        # test hook: fail the Nth partition's first staged attempt to
+        # exercise abort() — see tests/test_jsonl_sink.py
+        self.fail_partition = int(options.get("simulate_fail_partition", -1))
+        self.staging = os.path.join(self.path, STAGING)
+        # commit-scoped uid in final file names: append mode never
+        # collides with a previous commit's part files
+        self.commit_uid = uuid.uuid4().hex[:8]
+
+    def write(self, iterator: Iterator) -> _FileCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if (ctx is not None and ctx.partitionId() == self.fail_partition
+                and ctx.attemptNumber() == 0):
+            raise RuntimeError(
+                f"simulated failure in partition {self.fail_partition}")
+        return _write_partition(self.staging, self.fields, iterator)
+
+    def commit(self, messages: list[_FileCommit]) -> None:
+        """Driver-side finalize: publish exactly the staged files the
+        successful attempts reported, then the manifest LAST — a reader
+        that requires _SUCCESS never observes a partial directory."""
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name != STAGING:
+                    target = os.path.join(self.path, name)
+                    (shutil.rmtree if os.path.isdir(target)
+                     else os.remove)(target)
+        counts = []
+        for i, m in enumerate(sorted(messages, key=lambda m: m.staged)):
+            final = os.path.join(
+                self.path, f"part-{self.commit_uid}-{i:05d}.jsonl")
+            os.replace(m.staged, final)  # atomic on POSIX
+            counts.append({"file": os.path.basename(final),
+                           "n_rows": m.n_rows})
+        shutil.rmtree(self.staging, ignore_errors=True)
+        manifest = {"n_files": len(counts),
+                    "n_rows": sum(c["n_rows"] for c in counts),
+                    "files": counts}
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages: list[_FileCommit]) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class JsonlCommitStreamWriter(DataSourceStreamWriter):
+    """Streaming twin: per-microbatch exactly-once via batch-id
+    directories — the same idempotent-overwrite contract
+    ``streaming/pipeline.py::run_streaming_silver`` implements by hand
+    (``batch_id=N`` dirs), expressed through the DataSourceStreamWriter
+    protocol: a replayed batch id re-publishes the SAME directory, so
+    downstream readers never see duplicates."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options.get("path") or options.get("checkpointLocation")
+        if not self.path:
+            raise ValueError("jsonl_commit stream sink requires a path")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator: Iterator) -> _FileCommit:
+        return _write_partition(os.path.join(self.path, STAGING),
+                                self.fields, iterator)
+
+    def commit(self, messages: list[_FileCommit], batch_id: int) -> None:
+        out = os.path.join(self.path, f"batch_id={batch_id}")
+        if os.path.isdir(out):  # replayed batch: idempotent re-publish
+            shutil.rmtree(out)
+        os.makedirs(out)
+        counts = []
+        for i, m in enumerate(sorted(messages, key=lambda m: m.staged)):
+            final = os.path.join(out, f"part-{i:05d}.jsonl")
+            os.replace(m.staged, final)
+            counts.append({"file": os.path.basename(final),
+                           "n_rows": m.n_rows})
+        with open(os.path.join(out, "_SUCCESS"), "w") as f:
+            json.dump({"batch_id": batch_id,
+                       "n_rows": sum(c["n_rows"] for c in counts)}, f)
+
+    def abort(self, messages: list[_FileCommit], batch_id: int) -> None:
+        shutil.rmtree(os.path.join(self.path, STAGING), ignore_errors=True)
+
+
+class JsonlCommitDataSource(DataSource):
+    """``df.write.format("jsonl_commit")`` /
+    ``df.writeStream.format("jsonl_commit")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlCommitWriter:
+        return JsonlCommitWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> JsonlCommitStreamWriter:
+        return JsonlCommitStreamWriter(dict(self.options), schema)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlCommitDataSource)

@@ -1,0 +1,119 @@
+"""Exactly-once contract of the jsonl_commit custom DataSource writer
+(sources/jsonl_sink.py) — the write-side twin of the jira_rest custom
+reader. Reference parity target: transformer.py:359's single open("w")
+has no crash atomicity; this sink must never publish partial output."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from jira_scraper_etl_spark.sources.jsonl_sink import register_jsonl_sink
+
+
+@pytest.fixture(scope="module")
+def sink_spark(spark):
+    register_jsonl_sink(spark)
+    return spark
+
+
+def _read_dir(path):
+    rows = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("part-") and name.endswith(".jsonl"):
+            with open(os.path.join(path, name), encoding="utf-8") as f:
+                rows += [json.loads(line) for line in f]
+    return rows
+
+
+def test_batch_write_round_trips_with_manifest(sink_spark, sf_dir, tmp_path):
+    df = (sink_spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                  "o_orderdate"))
+    out = str(tmp_path / "orders_jsonl")
+    df.repartition(4).write.format("jsonl_commit").mode("overwrite").save(out)
+
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    n = df.count()
+    assert manifest["n_rows"] == n
+    assert manifest["n_files"] == 4
+    rows = _read_dir(out)
+    assert len(rows) == n
+    # schema-aware serialization: spark.read.json round-trips the keys
+    # and the timestamp lands as an ISO string
+    back = sink_spark.read.json(out)
+    assert back.count() == n
+    assert set(back.columns) == {"o_orderkey", "o_orderstatus",
+                                 "o_totalprice", "o_orderdate"}
+    want = {r.o_orderkey: r for r in df.collect()}
+    got = {r["o_orderkey"]: r for r in rows}
+    assert set(got) == set(want)
+    probe = want[next(iter(want))]
+    assert got[probe.o_orderkey]["o_orderdate"] == \
+        probe.o_orderdate.isoformat(sep=" ", timespec="microseconds")
+    # no staging or temp residue after commit
+    assert not os.path.isdir(os.path.join(out, "_staging"))
+
+
+def test_failed_job_publishes_nothing(sink_spark, sf_dir, tmp_path):
+    """Two-phase commit: a task failure in any partition must leave NO
+    final part files, NO _SUCCESS, and NO staged residue — the exact
+    failure mode the reference's open('w') cannot survive."""
+    df = sink_spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey").repartition(4)
+    out = str(tmp_path / "fail_jsonl")
+    with pytest.raises(Exception):
+        (df.write.format("jsonl_commit").mode("overwrite")
+         .option("simulate_fail_partition", "2").save(out))
+    if os.path.isdir(out):
+        assert not [n for n in os.listdir(out)
+                    if n.startswith("part-") or n == "_SUCCESS"]
+        assert not os.path.isdir(os.path.join(out, "_staging"))
+
+
+def test_overwrite_replaces_and_append_accumulates(sink_spark, sf_dir, tmp_path):
+    df = sink_spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_name")
+    out = str(tmp_path / "cust_jsonl")
+    n = df.count()
+    df.coalesce(1).write.format("jsonl_commit").mode("overwrite").save(out)
+    df.coalesce(1).write.format("jsonl_commit").mode("overwrite").save(out)
+    assert len(_read_dir(out)) == n  # overwrite is idempotent
+    df.coalesce(1).write.format("jsonl_commit").mode("append").save(out)
+    assert len(_read_dir(out)) == 2 * n  # append-commit uids never collide
+
+
+def test_stream_writer_batches_are_idempotent_dirs(sink_spark, sf_dir, tmp_path):
+    """Streaming twin: each microbatch publishes batch_id=N with its
+    own _SUCCESS; the per-batch dir contract matches the hand-rolled
+    exactly-once sink in streaming/pipeline.py."""
+    src = str(tmp_path / "stream_src")
+    df = sink_spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment")
+    # part files directly in src (file streams don't recurse into
+    # subdirectories); 2 partitions → 2 microbatches at 1 file/trigger
+    df.where("c_custkey % 2 = 0").repartition(2) \
+        .write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "stream_out")
+    q = (sink_spark.readStream.schema(df.schema)
+         .option("maxFilesPerTrigger", "1")
+         .parquet(src)
+         .writeStream.format("jsonl_commit")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    batches = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert batches
+    total = 0
+    for b in batches:
+        bdir = os.path.join(out, b)
+        assert os.path.exists(os.path.join(bdir, "_SUCCESS"))
+        total += json.load(open(os.path.join(bdir, "_SUCCESS")))["n_rows"]
+    assert total == df.where("c_custkey % 2 = 0").count()
