@@ -322,3 +322,41 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         schema="step int, left_sym string, right_sym string, "
                "merged string, pair_count long")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequent-items sketch)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_heavy_hitters_mg",
+    oracle=None,  # rows-only: MG evictions depend on partition layout;
+                  # the invariant tests pin the lb/ub envelope vs exact
+    tags=("textstats", "approx", "incremental"),
+)
+def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus tokens via MERGEABLE Misra-Gries summaries — the
+    frequent-items member of the sketch family (HLL for cardinality,
+    approx_percentile for quantiles, MG for heavy hitters): each
+    partition keeps 64 counters over its token stream (decrement-all
+    on overflow), summaries merge by counter addition, and the merged
+    error budget E = Σ decrements brackets every item:
+    lb ≤ true ≤ lb + E, with presence GUARANTEED for any item whose
+    true frequency exceeds E. The shuffle is ≤ 64 rows per partition
+    regardless of vocabulary size — the 100 TB answer when the exact
+    (token → count) table itself is the bottleneck.
+
+    Rows-only by design: counter evictions depend on partition layout,
+    so lb/ub are environment-dependent within their proven envelope
+    (like the other sketch entries); `tests/test_sketches.py` pins the
+    envelope against exact counts and the merge-soundness guarantee.
+    On this corpus (31-token vocabulary < 64 counters) the sketch is
+    degenerately EXACT — every count fits a counter, E = 0 — which the
+    test also asserts: the top-50 equals the exact top-50."""
+    from ..operators.sketches import mg_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (fan_out(d.select(H.word_tokens(F.col("text")).alias("toks")),
+                    LIGHT)
+            .select(F.explode("toks").alias("tok")))
+    return mg_topk(toks, "tok", k=64, topk=50)

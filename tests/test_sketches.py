@@ -1,0 +1,79 @@
+"""Misra-Gries heavy-hitters invariants (operators/sketches.py): the
+lb/ub envelope vs exact counts, merge soundness, and the degenerate-
+exact regime when the vocabulary fits the counter budget."""
+
+from __future__ import annotations
+
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from jira_scraper_etl_spark import plans
+from jira_scraper_etl_spark.functions import hashing as H
+from jira_scraper_etl_spark.operators.sketches import mg_partials, mg_topk
+
+
+def _token_stream(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.explode(H.word_tokens(F.col("text"))).alias("tok")))
+
+
+def test_mg_envelope_brackets_exact_counts(spark, sf_dir):
+    toks = _token_stream(spark, sf_dir)
+    exact = {r.tok: r.n for r in
+             toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = plans.QUERIES["text_heavy_hitters_mg"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lb <= exact[r.tok] <= r.ub, r.tok
+        if r.guaranteed:
+            # lb > E means the item's true count beats anything absent
+            assert exact[r.tok] > r.ub - r.lb
+
+
+def test_mg_exact_when_vocab_fits_counters(spark, sf_dir):
+    """31-token vocabulary < 64 counters: no evictions ever fire, so
+    the sketch degenerates to exact counts with E = 0 and the top-50
+    equals the exact ranking."""
+    toks = _token_stream(spark, sf_dir)
+    exact = {r.tok: r.n for r in
+             toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(exact) <= 64
+    rows = plans.QUERIES["text_heavy_hitters_mg"].fn(spark, sf_dir).collect()
+    got = {r.tok: (r.lb, r.ub, r.guaranteed) for r in rows}
+    assert set(got) == set(exact)
+    for tok, (lb, ub, g) in got.items():
+        assert lb == ub == exact[tok] and g
+
+
+def test_mg_eviction_regime_still_sound(spark, sf_dir):
+    """Force evictions with a tiny counter budget (k=4 over a 31-token
+    vocabulary): bounds must still bracket exact counts, the error
+    budget must be positive, and every token with true frequency > E
+    must be present (the Misra-Gries presence guarantee)."""
+    toks = _token_stream(spark, sf_dir)
+    exact = {r.tok: r.n for r in
+             toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = mg_topk(toks, "tok", k=4, topk=1000).collect()
+    got = {r.tok: r for r in out}
+    assert got
+    E = {r.ub - r.lb for r in out}
+    assert len(E) == 1  # one shared error budget
+    E = E.pop()
+    assert E > 0  # evictions really fired at k=4
+    for tok, r in got.items():
+        assert r.lb <= exact[tok] <= r.ub
+    for tok, n in exact.items():
+        if n > E:
+            assert tok in got, (tok, n, E)
+
+
+def test_mg_partial_counters_bounded_per_partition(spark, sf_dir):
+    toks = _token_stream(spark, sf_dir)
+    p = mg_partials(toks, "tok", k=8)
+    per_pid = p.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert per_pid
+    for r in per_pid:
+        assert r.n <= 8  # the shuffle contract: ≤ k rows per partition
