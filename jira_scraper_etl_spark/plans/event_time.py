@@ -486,3 +486,120 @@ def events_attribution_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("purchase_id", "user_id")
             .agg(F.count("c_id").alias("n_clicks_1h"),
                  F.max("c_ts").alias("last_click_ts")))
+
+
+# ---------------------------------------------------------------------------
+# Composed per-user journey profile (single-exchange flagship)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_user_journey",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY event_type, ts, event_id) AS ptype,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY event_type, ts, event_id) AS gap_type,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id) AS mv
+        FROM events
+    ),
+    c AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'click' AND mv IS NOT NULL
+                        AND us >= mv THEN us END)
+                   OVER (PARTITION BY user_id) AS mc
+        FROM base
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(len(list_distinct(list(us // 3600000000))) AS INTEGER)
+             AS n_active_hours,
+           CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN ptype IS NULL OR ptype <> event_type
+                         OR gap_type > 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
+           CAST(CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                                   AND mc IS NOT NULL AND us >= mc
+                              THEN us END) IS NOT NULL THEN 3
+                     WHEN ANY_VALUE(mc) IS NOT NULL THEN 2
+                     WHEN ANY_VALUE(mv) IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_stage
+    FROM c GROUP BY user_id
+    """,
+    tags=("events", "window", "funnel", "flagship"),
+)
+def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-user journey profile — the "user 360" pass a
+    product-analytics warehouse materializes nightly: event volume,
+    first/last seen, distinct active hours, 30-minute session count,
+    5-minute same-type debounce survivors, and the ordered
+    view→click→purchase funnel stage reached — ALL in one DataFrame.
+
+    The engineering point is the exchange plan: every sub-metric is
+    expressed against windows PARTITIONED BY user_id (the debounce
+    needs previous-same-type, normally a (user, type) window — here it
+    orders the USER window by (event_type, ts) and checks
+    lag(event_type), keeping the partition key uniform; the funnel's
+    sequential mins are two stacked unbounded user-windows), and the
+    final per-user aggregation consumes the same hash distribution —
+    so the whole 7-metric profile runs on ONE shuffle of the event
+    log, pinned by a plan test. Active hours use collect_set (no
+    count_distinct: its Expand re-keys the aggregation and would force
+    a second exchange)."""
+    e = load_events(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id").orderBy("event_type", "ts",
+                                                   "event_id")
+    w_all = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id", "event_id", "event_type", "ts", us.alias("us"),
+        (us - F.lag(us).over(w_ts)).alias("gap"),
+        F.lag("event_type").over(w_type).alias("ptype"),
+        (us - F.lag(us).over(w_type)).alias("gap_type"),
+        F.min(F.when(F.col("event_type") == "view", us)).over(w_all)
+        .alias("mv"),
+    )
+    c = base.withColumn(
+        "mc",
+        F.min(F.when((F.col("event_type") == "click")
+                     & F.col("mv").isNotNull()
+                     & (F.col("us") >= F.col("mv")),
+                     F.col("us"))).over(w_all))
+    mp = F.min(F.when((F.col("event_type") == "purchase")
+                      & F.col("mc").isNotNull()
+                      & (F.col("us") >= F.col("mc")), F.col("us")))
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"),
+            F.size(F.collect_set(F.expr("us div 3600000000")))
+            .cast("int").alias("n_active_hours"),
+            F.sum(F.when(F.col("gap").isNull()
+                         | (F.col("gap") > 1_800_000_000), 1).otherwise(0))
+            .cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("ptype").isNull()
+                         | (F.col("ptype") != F.col("event_type"))
+                         | (F.col("gap_type") > 300_000_000), 1).otherwise(0))
+            .cast("long").alias("n_debounced"),
+            mp.alias("mp"),
+            F.first("mc").alias("amc"), F.first("mv").alias("amv"),
+        )
+        .select(
+            "user_id", "n_events", "first_ts", "last_ts",
+            "n_active_hours", "n_sessions", "n_debounced",
+            F.when(F.col("mp").isNotNull(), 3)
+            .when(F.col("amc").isNotNull(), 2)
+            .when(F.col("amv").isNotNull(), 1)
+            .otherwise(0).cast("int").alias("funnel_stage"),
+        )
+    )

@@ -445,3 +445,86 @@ def events_trailing_distinct_types(spark: SparkSession, sf_dir: str) -> DataFram
         "event_id", "user_id", "event_type",
         F.size(F.array_distinct(win)).cast("int").alias("n_distinct_types"),
         F.size(win).cast("int").alias("n_win"))
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median/MAD modified z-score
+# ---------------------------------------------------------------------------
+
+_MED_SQL = """
+    SELECT event_type,
+           (MIN(CASE WHEN rn = (n + 1) // 2 THEN {v} END)
+            + MIN(CASE WHEN rn = (n + 2) // 2 THEN {v} END)) / 2.0 AS {out}
+    FROM (SELECT event_type, {v},
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY {v}, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM {src})
+    GROUP BY event_type
+"""
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH med AS ({_MED_SQL.format(v="value", out="med", src="events")}),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS dv
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS ({_MED_SQL.format(v="dv", out="mad", src="dev")})
+    SELECT d.event_id, d.event_type, d.value, d.med, mad.mad,
+           CASE WHEN mad.mad > 0
+                THEN 0.6745 * (d.value - d.med) / mad.mad END AS robust_z,
+           COALESCE(abs(CASE WHEN mad.mad > 0
+                THEN 0.6745 * (d.value - d.med) / mad.mad END) > 3.5, FALSE)
+             AS is_outlier
+    FROM dev d JOIN mad USING (event_type)
+    """,
+    tags=("events", "cleaning", "stats"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the modified z-score (Iglewicz &
+    Hoaglin): per event type, the EXACT median and median-absolute-
+    deviation, then z = 0.6745·(x − med)/MAD with |z| > 3.5 flagging —
+    the outlier detector that survives what breaks mean/stddev z-scores
+    (the outliers themselves inflate σ and mask each other; the median
+    and MAD have 50% breakdown points). Complements the winsorize pass:
+    winsorize CLAMPS by percentile, this one LABELS by robust distance.
+
+    Cross-engine exactness: the median formula (v[(n+1)÷2] + v[(n+2)÷2])/2
+    covers odd frames exactly ((a+a)/2 ≡ a in IEEE); deviations are one
+    subtraction + abs of copied doubles; z is a fixed scalar expression
+    — bit-identical both sides, no tolerance. Like the winsorize twin,
+    the per-type sort is the low-cardinality-group hazard; the 100 TB
+    path swaps both medians for approx_percentile partials (the
+    registered ``events_winsorize_approx`` pattern) with the same
+    broadcast joins."""
+    e = load_table(spark, sf_dir, "events")
+
+    def exact_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wn = Window.partitionBy("event_type")
+        r = df.select("event_type", col, "event_id",
+                      F.row_number().over(w).alias("rn"),
+                      F.count(F.lit(1)).over(wn).alias("n"))
+        lo = F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                          F.col(col)))
+        hi = F.min(F.when(F.col("rn") == F.expr("(n + 2) div 2"),
+                          F.col(col)))
+        return r.groupBy("event_type").agg(((lo + hi) / 2.0).alias(out))
+
+    med = exact_median(e, "value", "med")
+    dev = (e.join(F.broadcast(med), "event_type")
+           .select("event_id", "event_type", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("dv")))
+    mad = exact_median(dev, "dv", "mad")
+    z = F.when(F.col("mad") > 0,
+               F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", "value", "med", "mad",
+                z.alias("robust_z"),
+                F.coalesce(F.abs(z) > 3.5, F.lit(False)).alias("is_outlier"))
+    )

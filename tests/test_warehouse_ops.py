@@ -276,3 +276,85 @@ def test_trailing_distinct_types_matches_python_recompute(spark, sf_dir):
             got = rows[r.event_id]
             assert got.n_win == len(win)
             assert got.n_distinct_types == len(set(win)), (uid, r.event_id)
+
+
+def test_user_journey_single_exchange(spark, sf_dir):
+    """The whole 7-metric profile must run on ONE user_id shuffle: four
+    stacked user-partitioned windows (two sort orders) + the final
+    aggregation all reuse the same hash distribution."""
+    p = plans.QUERIES["events_user_journey"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1
+    assert p.count("+- Sort") == 2
+
+
+def test_user_journey_consistent_with_standalone_operators(spark, sf_dir):
+    """The composed flagship must agree metric-for-metric with the
+    standalone operators it fuses: per-user session count with
+    events_session_30m, debounce survivors with events_debounce_5m,
+    and funnel stage with an independent recompute."""
+    rows = {r.user_id: r for r in
+            plans.QUERIES["events_user_journey"].fn(spark, sf_dir).collect()}
+    sessions = plans.QUERIES["events_session_30m"].fn(spark, sf_dir) \
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    for s in sessions:
+        assert rows[s.user_id].n_sessions == s.n, s.user_id
+    debounced = plans.QUERIES["events_debounce_5m"].fn(spark, sf_dir) \
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    for d in debounced:
+        assert rows[d.user_id].n_debounced == d.n, d.user_id
+    ev = {}
+    for r in spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("user_id", "event_type", "ts").collect():
+        ev.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    assert set(ev) == set(rows)
+    for uid, es in ev.items():
+        es.sort()
+        stage = 0
+        mv = min((t for t, y in es if y == "view"), default=None)
+        if mv is not None:
+            stage = 1
+            mc = min((t for t, y in es if y == "click" and t >= mv),
+                     default=None)
+            if mc is not None:
+                stage = 2
+                if any(y == "purchase" and t >= mc for t, y in es):
+                    stage = 3
+        r = rows[uid]
+        assert r.funnel_stage == stage, uid
+        assert r.n_events == len(es)
+        assert r.first_ts == es[0][0] and r.last_ts == es[-1][0]
+
+
+def test_anomaly_mad_matches_python_recompute(spark, sf_dir):
+    rows = plans.QUERIES["events_anomaly_mad"].fn(spark, sf_dir).collect()
+    vals: dict[str, list] = {}
+    for r in spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_type", "value", "event_id").collect():
+        vals.setdefault(r.event_type, []).append((r.value, r.event_id))
+    n_events = sum(len(v) for v in vals.values())
+    assert len(rows) == n_events  # labeling never drops rows
+
+    def med_of(pairs):
+        s = sorted(pairs)
+        n = len(s)
+        return (s[(n + 1) // 2 - 1][0] + s[(n + 2) // 2 - 1][0]) / 2.0
+
+    stats = {}
+    for t, v in vals.items():
+        m = med_of(v)
+        stats[t] = (m, med_of([(abs(x - m), eid) for x, eid in v]))
+    n_out = 0
+    for r in rows:
+        m, mad = stats[r.event_type]
+        assert r.med == m and r.mad == mad, r.event_type
+        if mad > 0:
+            want_z = 0.6745 * (r.value - m) / mad
+            assert r.robust_z == want_z
+            assert r.is_outlier == (abs(want_z) > 3.5)
+            n_out += r.is_outlier
+        else:
+            assert r.robust_z is None and r.is_outlier is False
+    # the synthetic value distribution has tails: some outliers exist
+    # but robustly few
+    assert 0 < n_out < 0.1 * n_events
