@@ -528,3 +528,100 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 z.alias("robust_z"),
                 F.coalesce(F.abs(z) > 3.5, F.lit(False)).alias("is_outlier"))
     )
+
+
+@register(
+    "events_anomaly_mad_approx",
+    oracle=None,  # rows-only: approx_percentile sketch has no DuckDB twin
+    tags=("events", "cleaning", "stats", "approx"),
+)
+def events_anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for MAD outlier labeling (named by the exact
+    entry's docstring, mirroring the winsorize pair): both medians come
+    from mergeable ``approx_percentile`` sketches — partials combine
+    map-side, no per-type sort, no low-cardinality-group hazard — then
+    the same broadcast z-score labeling. Rows-only like the other
+    sketch entries; the test pins rank-proximity of the approximate
+    median/MAD to the exact plan's and decision-consistency of every
+    label with its own bounds."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("med"))
+    dev = (e.join(F.broadcast(med), "event_type")
+           .select("event_id", "event_type", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("dv")))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("approx_percentile(dv, 0.5, 10000)").alias("mad"))
+    z = F.when(F.col("mad") > 0,
+               F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", "value", "med", "mad",
+                z.alias("robust_z"),
+                F.coalesce(F.abs(z) > 3.5, F.lit(False)).alias("is_outlier"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity audit (cross-table data quality)
+# ---------------------------------------------------------------------------
+
+_FK_CHECKS = [
+    ("orders.o_custkey -> customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey -> orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+def _fk_sql(name, child, fk, parent, pk) -> str:
+    return f"""
+    SELECT '{name}' AS fk,
+           CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+           CAST(COUNT(DISTINCT c.{fk}) AS BIGINT) AS n_orphan_keys,
+           MIN(c.{fk}) AS sample_orphan_key
+    FROM {child} c ANTI JOIN {parent} p ON c.{fk} = p.{pk}"""
+
+
+@register(
+    "dq_referential_integrity",
+    oracle=" UNION ALL ".join(_fk_sql(*chk) for chk in _FK_CHECKS),
+    tags=("quality", "join"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — one row per declared
+    foreign-key relationship with child volume, orphan row/key counts,
+    and a sample orphan key (NULL when the constraint holds): the
+    second member of the data-quality family next to the single-table
+    profile. On the generator's consistent snapshot every relationship
+    holds with zero orphans — the PASSING audit is the point; a
+    violated one pinpoints the key to chase.
+
+    Each check is one LEFT ANTI join from the child's key projection
+    (column-pruned scan; the anti join shuffles only the key column,
+    and AQE broadcasts parents under the threshold). Checks are
+    independent branches unioned post-aggregation — at 100 TB they
+    schedule as parallel stages, none blocking another."""
+    out = None
+    for name, child, fk, parent, pk in _FK_CHECKS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        n_child = c.groupBy().agg(F.count(F.lit(1)).cast("long")
+                                  .alias("n_child_rows"))
+        orphans = (c.select(F.col(fk).alias("k"))
+                   .join(p.select(F.col(pk).alias("k")), "k", "left_anti"))
+        agg = (orphans.groupBy()
+               .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_rows"),
+                    F.countDistinct("k").cast("long").alias("n_orphan_keys"),
+                    F.min("k").alias("sample_orphan_key"))
+               .join(F.broadcast(n_child))
+               .select(F.lit(name).alias("fk"), "n_child_rows",
+                       "n_orphan_rows", "n_orphan_keys",
+                       "sample_orphan_key"))
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -358,3 +358,67 @@ def test_anomaly_mad_matches_python_recompute(spark, sf_dir):
     # the synthetic value distribution has tails: some outliers exist
     # but robustly few
     assert 0 < n_out < 0.1 * n_events
+
+
+def test_anomaly_mad_approx_consistent_with_exact(spark, sf_dir):
+    exact = {r.event_type: (r.med, r.mad) for r in
+             plans.QUERIES["events_anomaly_mad"].fn(spark, sf_dir)
+             .select("event_type", "med", "mad").distinct().collect()}
+    rows = plans.QUERIES["events_anomaly_mad_approx"].fn(
+        spark, sf_dir).collect()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(rows) == n_events
+    for r in rows:
+        m, d = exact[r.event_type]
+        # sketch medians land near the exact ones (value proximity is
+        # the usable check here; both distributions are continuous)
+        assert abs(r.med - m) <= 0.05 * max(1.0, abs(m)) + abs(d)
+        assert abs(r.mad - d) <= 0.25 * max(0.5, d)
+        if r.mad > 0:
+            want_z = 0.6745 * (r.value - r.med) / r.mad
+            assert r.robust_z == want_z
+            assert r.is_outlier == (abs(want_z) > 3.5)
+
+
+def test_referential_integrity_passes_on_consistent_snapshot(spark, sf_dir):
+    rows = {r.fk: r for r in
+            plans.QUERIES["dq_referential_integrity"].fn(
+                spark, sf_dir).collect()}
+    assert len(rows) == 4
+    for fk, r in rows.items():
+        assert r.n_orphan_rows == 0 and r.n_orphan_keys == 0, fk
+        assert r.sample_orphan_key is None
+        child = fk.split(".")[0]
+        assert r.n_child_rows == spark.read.parquet(
+            f"{sf_dir}/{child}.parquet").count()
+
+
+def test_referential_integrity_detects_planted_orphans(spark, sf_dir,
+                                                       tmp_path):
+    """Break the snapshot on purpose: drop every customer key ≡ 0
+    (mod 5) and the audit must count exactly the orders pointing at
+    the removed keys, with a sample orphan from that set."""
+    import os
+    import shutil
+
+    broken = str(tmp_path / "broken_sf")
+    os.makedirs(broken)
+    for t in ("orders", "lineitem", "part", "supplier", "events"):
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{broken}/{t}.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust.where("c_custkey % 5 != 0").write.mode("overwrite") \
+        .parquet(f"{broken}/customer.parquet")
+    rows = {r.fk: r for r in
+            plans.QUERIES["dq_referential_integrity"].fn(
+                spark, broken).collect()}
+    r = rows["orders.o_custkey -> customer.c_custkey"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want_rows = orders.where("o_custkey % 5 = 0").count()
+    want_keys = orders.where("o_custkey % 5 = 0") \
+        .select("o_custkey").distinct().count()
+    assert r.n_orphan_rows == want_rows > 0
+    assert r.n_orphan_keys == want_keys
+    assert r.sample_orphan_key % 5 == 0
+    # unrelated relationships stay green
+    assert rows["lineitem.l_partkey -> part.p_partkey"].n_orphan_rows == 0
+    shutil.rmtree(broken)
