@@ -278,3 +278,120 @@ def drain_query(writer_start, timeout_seconds: float = 120.0):
     if q.isActive:
         q.stop()
     return q
+
+
+# Journey state: int64 micros + bounded arrays (distinct active hours
+# grows with timeline span, per-type last-seen with the type vocabulary
+# — both corpus-bounded; production would reap hours past a retention
+# horizon with an event-time timeout).
+JOURNEY_OUTPUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("first_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n_active_hours", T.IntegerType()),
+    T.StructField("n_sessions", T.LongType()),
+    T.StructField("n_debounced", T.LongType()),
+    T.StructField("funnel_stage", T.IntegerType()),
+])
+
+JOURNEY_STATE = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("first_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("hours", T.ArrayType(T.LongType())),
+    T.StructField("n_sessions", T.LongType()),
+    T.StructField("types", T.ArrayType(T.StringType())),
+    T.StructField("type_last_us", T.ArrayType(T.LongType())),
+    T.StructField("n_debounced", T.LongType()),
+    T.StructField("mv", T.LongType()),
+    T.StructField("mc", T.LongType()),
+    T.StructField("mp", T.LongType()),
+])
+
+_SESSION_GAP_US = 1_800_000_000  # 30 minutes
+_JOURNEY_DEBOUNCE_US = 300_000_000  # 5 minutes
+
+
+def _update_journey_state(key: Any, pdfs: Iterator, state) -> Iterator:
+    """Incremental per-user journey fold — the streaming maintenance of
+    every metric the batch ``events_user_journey`` plan computes with
+    stacked windows: session starts (gap to the previous event of ANY
+    type), debounce survivors (gap to the previous event of the SAME
+    type — the per-type last-seen map replays the batch plan's
+    (event_type, ts)-ordered lag), distinct active hours, and the
+    ordered view→click→purchase milestones (processing in ts order
+    makes 'first view' ≡ 'min view', so the sequential updates equal
+    the batch plan's nested window mins)."""
+    import pandas as pd
+
+    if state.exists:
+        (n, first_us, last_us, hours, n_sess,
+         types, type_last, n_deb, mv, mc, mp) = state.get
+        hours = set(hours)
+        by_type = dict(zip(types, type_last))
+        mv = None if pd.isna(mv) else mv
+        mc = None if pd.isna(mc) else mc
+        mp = None if pd.isna(mp) else mp
+    else:
+        n, first_us, last_us, n_sess, n_deb = 0, None, None, 0, 0
+        hours, by_type = set(), {}
+        mv = mc = mp = None
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_micros", "event_id"])
+    for us, etype in zip(rows["ts_micros"], rows["event_type"]):
+        us = int(us)
+        n += 1
+        first_us = us if first_us is None else min(first_us, us)
+        if last_us is None or us - last_us > _SESSION_GAP_US:
+            n_sess += 1
+        last_us = us
+        hours.add(us // 3_600_000_000)
+        prev = by_type.get(etype)
+        if prev is None or us - prev > _JOURNEY_DEBOUNCE_US:
+            n_deb += 1
+        by_type[etype] = us
+        if etype == "view" and mv is None:
+            mv = us
+        elif etype == "click" and mv is not None and us >= mv and mc is None:
+            mc = us
+        elif (etype == "purchase" and mc is not None and us >= mc
+              and mp is None):
+            mp = us
+
+    types = sorted(by_type)
+    state.update((n, first_us, last_us, sorted(hours), n_sess,
+                  types, [by_type[t] for t in types], n_deb, mv, mc, mp))
+    stage = 3 if mp is not None else 2 if mc is not None \
+        else 1 if mv is not None else 0
+    yield pd.DataFrame([{
+        "user_id": key[0], "n_events": n, "first_us": first_us,
+        "last_us": last_us, "n_active_hours": len(hours),
+        "n_sessions": n_sess, "n_debounced": n_deb,
+        "funnel_stage": stage,
+    }])
+
+
+def journey_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_user_journey`` flagship
+    (plans/event_time.py): the 7-metric per-user profile maintained
+    incrementally with ``applyInPandasWithState`` — O(users) state,
+    update-mode emission of each user's current profile per batch.
+    Equivalence to the batch plan holds under per-key in-order delivery
+    across micro-batches (same contract as debounce_events; the tests
+    replay time-range files)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (events
+            .select("user_id", "event_id", "event_type",
+                    F.expr("unix_micros(cast(ts as timestamp))")
+                    .alias("ts_micros"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_journey_state,
+                outputStructType=JOURNEY_OUTPUT,
+                stateStructType=JOURNEY_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

@@ -185,3 +185,39 @@ def test_streaming_debounce_equals_batch(spark, sf_dir, events_dir, tmp_path):
     want = {(r.event_id, r.gap_us)
             for r in plans.QUERIES["events_debounce_5m"].fn(spark, sf_dir).collect()}
     assert got == want and want
+
+
+def test_streaming_journey_converges_to_batch(spark, sf_dir, events_dir,
+                                              tmp_path):
+    """The stateful journey profile, drained over the 3 time-range
+    files (cross-batch state), must converge to EXACTLY the batch
+    events_user_journey flagship on the full log — every metric, every
+    user, including the ordered funnel milestones."""
+    stream = SE.stream_events(spark, events_dir, glob="*.parquet",
+                              max_files_per_trigger=1)
+    out = SE.journey_state(stream)
+    SE.drain_query(lambda: (
+        out.writeStream.format("memory").queryName("journey_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()))
+    # update mode re-emits per batch: keep each user's LAST emission
+    import pandas as pd
+
+    sink = spark.table("journey_sink").toPandas()
+    final = sink.groupby("user_id").last()
+    got = {
+        int(uid): (int(r.n_events), int(r.first_us), int(r.last_us),
+                   int(r.n_active_hours), int(r.n_sessions),
+                   int(r.n_debounced), int(r.funnel_stage))
+        for uid, r in final.iterrows()}
+    import pyspark.sql.functions as F2
+    batch = (plans.QUERIES["events_user_journey"].fn(spark, sf_dir)
+             .withColumn("first_us",
+                         F2.expr("unix_micros(cast(first_ts as timestamp))"))
+             .withColumn("last_us",
+                         F2.expr("unix_micros(cast(last_ts as timestamp))")))
+    want = {r.user_id: (r.n_events, r.first_us, r.last_us,
+                        r.n_active_hours, r.n_sessions, r.n_debounced,
+                        r.funnel_stage) for r in batch.collect()}
+    assert got == want and want
