@@ -30,12 +30,14 @@ def test_oracle_coverage():
         "agg_approx_count_distinct",
         "agg_hll_mergeable",
         "events_winsorize_approx",
+        "events_anomaly_mad_approx",
         "similarity_ann_mllsh",
         "similarity_ann_ivf",
         "jira_transform_silver",
         "jira_corpus_stats",
         "jira_qa_pairs_udtf",
         "text_length_percentiles_approx",
+        "text_heavy_hitters_mg",
     }
 
 
