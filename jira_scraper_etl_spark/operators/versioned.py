@@ -1,0 +1,121 @@
+"""Versioned snapshot tables: manifest-committed versions with
+time-travel reads and keyed snapshot diffs — the miniature of the
+lakehouse table-format contract (Delta/Iceberg snapshot isolation)
+this engine's maintenance operators assume.
+
+Commit protocol (the same manifest-last rule as the jsonl_commit
+sink): a version directory ``v=N`` becomes visible ONLY when its
+``manifest.json`` exists — data files land first, the manifest is
+written last via atomic rename. A crash mid-write leaves a manifest-
+less directory that every reader (and ``latest_version``) ignores, so
+readers always see a complete snapshot or the previous one. Versions
+are immutable once committed; ``read_version`` loads exactly the files
+the manifest names, which is what makes old versions stable under
+concurrent new commits (time travel).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_V_RE = re.compile(r"^v=(\d+)$")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v={version}", "manifest.json")
+
+
+def committed_versions(table_dir: str) -> list[int]:
+    """Versions with a manifest — uncommitted (crashed) directories are
+    invisible by construction."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        m = _V_RE.match(name)
+        if m and os.path.exists(_manifest_path(table_dir, int(m.group(1)))):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_version(table_dir: str) -> int | None:
+    vs = committed_versions(table_dir)
+    return vs[-1] if vs else None
+
+
+def write_version(df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as the next version. Data first, manifest last
+    (atomic rename), so a crash at any point leaves either the previous
+    latest version or the new one — never a torn table."""
+    prev = latest_version(table_dir)
+    # allocate past EVERY existing v= dir, committed or torn — a
+    # crashed attempt's directory is invisible to readers but its slot
+    # is burned (never write into a dir whose contents you don't own)
+    occupied = [int(m.group(1)) for m in
+                (_V_RE.match(n) for n in
+                 (os.listdir(table_dir) if os.path.isdir(table_dir) else []))
+                if m]
+    version = max(occupied) + 1 if occupied else 0
+    vdir = os.path.join(table_dir, f"v={version}")
+    data_dir = os.path.join(vdir, "data")
+    df.write.mode("errorifexists").parquet(data_dir)
+    files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+    n_rows = (df.sparkSession.read.parquet(data_dir)).count()
+    manifest = {
+        "version": version,
+        "parent": prev,
+        "n_rows": n_rows,
+        "schema": df.schema.jsonValue(),
+        "files": files,
+    }
+    tmp = os.path.join(vdir, "_manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(table_dir, version))
+    return version
+
+
+def read_version(spark: SparkSession, table_dir: str,
+                 version: int | None = None) -> DataFrame:
+    """Time travel: load exactly the files the (given or latest)
+    committed manifest names. New commits never change what an old
+    version reads."""
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no committed versions in {table_dir}")
+    mf = _manifest_path(table_dir, version)
+    if not os.path.exists(mf):
+        raise FileNotFoundError(f"version {version} is not committed")
+    manifest = json.load(open(mf))
+    data_dir = os.path.join(table_dir, f"v={version}", "data")
+    paths = [os.path.join(data_dir, f) for f in manifest["files"]]
+    return spark.read.parquet(*paths)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Keyed diff of two snapshots: one row per key present in either,
+    labeled added / removed / changed / unchanged. Value comparison
+    hashes the non-key columns (xxhash64 over a canonical struct), so
+    the join ships two longs per row regardless of row width — the
+    wide-table diff stays a key-plus-hash shuffle. One full-outer
+    shuffle join, the MERGE plan shape."""
+    cols = [c for c in old.columns if c != key]
+    if [c for c in new.columns if c != key] != cols:
+        raise ValueError("snapshot schemas differ; diff requires one schema")
+    h = F.xxhash64(F.struct(*[F.col(c) for c in cols]))
+    o = old.select(F.col(key).alias("k"), h.alias("h_old"))
+    n = new.select(F.col(key).alias("k_new"), h.alias("h_new"))
+    joined = o.join(n, o.k == n.k_new, "full_outer")
+    return joined.select(
+        F.coalesce("k", "k_new").alias(key),
+        F.when(F.col("k").isNull(), F.lit("added"))
+        .when(F.col("k_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged")).alias("change"),
+    )

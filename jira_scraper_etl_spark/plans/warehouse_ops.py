@@ -625,3 +625,58 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "sample_orphan_key"))
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (the versioned-table time-travel comparator)
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_diff_customers",
+    oracle="""
+    WITH old AS (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    new AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.5
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 5 <> 0
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN o.c_name <> n.c_name
+                     OR o.c_acctbal <> n.c_acctbal THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    """,
+    tags=("warehouse", "join", "incremental"),
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff between two table snapshots — the time-travel
+    comparator behind ``operators/versioned.py::snapshot_diff`` (what
+    changed between version N and N+1 of a dimension): every key
+    labeled added / removed / changed / unchanged. The snapshots here
+    derive from the customer table (an older membership rule, a newer
+    one with drifted balances) so the oracle can reproduce them; the
+    versioned-store tests run the same operator over really-committed
+    ``v=N`` directories.
+
+    Scale shape: values are compared as ONE xxhash64 of the non-key
+    struct per row, so the full-outer diff join ships (key, hash)
+    pairs regardless of table width — a wide-dimension diff costs the
+    same shuffle as a narrow one (hash equality ⇔ value equality up to
+    2⁻⁶⁴; the oracle compares the raw columns and agrees)."""
+    from ..operators.versioned import snapshot_diff
+
+    c = load_table(spark, sf_dir, "customer")
+    old = (c.where(F.col("c_custkey") % 7 != 0)
+           .select("c_custkey", "c_name", "c_acctbal"))
+    new = (c.where(F.col("c_custkey") % 5 != 0)
+           .select("c_custkey", "c_name",
+                   F.when(F.col("c_custkey") % 3 == 0,
+                          F.col("c_acctbal") + 1.5)
+                   .otherwise(F.col("c_acctbal")).alias("c_acctbal")))
+    return snapshot_diff(old, new, "c_custkey")

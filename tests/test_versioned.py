@@ -1,0 +1,104 @@
+"""Versioned snapshot store (operators/versioned.py): manifest-last
+commit visibility, time-travel stability under new commits, and the
+keyed diff over really-committed versions."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from jira_scraper_etl_spark.operators import versioned as V
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    d = str(tmp_path / "cust_table")
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_name", "c_acctbal")
+    return d, base
+
+
+def test_write_read_and_time_travel_isolation(spark, table):
+    d, base = table
+    v0 = V.write_version(base, d)
+    assert v0 == 0 and V.latest_version(d) == 0
+    n = base.count()
+    assert V.read_version(spark, d).count() == n
+
+    # commit v1 with drift: drop every 5th key, bump every 3rd balance
+    v1_df = (base.where("c_custkey % 5 != 0")
+             .withColumn("c_acctbal",
+                         F.when(F.col("c_custkey") % 3 == 0,
+                                F.col("c_acctbal") + 1.5)
+                         .otherwise(F.col("c_acctbal"))))
+    v1 = V.write_version(v1_df, d)
+    assert v1 == 1 and V.latest_version(d) == 1
+    # TIME TRAVEL: v0 still reads the original rows, bit for bit
+    old = V.read_version(spark, d, 0)
+    assert old.count() == n
+    assert old.exceptAll(base).count() == 0
+    # latest reads the new snapshot
+    assert V.read_version(spark, d).count() == v1_df.count()
+    # manifests record lineage
+    mf = json.load(open(os.path.join(d, "v=1", "manifest.json")))
+    assert mf["parent"] == 0 and mf["n_rows"] == v1_df.count()
+
+
+def test_uncommitted_version_is_invisible(spark, table):
+    d, base = table
+    V.write_version(base, d)
+    # simulate a crash: data files land, manifest never written
+    torn = os.path.join(d, "v=1", "data")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "junk.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    assert V.committed_versions(d) == [0]
+    assert V.latest_version(d) == 0
+    assert V.read_version(spark, d).count() == base.count()
+    with pytest.raises(FileNotFoundError):
+        V.read_version(spark, d, 1)
+    # the next real commit claims v=2 (never reuses the torn dir's slot
+    # is not required — it must simply commit and become latest)
+    v = V.write_version(base.limit(10), d)
+    assert V.latest_version(d) == v and v == 2
+    assert V.read_version(spark, d).count() == 10
+
+
+def test_snapshot_diff_over_committed_versions(spark, table):
+    d, base = table
+    V.write_version(base.where("c_custkey % 7 != 0"), d)
+    v1_df = (base.where("c_custkey % 5 != 0")
+             .withColumn("c_acctbal",
+                         F.when(F.col("c_custkey") % 3 == 0,
+                                F.col("c_acctbal") + 1.5)
+                         .otherwise(F.col("c_acctbal"))))
+    V.write_version(v1_df, d)
+    diff = V.snapshot_diff(V.read_version(spark, d, 0),
+                           V.read_version(spark, d, 1), "c_custkey")
+    got = {r.c_custkey: r.change for r in diff.collect()}
+    for k, change in got.items():
+        if k % 7 == 0:
+            assert change == "added", k
+        elif k % 5 == 0:
+            assert change == "removed", k
+        elif k % 3 == 0:
+            assert change == "changed", k
+        else:
+            assert change == "unchanged", k
+    # every key of either snapshot appears exactly once
+    keys = set(r.c_custkey for r in
+               base.where("c_custkey % 7 != 0 or c_custkey % 5 != 0")
+               .collect())
+    assert set(got) == keys
+
+
+def test_snapshot_diff_rejects_schema_drift(spark, table):
+    d, base = table
+    with pytest.raises(ValueError):
+        V.snapshot_diff(base, base.drop("c_name"), "c_custkey")
