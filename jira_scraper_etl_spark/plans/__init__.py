@@ -56,6 +56,7 @@ _PRIORITY = [
     "bpe_learn_merges", "events_trailing_distinct_types",
     "events_user_journey", "events_anomaly_mad",
     "dq_referential_integrity", "snapshot_diff_customers",
+    "q3_shipping_priority", "events_volume_cusum",
     # Fixed or semantically changed this round: the r3 `err` entry
     # (codes_csv reshape), the bounded per-doc simhash form, and the
     # auto-derived embedding banding.
@@ -65,14 +66,13 @@ _PRIORITY = [
     # hash should confirm it).
     "dedup_minhash_lsh", "dedup_span_exact", "dedup_cluster_canonical",
     "dedup_incremental_novel", "dedup_ngram_jaccard",
-    "text_corpus_freq_score", "text_vocab_topk",
-    "text_char_diversity",  # entry #50 — last slot inside the window
+    "text_corpus_freq_score",  # entry #50 — last slot inside the window
     # -- Entries #51+: past the 50-entry window. -------------------------
     # Displaced by the wave-2 entries: these share the fan_out seam
     # (or, for the curate family, the whole pipeline spine) with
     # in-window entries, and the green-once tail yields to
     # never-checked ones.
-    "text_repetition_stats",
+    "text_vocab_topk", "text_char_diversity", "text_repetition_stats",
     "decontaminate_ngram", "decontaminate_hashed",
     "curate_pretrain_corpus", "curate_corpus_v2", "curate_corpus_v3",
     "text_bigram_assoc", "text_char_pair_stats",

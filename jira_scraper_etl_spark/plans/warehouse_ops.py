@@ -680,3 +680,139 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("c_acctbal") + 1.5)
                    .otherwise(F.col("c_acctbal")).alias("c_acctbal")))
     return snapshot_diff(old, new, "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 (shipping priority): 3-table join → agg → top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                AS VARCHAR) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "ranking", "flagship"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the 10 highest-revenue unshipped
+    BUILDING-segment orders as of 1995-03-15 — the canonical 3-table
+    join → aggregate → top-k benchmark query, here with exact-decimal
+    revenue (DuckDB's official q3 answer drifts in the last double ulp
+    without it).
+
+    Plan: every predicate pushes to its own scan (segment on customer,
+    orderdate on orders, shipdate on lineitem — `PushedFilters` in the
+    plan), the pruned customer side broadcasts under AQE, orders ⨝
+    lineitem shuffles on the orderkey, partials combine map-side to
+    one row per qualifying order, and the top-10 is a TakeOrdered —
+    no global sort materializes. The deterministic tie-break
+    (revenue, orderdate, orderkey) makes the LIMIT reproducible
+    cross-engine."""
+    from .registry import money, one_minus_rate
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp_ntz")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(money("l_extendedprice")
+                   * one_minus_rate("l_discount"))
+             .cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection on event volume
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_volume_cusum",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, hr, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS runsum,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
+               CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY event_type) AS rate
+        FROM hourly
+    ),
+    d AS (
+        SELECT event_type, hr, n,
+               runsum - rn * rate AS cusum
+        FROM c
+    )
+    SELECT event_type, hr, n, cusum,
+           abs(cusum) = MAX(abs(cusum)) OVER (PARTITION BY event_type)
+             AS is_changepoint
+    FROM d
+    """,
+    tags=("events", "monitoring", "window"),
+)
+def events_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on hourly event volume per type:
+    the cumulative deviation from the type's mean hourly rate, with
+    the classic CUSUM change-point estimate (the hour where |cusum|
+    peaks — before a rate shift the deviations accumulate one way,
+    after it the other, so the elbow marks the shift). The monitoring
+    pass a pipeline runs over its own throughput counters to catch
+    upstream breakage or traffic regime changes.
+
+    Numeric shape: cusum is NOT accumulated in floating point — it is
+    ``runsum − rn·rate`` where runsum/rn are exact integers from the
+    window and rate is one int/int division, so every value is a
+    3-term IEEE scalar expression, bit-identical cross-engine (a
+    naive float running sum would be order-dependent). One shuffle for
+    the hourly aggregation; the per-type windows run over hour-grid
+    cardinality (|types| × |hours| — bounded; at 100 TB the hourly
+    pre-aggregation IS the reduction, shuffling one row per
+    (type, hour))."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy("event_type",
+                        F.expr("unix_micros(cast(ts as timestamp))"
+                               " div 3600000000").alias("hr"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    wt = Window.partitionBy("event_type")
+    c = hourly.select(
+        "event_type", "hr", "n",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)).alias("runsum"),
+        F.row_number().over(w).alias("rn"),
+        (F.sum("n").over(wt).cast("double")
+         / F.count(F.lit(1)).over(wt)).alias("rate"))
+    d = c.select("event_type", "hr", "n",
+                 (F.col("runsum") - F.col("rn") * F.col("rate"))
+                 .alias("cusum"))
+    return d.select(
+        "event_type", "hr", "n", "cusum",
+        (F.abs("cusum") == F.max(F.abs("cusum")).over(wt))
+        .alias("is_changepoint"))

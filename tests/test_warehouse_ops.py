@@ -422,3 +422,40 @@ def test_referential_integrity_detects_planted_orphans(spark, sf_dir,
     # unrelated relationships stay green
     assert rows["lineitem.l_partkey -> part.p_partkey"].n_orphan_rows == 0
     shutil.rmtree(broken)
+
+
+def test_q3_top10_matches_full_ranking(spark, sf_dir):
+    """The TakeOrdered top-10 must equal the head of the full exact
+    ranking, and revenue must be the exact-decimal sum."""
+    rows = plans.QUERIES["q3_shipping_priority"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    # plan: predicates reach the scans; top-k is a TakeOrdered
+    plan = plans.QUERIES["q3_shipping_priority"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_cusum_changepoint_invariants(spark, sf_dir):
+    rows = plans.QUERIES["events_volume_cusum"].fn(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.hr)
+        total = sum(r.n for r in rs)
+        rate = total / len(rs)
+        run = 0
+        peak = max(abs(r.cusum) for r in rs)
+        n_cp = 0
+        for i, r in enumerate(rs, 1):
+            run += r.n
+            assert r.cusum == run - i * rate, (t, r.hr)
+            n_cp += r.is_changepoint
+            assert r.is_changepoint == (abs(r.cusum) == peak)
+        assert n_cp >= 1  # the argmax exists
+        # the final cusum telescopes to ~0 (runsum == total at the end)
+        assert abs(rs[-1].cusum) < 1e-6 * max(1, total)
