@@ -234,3 +234,43 @@ def test_rp_lsh_key_join_is_shuffle_join(spark, sf_dir):
     df = plans.QUERIES["dedup_embedding_cosine_rp"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_runtime_bloom_filter_semijoin_reduction_available(spark, sf_dir):
+    """At warehouse scale a selective dim predicate should prune the
+    fact-side SHUFFLE via Spark's runtime bloom filter (semi-join
+    reduction) — the fact rows that cannot join are dropped before the
+    exchange, not after. The size thresholds that gate the rewrite
+    (10 GB application side by default) are scaled down here so the
+    test pins the plan the engine produces at real scale: a
+    bloom_filter_agg on the dim side and a might_contain gate on the
+    fact scan. The session's own config keeps the feature enabled
+    (spark.sql.optimizer.runtime.bloomFilter.enabled)."""
+    import pyspark.sql.functions as F
+
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+            .where(F.col("p_size") < 5)
+        j = li.join(p, li.l_partkey == p.p_partkey)
+        ex = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in ex
+        # and the rewrite does not change results vs the plain join
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = li.join(p, li.l_partkey == p.p_partkey).count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        assert j.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold")
