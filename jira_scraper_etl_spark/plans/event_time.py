@@ -603,3 +603,74 @@ def events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0).cast("int").alias("funnel_stage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential path mining (top within-session 3-step paths)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_path_mining",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+               LAG(event_type, 1) OVER uw AS p1t,
+               LAG(event_type, 2) OVER uw AS p2t,
+               epoch_us(ts) - LAG(epoch_us(ts), 1) OVER uw AS g1,
+               LAG(epoch_us(ts), 1) OVER uw
+                 - LAG(epoch_us(ts), 2) OVER uw AS g2
+        FROM events
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT user_id, p2t || '>' || p1t || '>' || event_type AS path
+        FROM w
+        WHERE p2t IS NOT NULL AND g1 <= 1800000000 AND g2 <= 1800000000
+    )
+    SELECT path, n, n_users, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT path,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rk
+          FROM paths GROUP BY path)
+    WHERE rk <= 20
+    """,
+    tags=("events", "mining", "window"),
+)
+def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining: the 20 most common 3-step behavioral
+    paths (``a>b>c``) occurring WITHIN a session (both hops inside the
+    30-minute gap rule) — the "what do users actually do" discovery
+    pass that the fixed-step funnel can't answer (the funnel checks a
+    hypothesis; this surfaces the hypotheses).
+
+    Scale shape: no per-session arrays ever materialize — paths come
+    from two LAG pairs over the user-ordered window, so a
+    pathologically long always-active session costs O(1) memory per
+    row (a collect_list formulation would buffer the whole session).
+    One user_id shuffle for the lags, one path-keyed map-side-combined
+    count; the distinct-user count re-keys only the post-filter path
+    rows; the top-20 is a window over post-aggregation cardinality
+    ≤ |type vocabulary|³."""
+    e = load_events(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = e.select(
+        "user_id", "event_type", us.alias("us"),
+        F.lag("event_type", 1).over(uw).alias("p1t"),
+        F.lag("event_type", 2).over(uw).alias("p2t"),
+        (us - F.lag(us, 1).over(uw)).alias("g1"),
+        (F.lag(us, 1).over(uw) - F.lag(us, 2).over(uw)).alias("g2"))
+    paths = (w.where(F.col("p2t").isNotNull()
+                     & (F.col("g1") <= 1_800_000_000)
+                     & (F.col("g2") <= 1_800_000_000))
+             .select("user_id",
+                     F.concat_ws(">", "p2t", "p1t", "event_type")
+                     .alias("path")))
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"))
+    rk = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (agg.withColumn("rk", F.row_number().over(rk))
+            .where(F.col("rk") <= 20)
+            .select("path", "n", "n_users", F.col("rk").cast("int").alias("rk")))

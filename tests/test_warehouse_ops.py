@@ -459,3 +459,33 @@ def test_cusum_changepoint_invariants(spark, sf_dir):
         assert n_cp >= 1  # the argmax exists
         # the final cusum telescopes to ~0 (runsum == total at the end)
         assert abs(rs[-1].cusum) < 1e-6 * max(1, total)
+
+
+def test_path_mining_matches_python_recompute(spark, sf_dir):
+    import collections
+
+    rows = sorted(
+        plans.QUERIES["events_path_mining"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rk)
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "ts", "event_id").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id))
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    counts = collections.Counter()
+    users = collections.defaultdict(set)
+    gap = lambda a, b: (b.ts - a.ts).total_seconds() * 1e6  # noqa: E731
+    for uid, rs in by_user.items():
+        for i in range(2, len(rs)):
+            if gap(rs[i - 1], rs[i]) <= 1_800_000_000 and \
+               gap(rs[i - 2], rs[i - 1]) <= 1_800_000_000:
+                p = f"{rs[i-2].event_type}>{rs[i-1].event_type}>{rs[i].event_type}"
+                counts[p] += 1
+                users[p].add(uid)
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.path, r.n) for r in rows] == want
+    for r in rows:
+        assert r.n_users == len(users[r.path])
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
