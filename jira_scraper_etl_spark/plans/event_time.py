@@ -674,3 +674,90 @@ def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.withColumn("rk", F.row_number().over(rk))
             .where(F.col("rk") <= 20)
             .select("path", "n", "n_users", F.col("rk").cast("int").alias("rk")))
+
+
+# ---------------------------------------------------------------------------
+# Relational ML: Markov next-event predictor, trained and evaluated
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_markov_eval",
+    oracle="""
+    WITH trans AS (
+        SELECT user_id, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS a,
+               event_type AS b
+        FROM events
+    ),
+    train AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM trans WHERE a IS NOT NULL AND ts < TIMESTAMP '2024-01-25'
+        GROUP BY a, b
+    ),
+    model AS (
+        SELECT a, b AS predicted, n AS n_train_obs
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+                                           ORDER BY n DESC, b) AS rk
+              FROM train)
+        WHERE rk = 1
+    ),
+    test AS (
+        SELECT a, b FROM trans
+        WHERE a IS NOT NULL AND ts >= TIMESTAMP '2024-01-25'
+    )
+    SELECT t.a AS prev_type, ANY_VALUE(m.predicted) AS predicted,
+           ANY_VALUE(m.n_train_obs) AS n_train_obs,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.b = m.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN t.b = m.predicted THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS hit_rate
+    FROM test t LEFT JOIN model m ON t.a = m.a
+    GROUP BY t.a
+    """,
+    tags=("events", "mining", "ml"),
+)
+def events_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-evaluate as pure relational ops: a first-order Markov
+    next-event predictor (predict the majority transition b for each
+    preceding type a) fit on the first ~80% of the timeline and scored
+    on the rest — per preceding type: the prediction, its training
+    support, test volume, and hit rate. The point-in-time split is the
+    leakage rule every production feature pipeline enforces: the model
+    CTE sees only pre-cutoff transitions (a transition is attributed
+    to its LATER event's timestamp, so cutoff-spanning hops land in
+    test). The degenerate accuracy of a majority-class predictor over
+    near-uniform synthetic transitions (~1/|types|) is itself the
+    baseline number an evaluation harness must reproduce exactly.
+
+    Scale shape: transitions come from one LAG over the user window
+    (one shuffle); the model is |types|² aggregated map-side and
+    broadcast back; evaluation re-keys only the |types|-cardinality
+    post-agg rows. hit_rate is one int/int IEEE division."""
+    e = load_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-25").cast("timestamp_ntz")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (e.select("user_id", "ts", "event_id",
+                      F.lag("event_type").over(uw).alias("a"),
+                      F.col("event_type").alias("b"))
+             .where(F.col("a").isNotNull()))
+    train = (trans.where(F.col("ts") < cutoff)
+             .groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n")))
+    rk = Window.partitionBy("a").orderBy(F.desc("n"), F.asc("b"))
+    model = (train.withColumn("rk", F.row_number().over(rk))
+             .where(F.col("rk") == 1)
+             .select("a", F.col("b").alias("predicted"),
+                     F.col("n").alias("n_train_obs")))
+    test = trans.where(F.col("ts") >= cutoff).select("a", "b")
+    hit = F.when(F.col("b") == F.col("predicted"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(model), "a", "left")
+        .groupBy(F.col("a").alias("prev_type"))
+        .agg(F.first("predicted").alias("predicted"),
+             F.first("n_train_obs").alias("n_train_obs"),
+             F.count(F.lit(1)).cast("long").alias("n_test"),
+             F.sum(hit).cast("long").alias("n_hit"),
+             (F.sum(hit).cast("double") / F.count(F.lit(1)))
+             .alias("hit_rate"))
+    )

@@ -489,3 +489,45 @@ def test_path_mining_matches_python_recompute(spark, sf_dir):
     for r in rows:
         assert r.n_users == len(users[r.path])
     assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_markov_eval_no_leakage_and_exact_recompute(spark, sf_dir):
+    """The model must be a pure function of PRE-cutoff transitions
+    (recomputed independently in Python), and the test accounting must
+    cover every post-cutoff transition exactly once."""
+    import collections
+    import datetime as dt
+
+    rows = {r.prev_type: r for r in
+            plans.QUERIES["events_markov_eval"].fn(spark, sf_dir).collect()}
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "ts", "event_id").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id))
+    cutoff = dt.datetime(2024, 1, 25)
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    train = collections.Counter()
+    test = []
+    for rs in by_user.values():
+        for prev, cur in zip(rs, rs[1:]):
+            if cur.ts.replace(tzinfo=None) < cutoff:
+                train[(prev.event_type, cur.event_type)] += 1
+            else:
+                test.append((prev.event_type, cur.event_type))
+    pred = {}
+    for (a, b), n in train.items():
+        cur = pred.get(a)
+        if cur is None or n > cur[1] or (n == cur[1] and b < cur[0]):
+            pred[a] = (b, n)
+    per = collections.Counter()
+    hits = collections.Counter()
+    for a, b in test:
+        per[a] += 1
+        hits[a] += (a in pred and pred[a][0] == b)
+    assert set(rows) == set(per)
+    for a, r in rows.items():
+        assert r.predicted == pred[a][0] and r.n_train_obs == pred[a][1]
+        assert r.n_test == per[a] and r.n_hit == hits[a]
+        assert r.hit_rate == hits[a] / per[a]
