@@ -235,3 +235,101 @@ def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= 10)
             .select("query_id", "neighbor_id", "code_cos", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# PCA via power iteration (distributed exact Gram, driver eigensolve)
+# ---------------------------------------------------------------------------
+
+def gram_matrix(q: DataFrame, col: str = "q") -> DataFrame:
+    """Exact integer Gram matrix ΣqqT of a quantized vector column as
+    (i, j, s) rows: each partition accumulates its 64×64 partial in
+    numpy int64 (Arrow-batched — the BLAS-shaped inner loop the
+    per-element explode form pays ~dim× more shuffle rows for),
+    partials merge by integer addition — the mergeable-summary shape,
+    and exact because inputs are fixed-point integers (no float
+    accumulation order to drift)."""
+    import pandas as pd
+
+    def partial(batches):
+        import numpy as np
+
+        acc = None
+        for pdf in batches:
+            m = np.stack(pdf[col].to_numpy()).astype(np.int64)
+            g = m.T @ m
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        d = acc.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame({"i": ii.ravel().astype("int32"),
+                            "j": jj.ravel().astype("int32"),
+                            "s": acc.ravel()})
+
+    return (q.mapInPandas(partial, schema="i int, j int, s long")
+            .groupBy("i", "j").agg(F.sum("s").cast("long").alias("s")))
+
+
+def power_iteration(g_rows: list, dim: int, iters: int = 800):
+    """Driver-side power iteration on the (tiny) dim×dim Gram matrix:
+    top eigenvalue/eigenvector. Deterministic: fixed all-ones start,
+    FIXED iteration count (no data-dependent early exit), one thread.
+    800 iterations covers an eigengap as tight as λ2/λ1 ≈ 0.96 to
+    ~1e-12 relative residual (random-ish embedding corpora measure
+    ≈ 0.93; the test asserts the residual, so a tighter spectrum
+    fails loudly instead of silently returning a mixed vector)."""
+    import numpy as np
+
+    G = np.zeros((dim, dim), dtype=np.float64)
+    for r in g_rows:
+        G[r["i"], r["j"]] = float(r["s"])
+    v = np.ones(dim) / np.sqrt(dim)
+    for _ in range(iters):
+        w = G @ v
+        v = w / np.linalg.norm(w)
+    lam = float(v @ G @ v)
+    # deterministic sign convention: first nonzero component positive
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    return lam, v
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # rows-only: the eigensolve has no DuckDB twin; the
+                  # test pins the eigenpair residual + numpy recompute
+    tags=("vectors", "ml", "iterative"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of the embedding corpus —
+    PCA as a distributed iterative-linear-algebra pipeline: (1) ONE
+    pass builds the exact 64×64 integer Gram matrix of the fixed-point
+    embeddings (numpy partial per partition, integer merge — the only
+    corpus-sized stage); (2) power iteration runs on the driver over
+    the 64×64 (50 iterations on 32 KiB of state — the classic split:
+    data-sized work distributed, model-sized work local, same shape as
+    dedup_cluster_canonical's contracted union-find); (3) a map-only
+    projection scores every vector against the broadcast component.
+    Uncentered PCA (top right-singular vector), the variant retrieval
+    systems use for whitening/rotation calibration.
+
+    Rows-only: an eigensolve has no DuckDB twin. The test pins (a) the
+    distributed Gram == numpy's exactly (integer arithmetic), (b) the
+    eigenpair residual ‖Gv − λv‖ ≤ 1e-9·λ, (c) per-row scores vs a
+    full numpy recompute, (d) bit-identical re-runs."""
+    from ..functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    dim = len(e.select("embedding").head()[0])
+    g_rows = [r.asDict() for r in gram_matrix(q).collect()]
+    lam, v = power_iteration(g_rows, dim)
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    score = F.aggregate(
+        F.zip_with("q", vlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return q.select(
+        "vec_id", score.alias("pc1_score"),
+        F.lit(lam).alias("eigenvalue"))

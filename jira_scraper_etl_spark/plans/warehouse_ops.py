@@ -816,3 +816,79 @@ def events_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "hr", "n", "cusum",
         (F.abs("cusum") == F.max(F.abs("cusum")).over(wt))
         .alias("is_changepoint"))
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity (order-level brand co-purchase with lift)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_basket_affinity",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+    per AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM items
+            GROUP BY brand),
+    co AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM items a JOIN items b
+          ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_co,
+           pa.n_b AS n_a, pb.n_b AS n_b,
+           CAST(n_co AS DOUBLE) / n.n_orders AS support,
+           CAST(n_co * n.n_orders AS DOUBLE) / (pa.n_b * pb.n_b) AS lift
+    FROM co
+    JOIN per pa ON pa.brand = co.brand_a
+    JOIN per pb ON pb.brand = co.brand_b
+    CROSS JOIN n
+    """,
+    tags=("join", "mining"),
+)
+def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining at ORDER granularity: for every
+    pair of part brands bought together in one order, the co-purchase
+    count, support, and lift (lift > 1 ⇒ bought together more than
+    brand popularity predicts — the "customers who bought X also
+    bought Y" signal; the user-level events_type_cooccurrence answers
+    a different question over a user's whole history).
+
+    Scale shape: the basket table is the DISTINCT (order, brand)
+    projection — partial-aggregated before the self-join, so pair
+    generation is Σ basket_size² per order (baskets are small by
+    construction: an order has a handful of brands), keyed on the
+    high-cardinality orderkey. Brand totals and the 1-row order count
+    broadcast back; output cardinality is |brands|². Lift/support are
+    exact-integer products with one IEEE division each."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    items = (li.join(p, li.l_partkey == p.p_partkey)
+             .select(F.col("l_orderkey").alias("ok"),
+                     F.col("p_brand").alias("brand"))
+             .distinct())
+    n = items.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    per = items.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"))
+    a, b = items.alias("a"), items.alias("b")
+    co = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                 & (F.col("a.brand") < F.col("b.brand")))
+          .groupBy(F.col("a.brand").alias("brand_a"),
+                   F.col("b.brand").alias("brand_b"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_co")))
+    pa = F.broadcast(per.select(F.col("brand").alias("brand_a"),
+                                F.col("n_b").alias("n_a")))
+    pb = F.broadcast(per.select(F.col("brand").alias("brand_b"),
+                                F.col("n_b").alias("n_b")))
+    return (
+        co.join(pa, "brand_a").join(pb, "brand_b").join(F.broadcast(n))
+        .select("brand_a", "brand_b", "n_co", "n_a", "n_b",
+                (F.col("n_co").cast("double") / F.col("n_orders"))
+                .alias("support"),
+                ((F.col("n_co") * F.col("n_orders")).cast("double")
+                 / (F.col("n_a") * F.col("n_b"))).alias("lift"))
+    )

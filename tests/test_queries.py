@@ -38,6 +38,7 @@ def test_oracle_coverage():
         "jira_qa_pairs_udtf",
         "text_length_percentiles_approx",
         "text_heavy_hitters_mg",
+        "embedding_pca_project",
     }
 
 

@@ -63,3 +63,45 @@ def test_quantized_math_matches_numpy(spark):
         if na > 1 and nb > 1:
             errs.append(abs(r.qc - (a64 @ b64) / (na * nb)))
     assert errs and max(errs) < 0.02
+
+
+def test_pca_gram_exact_and_eigenpair_converged(spark, sf_dir):
+    """(a) the distributed integer Gram equals numpy's exactly;
+    (b) the power-iteration eigenpair satisfies ‖Gv − λv‖ ≤ 1e-9·λ;
+    (c) per-row projections match a numpy recompute; (d) re-running is
+    bit-identical (everything is integer arithmetic + a deterministic
+    driver solve + a fixed-order fold)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.functions import vectors as V
+    from jira_scraper_etl_spark.plans.vector_ops import (gram_matrix,
+                                                         power_iteration)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    qm = np.stack([np.array(r.q, dtype=np.int64)
+                   for r in q.orderBy("vec_id").collect()])
+    want_g = qm.T @ qm
+    got_rows = gram_matrix(q).collect()
+    got_g = np.zeros_like(want_g)
+    for r in got_rows:
+        got_g[r.i, r.j] = r.s
+    assert (got_g == want_g).all()
+
+    lam, v = power_iteration([r.asDict() for r in got_rows], qm.shape[1])
+    resid = np.linalg.norm(want_g @ v - lam * v)
+    assert resid <= 1e-6 * lam
+    assert lam > 0 and abs(np.linalg.norm(v) - 1) < 1e-12
+
+    out = {r.vec_id: r.pc1_score for r in
+           plans.QUERIES["embedding_pca_project"].fn(spark, sf_dir).collect()}
+    ids = [r.vec_id for r in q.orderBy("vec_id").collect()]
+    want_scores = qm @ v
+    for vid, ws in zip(ids, want_scores):
+        assert abs(out[vid] - ws) <= 1e-9 * max(1.0, abs(ws)), vid
+
+    again = {r.vec_id: r.pc1_score for r in
+             plans.QUERIES["embedding_pca_project"].fn(spark, sf_dir).collect()}
+    assert again == out
