@@ -333,3 +333,140 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id", score.alias("pc1_score"),
         F.lit(lam).alias("eigenvalue"))
+
+
+# ---------------------------------------------------------------------------
+# Exact integer k-means (deterministic Lloyd iterations, oracle-checked)
+# ---------------------------------------------------------------------------
+
+KM_K, KM_ITERS, KM_DIM = 8, 4, 64
+
+
+def _km_iteration_sql(it: int) -> str:
+    """One Lloyd iteration as CTEs: assignment under c{it-1} (argmin of
+    exact integer squared distances, ties to the lowest cluster id),
+    per-cluster per-dimension integer sums, centroids by TRUNCATING
+    integer division (DuckDB's ``//`` truncates toward zero for
+    integers, matching the Spark driver's trunc-div — floor division
+    would disagree on negative sums). Empty clusters keep their
+    previous centroid."""
+    return f"""
+    d{it} AS (
+        SELECT v.vec_id, v.q, c.cluster,
+               list_sum(list_transform(generate_series(1, {KM_DIM}),
+                    k -> (v.q[k] - c.c[k]) * (v.q[k] - c.c[k]))) AS d2
+        FROM vecs v CROSS JOIN c{it - 1} c
+    ),
+    a{it} AS (
+        SELECT vec_id, q, cluster, d2
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cluster) AS rk
+              FROM d{it})
+        WHERE rk = 1
+    ),
+    s{it} AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n
+              FROM a{it} GROUP BY cluster),
+    m{it} AS (
+        SELECT cluster, g.k AS k, CAST(SUM(q[g.k]) AS BIGINT) AS s
+        FROM a{it}, LATERAL unnest(generate_series(1, {KM_DIM})) AS g(k)
+        GROUP BY cluster, g.k
+    ),
+    c{it} AS (
+        SELECT m.cluster, list(m.s // s{it}.n ORDER BY m.k) AS c
+        FROM m{it} m JOIN s{it} ON m.cluster = s{it}.cluster
+        GROUP BY m.cluster
+        UNION ALL
+        SELECT cluster, c FROM c{it - 1}
+        WHERE cluster NOT IN (SELECT cluster FROM s{it})
+    )"""
+
+
+def _km_oracle() -> str:
+    from .llm_ops import SQL_QUANT
+
+    its = ",".join(_km_iteration_sql(i) for i in range(1, KM_ITERS + 1))
+    fin = KM_ITERS + 1
+    return f"""
+    WITH vecs AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, q AS c
+           FROM vecs WHERE vec_id < {KM_K}),
+    {its},
+    d{fin} AS (
+        SELECT v.vec_id, c.cluster,
+               list_sum(list_transform(generate_series(1, {KM_DIM}),
+                    k -> (v.q[k] - c.c[k]) * (v.q[k] - c.c[k]))) AS d2
+        FROM vecs v CROSS JOIN c{KM_ITERS} c
+    )
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+           CAST(d2 AS BIGINT) AS d2
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cluster) AS rk
+          FROM d{fin})
+    WHERE rk = 1
+    """
+
+
+def _km_assign(q_df: DataFrame, cents: list) -> DataFrame:
+    structs = []
+    for cid, c in enumerate(cents):
+        clit = F.array(*[F.lit(int(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with("q", clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        structs.append(F.struct(d2.alias("d2"),
+                                F.lit(cid).cast("int").alias("cid")))
+    # array_min over (d2, cid) structs = argmin with ties to low cid
+    best = F.array_min(F.array(*structs))
+    return q_df.withColumn("cluster", best["cid"]) \
+               .withColumn("d2", best["d2"])
+
+
+@register("embedding_kmeans_exact", oracle=_km_oracle(),
+          tags=("vectors", "ml", "iterative"))
+def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-means (k=8, 4 Lloyd iterations) over the fixed-point
+    embeddings — iterative distributed ML with a full DuckDB oracle,
+    which no float k-means can offer (centroid means and distance
+    comparisons would drift in the last ulp): distances are exact
+    integer Σ(q−c)², the argmin tie-breaks to the lowest cluster id,
+    and centroids update by TRUNCATING integer division (both engines'
+    semantics for negative sums), so every iteration is bit-identical
+    cross-engine. Deterministic seeding: the first k vectors are the
+    initial centroids.
+
+    Scale shape per iteration: assignment is map-only against k×dim
+    broadcast literals (8 fused distance expressions inside codegen —
+    no crossJoin row blowup); the update is ONE map-side-combined
+    aggregation to k×(dim+1) longs; the k×64-int model state lives on
+    the driver between iterations (the dedup_cluster_canonical /
+    bpe_learn_merges bounded-driver-state pattern). The oracle replays
+    the same algorithm as chained CTEs with an explicit cross join —
+    fine at oracle scale, deliberately not the engine plan."""
+    from ..functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+         .persist())
+    q.count()
+    init = {r.vec_id: list(r.q)
+            for r in q.where(F.col("vec_id") < KM_K).collect()}
+    cents = [init[i] for i in range(KM_K)]
+
+    def trunc_div(s: int, n: int) -> int:
+        return abs(s) // n * (1 if s >= 0 else -1)
+
+    for _ in range(KM_ITERS):
+        a = _km_assign(q, cents)
+        sums = a.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+              for i in range(KM_DIM)])
+        rows = {r.cluster: r for r in sums.collect()}
+        cents = [
+            [trunc_div(int(rows[cid][f"s{i}"]), int(rows[cid].n))
+             for i in range(KM_DIM)] if cid in rows else cents[cid]
+            for cid in range(KM_K)
+        ]
+    out = _km_assign(q, cents).select("vec_id", "cluster", "d2")
+    q.unpersist()
+    return out

@@ -105,3 +105,43 @@ def test_pca_gram_exact_and_eigenpair_converged(spark, sf_dir):
     again = {r.vec_id: r.pc1_score for r in
              plans.QUERIES["embedding_pca_project"].fn(spark, sf_dir).collect()}
     assert again == out
+
+
+def test_kmeans_exact_matches_numpy_replay(spark, sf_dir):
+    """Replay the integer Lloyd algorithm in numpy — same seeding,
+    same truncating division — and require IDENTICAL assignments and
+    distances (the whole point of the exact formulation: k-means with
+    no cross-engine or cross-run drift at all)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.functions import vectors as V
+    from jira_scraper_etl_spark.plans.vector_ops import KM_ITERS, KM_K
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+            .orderBy("vec_id").collect())
+    ids = np.array([r.vec_id for r in rows])
+    qm = np.stack([np.array(r.q, dtype=np.int64) for r in rows])
+    cents = qm[np.argsort(ids)[:KM_K]].copy()
+
+    def assign(c):
+        d = ((qm[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cl = d.argmin(axis=1)  # argmin ties -> lowest index, matching
+        return cl, d[np.arange(len(qm)), cl]
+
+    for _ in range(KM_ITERS):
+        cl, _ = assign(cents)
+        for cid in range(KM_K):
+            m = cl == cid
+            if m.any():
+                s = qm[m].sum(axis=0)
+                n = int(m.sum())
+                cents[cid] = np.sign(s) * (np.abs(s) // n)
+    cl, d2 = assign(cents)
+    want = {int(i): (int(c), int(d)) for i, c, d in zip(ids, cl, d2)}
+    got = {r.vec_id: (r.cluster, r.d2) for r in
+           plans.QUERIES["embedding_kmeans_exact"].fn(spark, sf_dir).collect()}
+    assert got == want
+    assert len({c for c, _ in got.values()}) > 1  # really clusters
