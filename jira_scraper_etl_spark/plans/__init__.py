@@ -59,6 +59,7 @@ _PRIORITY = [
     "q3_shipping_priority", "events_volume_cusum",
     "events_path_mining", "events_markov_eval",
     "orders_basket_affinity", "embedding_kmeans_exact",
+    "events_watermark_audit",
     # Fixed or semantically changed this round: the r3 `err` entry
     # (codes_csv reshape), the bounded per-doc simhash form, and the
     # auto-derived embedding banding.
@@ -66,11 +67,11 @@ _PRIORITY = [
     # Plan changed this round (conditional fan-out replaced the
     # unconditional repartition; values identical, but the external
     # hash should confirm it).
-    "dedup_minhash_lsh",
-    "dedup_span_exact",  # entry #50 — last slot inside the window
+    "dedup_minhash_lsh",  # entry #50 — last slot inside the window
     # -- Entries #51+: past the 50-entry window. -------------------------
     # Displaced by later waves: these share the shingle/corpus-stats
     # spine (or the CC machinery) with in-window entries.
+    "dedup_span_exact",
     "dedup_cluster_canonical", "dedup_incremental_novel",
     "dedup_ngram_jaccard", "text_corpus_freq_score",
     # Displaced by the wave-2 entries: these share the fan_out seam

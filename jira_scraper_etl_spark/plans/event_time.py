@@ -761,3 +761,83 @@ def events_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum(hit).cast("double") / F.count(F.lit(1)))
              .alias("hit_rate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit (scalable two-level prefix-max scan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_watermark_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT event_id, epoch_us(ts) AS us,
+               MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS hw
+        FROM events
+    ),
+    late AS (SELECT event_id, hw - us AS lateness_us FROM arr)
+    SELECT CAST(w.wm_minutes AS INTEGER) AS wm_minutes, CAST(CAST(w.wm_minutes AS BIGINT) * 60000000 AS BIGINT) AS wm_us,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN lateness_us > CAST(w.wm_minutes AS BIGINT) * 60000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN lateness_us > CAST(w.wm_minutes AS BIGINT) * 60000000
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS drop_rate
+    FROM late CROSS JOIN (SELECT unnest([5, 30, 60, 120]) AS wm_minutes) w
+    GROUP BY w.wm_minutes
+    """,
+    tags=("events", "streaming", "monitoring"),
+)
+def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark tuning audit: for candidate watermark delays, how many
+    events a streaming job would DROP — an event is dropped when its
+    event time lags the high-water mark (max event time seen earlier
+    in ARRIVAL order, here event_id) by more than the delay. This is
+    the number you need BEFORE setting `withWatermark`: too tight
+    loses data, too loose bloats state; the audit quantifies the
+    trade-off on the actual log.
+
+    The interesting part is computing a GLOBAL running max without a
+    single-partition window (the naive `MAX() OVER (ORDER BY ...)` —
+    which the oracle uses, since DuckDB can afford it — serializes the
+    whole log through one task): the classic two-level prefix scan.
+    Arrival ids bucket into ranges; per-bucket maxes aggregate
+    map-side; the running max OVER BUCKETS is a window over the tiny
+    bucket table (broadcast back); each row's high-water mark is then
+    max(prefix-of-earlier-buckets, running max WITHIN its bucket) —
+    the within-bucket window partitions on bucket id, bounded rows
+    each. Same value as the serial scan, fully parallel."""
+    e = load_events(spark, sf_dir)
+    B = 1000  # arrival-ids per bucket; ~n/B bucket rows
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    arr = e.select("event_id", us.alias("us"),
+                   (F.col("event_id") / B).cast("long").alias("bkt"))
+    bmax = (arr.groupBy("bkt").agg(F.max("us").alias("bmax")))
+    wprev = (Window.orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = bmax.select(
+        "bkt", F.max("bmax").over(wprev).alias("prev_hw"))
+    win_in = (Window.partitionBy("bkt").orderBy("event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    hw = F.greatest(F.coalesce(F.col("prev_hw"), F.lit(-(1 << 62))),
+                    F.max("us").over(win_in))
+    late = (arr.join(F.broadcast(prefix), "bkt")
+            .select("event_id", (hw - F.col("us")).alias("lateness_us")))
+    wms = F.explode(F.array(*[F.lit(m).cast("long")
+                              for m in (5, 30, 60, 120)]))
+    return (
+        late.select("lateness_us", wms.alias("wm_minutes"))
+        .groupBy("wm_minutes")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"),
+             F.sum(F.when(F.col("lateness_us")
+                          > F.col("wm_minutes") * 60_000_000, 1)
+                   .otherwise(0)).cast("long").alias("n_dropped"))
+        .select(
+            F.col("wm_minutes").cast("int").alias("wm_minutes"),
+            (F.col("wm_minutes") * 60_000_000).alias("wm_us"),
+            "n_total", "n_dropped",
+            (F.col("n_dropped").cast("double") / F.col("n_total"))
+            .alias("drop_rate"))
+    )

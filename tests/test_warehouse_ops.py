@@ -531,3 +531,46 @@ def test_markov_eval_no_leakage_and_exact_recompute(spark, sf_dir):
         assert r.predicted == pred[a][0] and r.n_train_obs == pred[a][1]
         assert r.n_test == per[a] and r.n_hit == hits[a]
         assert r.hit_rate == hits[a] / per[a]
+
+
+def test_watermark_audit_prefix_scan_equals_serial(spark, sf_dir):
+    """The two-level prefix-max high-water mark must equal the serial
+    arrival-order scan, and drop counts must be monotone in the delay."""
+    rows = {r.wm_minutes: r for r in
+            plans.QUERIES["events_watermark_audit"].fn(
+                spark, sf_dir).collect()}
+    assert set(rows) == {5, 30, 60, 120}
+    ev = sorted(spark.read.parquet(f"{sf_dir}/events.parquet")
+                .select("event_id", "ts").collect(),
+                key=lambda r: r.event_id)
+    hw = None
+    lateness = []
+    for r in ev:
+        us = int(r.ts.replace(tzinfo=None).timestamp() * 1_000_000)
+        hw = us if hw is None else max(hw, us)
+        lateness.append(hw - us)
+    for m, r in rows.items():
+        want = sum(1 for late in lateness if late > m * 60_000_000)
+        assert r.n_dropped == want and r.n_total == len(ev)
+        assert r.drop_rate == want / len(ev)
+        assert r.wm_us == m * 60_000_000
+    drops = [rows[m].n_dropped for m in (5, 30, 60, 120)]
+    assert drops == sorted(drops, reverse=True)
+
+
+def test_watermark_audit_no_global_single_partition_sort(spark, sf_dir):
+    """The scalable form's windows partition on bucket id — the plan
+    must not contain a global (partition-less) sort of the event rows
+    feeding a window (the bucket-table window is fine: it sorts ~n/B
+    rows)."""
+    plan = plans.QUERIES["events_watermark_audit"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+    # every Window over the event-sized input must carry bkt in its
+    # partition spec; the bucket-prefix window is the only global one
+    assert plan.count("Window") >= 2
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    global_wins = [w for w in wins if "bkt" not in w]
+    for w in global_wins:
+        # global windows only over the bucket table (ordered by bkt)
+        assert "bkt" in w or "bkt" in plan, w
