@@ -763,3 +763,45 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "phash", "canonical_id", "cluster_size",
                 (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch rollup: trailing-24h distinct users from hourly HLL partials
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_rolling_distinct_hll",
+    oracle=None,  # rows-only: Datasketches HLL has no DuckDB parity
+    tags=("events", "approx", "incremental", "window"),
+)
+def events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour distinct users per hour via SKETCH ROLLUP — the
+    hypertable continuous-aggregate pattern: materialize ONE HLL
+    sketch per hour (the only corpus-sized pass), then answer any
+    trailing window by unioning 24 sketch blobs inside a window frame
+    (``hll_union_agg`` OVER rows). Exact rolling distinct is
+    unwindowable at scale (no subtractable state, and a 24h frame of
+    raw user ids is the full stream again); the sketch rollup costs 24
+    kilobyte-sized merges per output row — and answers EVERY window
+    length from the same hourly partials (7-day, 30-day: same table).
+
+    The rollup window orders the hour GRID (cardinality = timeline
+    hours — bounded, one partition is safe by construction; a
+    multi-year deployment would tile by month and prefix-merge like
+    events_watermark_audit). The frame is ROWS over observed hours —
+    on a gappy grid that means "last 24 ACTIVE hours"; wall-clock 24h
+    needs a RANGE frame or gap-filled buckets (events_hourly_gapfill
+    is the companion op). Rows-only like the other sketch entries;
+    the test pins the estimate inside HLL's envelope of the EXACT
+    trailing distinct recomputed per hour."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.expr("unix_micros(cast(ts as timestamp))"
+                               " div 3600000000").alias("hr"))
+              .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                   F.count(F.lit(1)).cast("long").alias("n_events")))
+    w = Window.orderBy("hr").rowsBetween(-23, 0)
+    return hourly.select(
+        "hr", "n_events",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .alias("est_users_24h"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_hours_in_window"))

@@ -260,3 +260,25 @@ def test_winsorize_approx_consistent_with_exact(spark, sf_dir):
         n = len(v)
         assert v[0] <= r.lo <= v[min(n - 1, (2 * (n - 1)) // 100 + 1)]
         assert v[max(0, (98 * (n - 1)) // 100 - 1)] <= r.hi <= v[n - 1]
+
+
+def test_rolling_distinct_hll_within_envelope_of_exact(spark, sf_dir):
+    """The 24h sketch rollup must land inside HLL's error envelope of
+    the exact trailing distinct for EVERY hour, and the window must
+    never span more than 24 hour-buckets."""
+    rows = sorted(
+        plans.QUERIES["events_rolling_distinct_hll"].fn(
+            spark, sf_dir).collect(), key=lambda r: r.hr)
+    assert rows
+    per_hour: dict[int, set] = {}
+    for r in spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .selectExpr("unix_micros(cast(ts as timestamp))"
+                        " div 3600000000 as hr", "user_id").collect():
+        per_hour.setdefault(r.hr, set()).add(r.user_id)
+    hrs = [r.hr for r in rows]
+    assert hrs == sorted(set(hrs)) and set(hrs) == set(per_hour)
+    for i, r in enumerate(rows):
+        window_hrs = [h for h in hrs[max(0, i - 23):i + 1]]
+        exact = len(set().union(*(per_hour[h] for h in window_hrs)))
+        assert r.n_hours_in_window == len(window_hrs) <= 24
+        assert abs(r.est_users_24h - exact) <= max(2, 0.05 * exact), r.hr

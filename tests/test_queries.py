@@ -39,6 +39,7 @@ def test_oracle_coverage():
         "text_length_percentiles_approx",
         "text_heavy_hitters_mg",
         "embedding_pca_project",
+        "events_rolling_distinct_hll",
     }
 
 
