@@ -63,11 +63,18 @@ def mg_partials(tokens: DataFrame, col: str = "tok", k: int = 64) -> DataFrame:
                             dead.append(t)
                     for t in dead:
                         del counters[t]
+        toks = list(counters)
+        cs = list(counters.values())
+        if not counters and decrements:
+            # a final decrement-all can wipe EVERY counter; the
+            # partition's error budget must still reach the merge —
+            # emit a sentinel row (tok NULL, c 0) carrying d
+            toks, cs = [None], [0]
         yield pd.DataFrame({
-            "pid": pd.array([pid] * len(counters), dtype="int32"),
-            "tok": list(counters),
-            "c": pd.array(list(counters.values()), dtype="int64"),
-            "d": pd.array([decrements] * len(counters), dtype="int64"),
+            "pid": pd.array([pid] * len(toks), dtype="int32"),
+            "tok": toks,
+            "c": pd.array(cs, dtype="int64"),
+            "d": pd.array([decrements] * len(toks), dtype="int64"),
         })
 
     return tokens.mapInPandas(
@@ -84,8 +91,16 @@ def mg_topk(tokens: DataFrame, col: str = "tok", k: int = 64,
     full candidate table — the deliverable flag here is the simpler
     sound statement lb > E ⇒ the item's true count strictly exceeds
     every absent item's possible count (an absent item's true ≤ E)."""
-    partials = mg_partials(tokens, col, k)
-    merged = partials.groupBy("tok").agg(F.sum("c").alias("lb"))
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted seam: merged counts and the error budget both consume
+    # the partials — without it the Python sketch fold over the whole
+    # token stream runs twice (Catalyst won't reuse the subtree)
+    partials = mg_partials(tokens, col, k).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    partials.count()
+    merged = (partials.where(F.col("tok").isNotNull())
+              .groupBy("tok").agg(F.sum("c").alias("lb")))
     err = (partials.groupBy("pid").agg(F.first("d").alias("d"))
            .agg(F.coalesce(F.sum("d"), F.lit(0)).alias("E")))
     return (

@@ -109,13 +109,18 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     if [c for c in new.columns if c != key] != cols:
         raise ValueError("snapshot schemas differ; diff requires one schema")
     h = F.xxhash64(F.struct(*[F.col(c) for c in cols]))
-    o = old.select(F.col(key).alias("k"), h.alias("h_old"))
-    n = new.select(F.col(key).alias("k_new"), h.alias("h_new"))
+    # presence is detected on MARKER columns, not key nullability: a
+    # legitimately-NULL key never joins, so both snapshots' NULL-key
+    # rows surface — each labeled by which side it came from
+    o = old.select(F.col(key).alias("k"), h.alias("h_old"),
+                   F.lit(True).alias("in_old"))
+    n = new.select(F.col(key).alias("k_new"), h.alias("h_new"),
+                   F.lit(True).alias("in_new"))
     joined = o.join(n, o.k == n.k_new, "full_outer")
     return joined.select(
         F.coalesce("k", "k_new").alias(key),
-        F.when(F.col("k").isNull(), F.lit("added"))
-        .when(F.col("k_new").isNull(), F.lit("removed"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
         .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
         .otherwise(F.lit("unchanged")).alias("change"),
     )

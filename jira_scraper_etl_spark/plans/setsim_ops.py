@@ -116,7 +116,9 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix.count()
     a, b = prefix.alias("a"), prefix.alias("b")
     # required overlap α = ceil(τ/(1+τ)·(|a|+|b|)); τ=1/2 → ceil((…)/3)
-    alpha = F.expr("-((a.sz + b.sz) div -3)")
+    # = (…+2) div 3 for positive ints (Spark div TRUNCATES toward zero,
+    # so the -(x div -3) floor-negation trick does not ceil here)
+    alpha = F.expr("(a.sz + b.sz + 2) div 3")
     # positional filter upper bound: tokens at/after the matching
     # positions are all that can still be common
     ubound = (F.lit(1) + F.least(F.col("a.sz") - F.col("a.idx"),

@@ -308,7 +308,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass builds the exact 64×64 integer Gram matrix of the fixed-point
     embeddings (numpy partial per partition, integer merge — the only
     corpus-sized stage); (2) power iteration runs on the driver over
-    the 64×64 (50 iterations on 32 KiB of state — the classic split:
+    the 64×64 (800 fixed iterations on 32 KiB of state — the classic split:
     data-sized work distributed, model-sized work local, same shape as
     dedup_cluster_canonical's contracted union-find); (3) a map-only
     projection scores every vector against the broadcast component.

@@ -170,6 +170,12 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
         with open(os.path.join(out, "_SUCCESS"), "w") as f:
             json.dump({"batch_id": batch_id,
                        "n_rows": sum(c["n_rows"] for c in counts)}, f)
+        # reap failed/speculative attempts' orphans: commit runs after
+        # every task of the batch finished and before the next batch
+        # starts, so the staging dir is quiescent here (same rule as
+        # the batch writer)
+        shutil.rmtree(os.path.join(self.path, STAGING),
+                      ignore_errors=True)
 
     def abort(self, messages: list[_FileCommit], batch_id: int) -> None:
         shutil.rmtree(os.path.join(self.path, STAGING), ignore_errors=True)

@@ -77,3 +77,22 @@ def test_mg_partial_counters_bounded_per_partition(spark, sf_dir):
     assert per_pid
     for r in per_pid:
         assert r.n <= 8  # the shuffle contract: ≤ k rows per partition
+
+
+def test_mg_error_budget_survives_total_counter_wipe(spark):
+    """Review-found edge: a partition whose FINAL decrement-all wipes
+    every counter must still deliver its decrement total to the merged
+    error budget E (k distinct tokens once each, then one more new
+    token as the last element ⇒ zero surviving counters, d=1)."""
+    toks = spark.createDataFrame(
+        [(t,) for t in ["a", "b", "c", "d", "z"]], "tok string") \
+        .coalesce(1)
+    out = mg_topk(toks, "tok", k=4, topk=10).collect()
+    # all counters died, so no items survive — but E must be 1, which
+    # shows up in ub = lb + E for any surviving item; with none
+    # surviving the output is empty yet the partials carry the budget
+    from jira_scraper_etl_spark.operators.sketches import mg_partials
+    p = mg_partials(toks.coalesce(1), "tok", k=4).collect()
+    assert sum(r.d for r in {r.pid: r for r in p}.values()) == 1
+    assert all(r.tok is None and r.c == 0 for r in p)
+    assert out == []  # nothing survives, and nothing pretends to

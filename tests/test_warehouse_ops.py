@@ -570,7 +570,11 @@ def test_watermark_audit_no_global_single_partition_sort(spark, sf_dir):
     # partition spec; the bucket-prefix window is the only global one
     assert plan.count("Window") >= 2
     wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    global_wins = [w for w in wins if "bkt" not in w]
-    for w in global_wins:
-        # global windows only over the bucket table (ordered by bkt)
-        assert "bkt" in w or "bkt" in plan, w
+    assert wins
+    # EVERY window spec must reference the bucket column — either
+    # partitioned by it (the within-bucket running max) or ordered by
+    # it (the tiny bucket-prefix table); a spec without bkt would be a
+    # global window over the raw event stream, the exact regression
+    # this operator exists to avoid
+    for w in wins:
+        assert "bkt" in w, w
