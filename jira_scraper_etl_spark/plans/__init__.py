@@ -29,70 +29,29 @@ from . import event_time  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- Entries #1-50: the round-4 correctness window. ------------------
-    # Never externally checked after three rounds (the r3 verdict's #1
-    # visibility gap): the custom Python Data Source scan path, the
-    # rows-only jira parity tail, and this round's two new queries.
-    "jira_source_scan", "jira_corpus_stats", "jira_transform_silver",
-    "jira_qa_pairs_udtf", "similarity_ann_ivf",
-    "text_length_percentiles_approx",
-    "join_skewed_peers_1h", "dedup_simhash_pairs",
-    "join_hotkey_isolated_lang", "corpus_shard_shuffle",
-    "text_dedup_lines", "chunk_documents_overlap",
-    "dedup_embedding_cosine_rp",
-    # New this session: cross-sectional analytics + perceptual media
-    # dedup (plans/analysis_ops.py) — never externally checked.
-    "text_tfidf_topk", "pareto_revenue_by_brand", "orders_yoy_growth",
-    "events_debounce_5m", "mm_dedup_phash", "events_zorder_code",
-    "events_type_cooccurrence", "agg_incremental_merge",
-    "agg_hll_mergeable", "sample_weighted_hash",
-    "events_winsorize_p1_p99", "events_winsorize_approx",
-    "events_scd2_history",
-    # New this session, wave 2: warehouse maintenance + exact set-
-    # similarity join (plans/warehouse_ops.py, plans/setsim_ops.py).
-    "dq_profile_orders", "merge_upsert_customer_balance",
-    "events_merge_intervals", "window_rolling_median",
-    "stats_corr_matrix", "dedup_jaccard_prefix", "ngram_count_of_counts",
-    "bpe_learn_merges", "events_trailing_distinct_types",
-    "events_user_journey", "events_anomaly_mad",
-    "dq_referential_integrity", "snapshot_diff_customers",
-    "q3_shipping_priority", "events_volume_cusum",
-    "events_path_mining", "events_markov_eval",
-    "orders_basket_affinity", "embedding_kmeans_exact",
-    "events_watermark_audit",
-    # Fixed or semantically changed this round: the r3 `err` entry
-    # (codes_csv reshape), the bounded per-doc simhash form, and the
-    # auto-derived embedding banding.
-    "embedding_quantize_int8", "dedup_simhash", "dedup_embedding_cosine",
-    # Plan changed this round (conditional fan-out replaced the
-    # unconditional repartition; values identical, but the external
-    # hash should confirm it).
-    "dedup_minhash_lsh",  # entry #50 — last slot inside the window
-    # -- Entries #51+: past the 50-entry window. -------------------------
-    # Displaced by later waves: these share the shingle/corpus-stats
-    # spine (or the CC machinery) with in-window entries.
-    "dedup_span_exact",
-    "dedup_cluster_canonical", "dedup_incremental_novel",
-    "dedup_ngram_jaccard", "text_corpus_freq_score",
-    # Displaced by the wave-2 entries: these share the fan_out seam
-    # (or, for the curate family, the whole pipeline spine) with
-    # in-window entries, and the green-once tail yields to
-    # never-checked ones.
+    # -- Entries #1-50: the round-6 correctness window. ------------------
+    # Rows-only entries the driver has NEVER executed in rounds 1-5 (the
+    # r5 verdict's #1 item): run them at least once so CORRECTNESS_r06
+    # records spark_rows > 0 for each.
+    "events_rolling_distinct_hll", "events_anomaly_mad_approx",
+    "text_heavy_hitters_mg", "embedding_pca_project",
+    # Changed this round: xxhash64-compacted MinHash band keys and the
+    # null-safe snapshot_diff oracle — both need fresh external hashes.
+    "dedup_minhash_lsh", "snapshot_diff_customers",
+    # Stale families last driver-checked in rounds 2-3 (displaced from
+    # the window by the r4 waves): shingle/CC spine first.
+    "dedup_span_exact", "dedup_cluster_canonical",
+    "dedup_incremental_novel", "dedup_ngram_jaccard",
+    "text_corpus_freq_score",
     "text_vocab_topk", "text_char_diversity", "text_repetition_stats",
     "decontaminate_ngram", "decontaminate_hashed",
     "curate_pretrain_corpus", "curate_corpus_v2", "curate_corpus_v3",
     "text_bigram_assoc", "text_char_pair_stats",
-    "similarity_ann_mllsh", "events_session_concurrency",
-    "events_cohort_retention", "join_full_outer_entity_activity",
-    "window_ntile_distribution",
+    "events_session_concurrency", "events_cohort_retention",
+    "join_full_outer_entity_activity", "window_ntile_distribution",
     "window_first_last_orders",
     "events_hourly_gapfill", "events_pivot_type_counts",
     "events_transition_matrix", "similarity_topk_sq8",
-    # r3-green-once entries that lost the slot tiebreak (the five new
-    # analysis_ops entries displaced decontaminate_embedding + the mm_*
-    # block, all r3-green), then everything externally green in two or
-    # more rounds (they can yield their slots; the registry tail keeps
-    # import order).
     "curate_dataset_card", "dedup_containment",
     "curate_multimodal_corpus", "decontaminate_embedding",
     "mm_decode_meta", "mm_byte_stats", "mm_resize_plan",
@@ -101,7 +60,38 @@ _PRIORITY = [
     "text_fingerprint", "text_pii_redact", "text_length_percentiles",
     "split_train_test", "sample_stratified", "pack_sequences",
     "sample_mixture_weights", "embedding_label_centroids",
-    "similarity_topk_bruteforce", "similarity_ann_signlsh",
+    "similarity_topk_bruteforce",
+    "similarity_ann_signlsh",  # entry #50 — last slot inside the window
+    # -- Entries #51+: past the 50-entry window. -------------------------
+    # The r4/r5 window: every entry here was driver-green (hash or
+    # rows-only-by-design) in BOTH rounds 4 and 5, so they yield their
+    # slots to the stale families above.
+    "jira_source_scan", "jira_corpus_stats", "jira_transform_silver",
+    "jira_qa_pairs_udtf", "similarity_ann_ivf",
+    "text_length_percentiles_approx",
+    "join_skewed_peers_1h", "dedup_simhash_pairs",
+    "join_hotkey_isolated_lang", "corpus_shard_shuffle",
+    "text_dedup_lines", "chunk_documents_overlap",
+    "dedup_embedding_cosine_rp",
+    "text_tfidf_topk", "pareto_revenue_by_brand", "orders_yoy_growth",
+    "events_debounce_5m", "mm_dedup_phash", "events_zorder_code",
+    "events_type_cooccurrence", "agg_incremental_merge",
+    "agg_hll_mergeable", "sample_weighted_hash",
+    "events_winsorize_p1_p99", "events_winsorize_approx",
+    "events_scd2_history",
+    "dq_profile_orders", "merge_upsert_customer_balance",
+    "events_merge_intervals", "window_rolling_median",
+    "stats_corr_matrix", "dedup_jaccard_prefix", "ngram_count_of_counts",
+    "bpe_learn_merges", "events_trailing_distinct_types",
+    "events_user_journey", "events_anomaly_mad",
+    "dq_referential_integrity",
+    "q3_shipping_priority", "events_volume_cusum",
+    "events_path_mining", "events_markov_eval",
+    "orders_basket_affinity", "embedding_kmeans_exact",
+    "events_watermark_audit",
+    "embedding_quantize_int8", "dedup_simhash", "dedup_embedding_cosine",
+    # Green in two or more rounds; registry tail keeps import order.
+    "similarity_ann_mllsh",
     "text_language_id", "text_quality_score", "text_token_stats",
     "dedup_embedding_cosine_exact", "dedup_exact",
     "join_skewed_events_by_type",
