@@ -88,26 +88,28 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def band_keys_df(sig: DataFrame, id_col: str = "doc_id",
                  bands: int = N_BANDS, rows: int = BAND_ROWS) -> DataFrame:
-    """(id, band, key): one row per LSH band, key = md5 of the band's
-    signature rows joined with '|' (matches plans/llm_ops.py oracle)."""
+    """(id, key): one row per LSH band; key = xxhash64(band_index,
+    band's signature rows) — an 8-byte long with the band index folded
+    in, so every downstream exchange carries one long instead of the
+    former (band int, 32-char md5 hex) pair. Band keys are engine-local
+    equivalence classes, never output values: the DuckDB oracle in
+    plans/llm_ops.py models the same classes with md5-of-concat, and
+    equal signature tuples produce equal keys under both (the exact
+    Jaccard verify stage makes sub-2⁻⁶⁴ cross-band collisions harmless).
+    This is the hash-compaction that took dedup_jaccard_prefix from
+    464 s to 33.9 s at sf1 (BASELINE.md), applied to the MinHash path."""
     entries = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(
-                "|", *[F.col(f"mh{b * rows + r}").cast("string")
-                       for r in range(rows)])).alias("key"),
-        )
+        F.xxhash64(F.lit(b), *[F.col(f"mh{b * rows + r}") for r in range(rows)])
         for b in range(bands)
     ])
-    return (sig.select(id_col, F.explode(entries).alias("bk"))
-            .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")))
+    return sig.select(id_col, F.explode(entries).alias("key"))
 
 
 def candidate_pairs(banded: DataFrame, id_col: str = "doc_id",
                     max_bucket_size: int = 256,
                     chain_width: int = 2) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any LSH bucket. The join is
-    keyed on (band, key) — bucket-local quadratic only.
+    keyed on the 8-byte band key — bucket-local quadratic only.
 
     Pathological buckets (boilerplate corpora: thousands of docs
     sharing a band key) would make even the bucket-local join O(n²), so
@@ -121,38 +123,37 @@ def candidate_pairs(banded: DataFrame, id_col: str = "doc_id",
     size at sf0.1 is far below the default cap, so both agree at test
     scale).
 
-    Shape: ONE window over (band, key) annotates every row with its
-    bucket size and in-bucket rank (a single exchange, reused by every
-    consumer below — ReusedExchange — so the signature pipeline runs
-    once). Small buckets self-join on (band, key) exactly as before.
-    Big buckets join on (band, key, rank): the probe side explodes each
-    row into its ``chain_width`` successor ranks, so the join *key*
-    bounds the work at O(n·W) — the chain is not a residual filter over
-    an O(n²) probe."""
-    w = Window.partitionBy("band", "key")
+    Shape: ONE window over key annotates every row with its bucket size
+    and in-bucket rank (a single exchange, reused by every consumer
+    below — ReusedExchange — so the signature pipeline runs once).
+    Small buckets self-join on key exactly as before. Big buckets join
+    on (key, rank): the probe side explodes each row into its
+    ``chain_width`` successor ranks, so the join *key* bounds the work
+    at O(n·W) — the chain is not a residual filter over an O(n²)
+    probe."""
+    w = Window.partitionBy("key")
     annotated = banded.select(
-        "band", "key", F.col(id_col),
+        "key", F.col(id_col),
         F.count("*").over(w).alias("bsz"),
         F.row_number().over(w.orderBy(id_col)).alias("rn"),
     )
     small = annotated.where(F.col("bsz") <= max_bucket_size)
     a, b = small.alias("a"), small.alias("b")
     small_pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
+        a.join(b, (F.col("a.key") == F.col("b.key"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
     )
     big = annotated.where(F.col("bsz") > max_bucket_size)
     probe = big.select(
-        "band", "key", F.col(id_col).alias("id_a"),
+        "key", F.col(id_col).alias("id_a"),
         F.explode(F.array(*[(F.col("rn") + j) for j in range(1, chain_width + 1)]))
         .alias("rn_b"),
     )
     big_pairs = (
-        probe.join(big.select("band", "key", F.col(id_col).alias("id_b"),
+        probe.join(big.select("key", F.col(id_col).alias("id_b"),
                               F.col("rn").alias("rn_b")),
-                   ["band", "key", "rn_b"])
+                   ["key", "rn_b"])
         .select("id_a", "id_b")
     )
     return small_pairs.unionByName(big_pairs).dropDuplicates(["id_a", "id_b"])

@@ -182,10 +182,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: word-3-gram shingles → 16-hash MinHash →
     4-band LSH bucket join → exact Jaccard verify ≥ 0.2.
 
-    Scale shape: candidates come from a groupBy on (band, band_key) —
-    shuffle keyed on 16-byte hashes, never all-pairs. Only bucket
-    co-residents are verified. At 100 TB: same plan with xxhash64
-    signatures and a salt on hot buckets (boilerplate-heavy corpora).
+    Scale shape: candidates come from a bucket join keyed on 8-byte
+    xxhash64 band keys (band index folded in), never all-pairs; only
+    bucket co-residents are verified, and hot buckets degrade to a
+    rank-keyed chain (operators/dedup.candidate_pairs). The oracle
+    models the same band-equality classes with md5-of-concat — keys are
+    engine-local, never output values.
     """
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.2)
