@@ -38,7 +38,11 @@ def mg_partials(tokens: DataFrame, col: str = "tok", k: int = 64) -> DataFrame:
     and d is the partition's total decrement count (repeated on each of
     its rows; aggregate with first-per-pid). k counters per partition →
     the downstream shuffle is ≤ k rows/partition, independent of
-    vocabulary size."""
+    vocabulary size.
+
+    NULL tokens are ignored (SQL-aggregate semantics: NULL is the
+    absence of an item, not an item) — a NULL in the output is always
+    the empty-partition error sentinel, never a counted token."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -47,7 +51,10 @@ def mg_partials(tokens: DataFrame, col: str = "tok", k: int = 64) -> DataFrame:
         counters: dict[str, int] = {}
         decrements = 0
         for pdf in batches:
-            for tok in pdf[col]:
+            # dropna: NULL tokens are not items (doc above) — without
+            # this a genuine NULL would become a counter key and then
+            # be silently conflated with the error sentinel downstream
+            for tok in pdf[col].dropna():
                 if tok in counters:
                     counters[tok] += 1
                 elif len(counters) < k:

@@ -276,9 +276,10 @@ def power_iteration(g_rows: list, dim: int, iters: int = 800):
     top eigenvalue/eigenvector. Deterministic: fixed all-ones start,
     FIXED iteration count (no data-dependent early exit), one thread.
     800 iterations covers an eigengap as tight as λ2/λ1 ≈ 0.96 to
-    ~1e-12 relative residual (random-ish embedding corpora measure
-    ≈ 0.93; the test asserts the residual, so a tighter spectrum
-    fails loudly instead of silently returning a mixed vector)."""
+    well under the enforced 1e-6 relative-residual test bound
+    (random-ish embedding corpora measure ≈ 0.93 and land near 1e-12;
+    the test asserts the residual, so a tighter spectrum fails loudly
+    instead of silently returning a mixed vector)."""
     import numpy as np
 
     G = np.zeros((dim, dim), dtype=np.float64)
@@ -317,7 +318,8 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only: an eigensolve has no DuckDB twin. The test pins (a) the
     distributed Gram == numpy's exactly (integer arithmetic), (b) the
-    eigenpair residual ‖Gv − λv‖ ≤ 1e-9·λ, (c) per-row scores vs a
+    eigenpair residual ‖Gv − λv‖ ≤ 1e-6·λ (the enforced test
+    bound; measured corpora land near 1e-12), (c) per-row scores vs a
     full numpy recompute, (d) bit-identical re-runs."""
     from ..functions import vectors as V
 

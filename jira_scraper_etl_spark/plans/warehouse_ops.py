@@ -647,8 +647,9 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
            CASE WHEN o.c_custkey IS NULL THEN 'added'
                 WHEN n.c_custkey IS NULL THEN 'removed'
-                WHEN o.c_name <> n.c_name
-                     OR o.c_acctbal <> n.c_acctbal THEN 'changed'
+                WHEN o.c_name IS DISTINCT FROM n.c_name
+                     OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                     THEN 'changed'
                 ELSE 'unchanged' END AS change
     FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
     """,
@@ -668,7 +669,9 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct per row, so the full-outer diff join ships (key, hash)
     pairs regardless of table width — a wide-dimension diff costs the
     same shuffle as a narrow one (hash equality ⇔ value equality up to
-    2⁻⁶⁴; the oracle compares the raw columns and agrees)."""
+    2⁻⁶⁴; the oracle compares the raw columns with IS DISTINCT FROM so
+    NULL-vs-value counts as changed in both engines — xxhash64 over the
+    struct already treats NULL as a distinct value)."""
     from ..operators.versioned import snapshot_diff
 
     c = load_table(spark, sf_dir, "customer")

@@ -10,8 +10,11 @@ with a single ``open(path, "w")`` + ``json.dump`` per file
 unparseable file, and a re-run double-writes. This sink implements the
 two-phase commit a distributed writer needs:
 
-- each TASK writes to a private ``_tmp-<uuid>.jsonl`` inside a staging
-  dir and returns a :class:`WriterCommitMessage` naming it;
+- each TASK writes to a private ``_tmp-<uuid>.jsonl`` inside a
+  commit-scoped staging dir (``_staging-<commit_uid>`` — two concurrent
+  jobs writing the same path stage disjointly, so neither commit/abort
+  can delete the other's staged files) and returns a
+  :class:`WriterCommitMessage` naming it;
 - the DRIVER's ``commit()`` renames every staged file to its final
   ``part-NNNNN.jsonl`` name and writes a ``_SUCCESS`` manifest with
   row counts — readers either see the complete directory or none of
@@ -94,10 +97,12 @@ class JsonlCommitWriter(DataSourceWriter):
         # test hook: fail the Nth partition's first staged attempt to
         # exercise abort() — see tests/test_jsonl_sink.py
         self.fail_partition = int(options.get("simulate_fail_partition", -1))
-        self.staging = os.path.join(self.path, STAGING)
-        # commit-scoped uid in final file names: append mode never
-        # collides with a previous commit's part files
+        # commit-scoped uid: in final file names (append mode never
+        # collides with a previous commit's parts) AND in the staging
+        # dir name, so concurrent writers to one path never rmtree each
+        # other's staged files on commit/abort
         self.commit_uid = uuid.uuid4().hex[:8]
+        self.staging = os.path.join(self.path, f"{STAGING}-{self.commit_uid}")
 
     def write(self, iterator: Iterator) -> _FileCommit:
         from pyspark import TaskContext
@@ -116,7 +121,10 @@ class JsonlCommitWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         if self.overwrite:
             for name in os.listdir(self.path):
-                if name != STAGING:
+                # keep every in-flight staging dir (ours and any
+                # concurrent writer's) — overwrite clears published
+                # output only
+                if not name.startswith(STAGING):
                     target = os.path.join(self.path, name)
                     (shutil.rmtree if os.path.isdir(target)
                      else os.remove)(target)
@@ -144,17 +152,33 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
     ``streaming/pipeline.py::run_streaming_silver`` implements by hand
     (``batch_id=N`` dirs), expressed through the DataSourceStreamWriter
     protocol: a replayed batch id re-publishes the SAME directory, so
-    downstream readers never see duplicates."""
+    downstream readers never see duplicates.
+
+    A query killed between stage and publish may leave its
+    ``_staging-<uid>`` dir behind; the orphan is inert (underscore
+    prefix: ignored by Spark readers and by the replayed batch, which
+    stages under the restarted query's own uid) and never double-counts
+    rows — exactly-once comes from the batch_id dirs, not from staging
+    hygiene."""
 
     def __init__(self, options: dict, schema: StructType):
-        self.path = options.get("path") or options.get("checkpointLocation")
+        # the data path must be EXPLICIT: silently falling back to
+        # checkpointLocation would interleave batch_id=N data dirs with
+        # Spark's offset/commit state under one directory
+        self.path = options.get("path")
         if not self.path:
-            raise ValueError("jsonl_commit stream sink requires a path")
+            raise ValueError(
+                "jsonl_commit stream sink requires an explicit "
+                ".option('path', ...) — it will not write data into "
+                "the checkpointLocation")
         self.fields = [f.name for f in schema.fields]
+        # query-scoped staging dir (same rationale as the batch writer:
+        # two stream queries on one output path must stage disjointly)
+        self.staging = os.path.join(
+            self.path, f"{STAGING}-{uuid.uuid4().hex[:8]}")
 
     def write(self, iterator: Iterator) -> _FileCommit:
-        return _write_partition(os.path.join(self.path, STAGING),
-                                self.fields, iterator)
+        return _write_partition(self.staging, self.fields, iterator)
 
     def commit(self, messages: list[_FileCommit], batch_id: int) -> None:
         out = os.path.join(self.path, f"batch_id={batch_id}")
@@ -172,13 +196,12 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
                        "n_rows": sum(c["n_rows"] for c in counts)}, f)
         # reap failed/speculative attempts' orphans: commit runs after
         # every task of the batch finished and before the next batch
-        # starts, so the staging dir is quiescent here (same rule as
-        # the batch writer)
-        shutil.rmtree(os.path.join(self.path, STAGING),
-                      ignore_errors=True)
+        # starts, so this query's staging dir is quiescent here (same
+        # rule as the batch writer)
+        shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages: list[_FileCommit], batch_id: int) -> None:
-        shutil.rmtree(os.path.join(self.path, STAGING), ignore_errors=True)
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class JsonlCommitDataSource(DataSource):

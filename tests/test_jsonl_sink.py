@@ -56,8 +56,9 @@ def test_batch_write_round_trips_with_manifest(sink_spark, sf_dir, tmp_path):
     probe = want[next(iter(want))]
     assert got[probe.o_orderkey]["o_orderdate"] == \
         probe.o_orderdate.isoformat(sep=" ", timespec="microseconds")
-    # no staging or temp residue after commit
-    assert not os.path.isdir(os.path.join(out, "_staging"))
+    # no staging or temp residue after commit (staging dirs are
+    # commit-scoped: _staging-<uid>)
+    assert not [n for n in os.listdir(out) if n.startswith("_staging")]
 
 
 def test_failed_job_publishes_nothing(sink_spark, sf_dir, tmp_path):
@@ -73,7 +74,7 @@ def test_failed_job_publishes_nothing(sink_spark, sf_dir, tmp_path):
     if os.path.isdir(out):
         assert not [n for n in os.listdir(out)
                     if n.startswith("part-") or n == "_SUCCESS"]
-        assert not os.path.isdir(os.path.join(out, "_staging"))
+        assert not [n for n in os.listdir(out) if n.startswith("_staging")]
 
 
 def test_overwrite_replaces_and_append_accumulates(sink_spark, sf_dir, tmp_path):
@@ -86,6 +87,46 @@ def test_overwrite_replaces_and_append_accumulates(sink_spark, sf_dir, tmp_path)
     assert len(_read_dir(out)) == n  # overwrite is idempotent
     df.coalesce(1).write.format("jsonl_commit").mode("append").save(out)
     assert len(_read_dir(out)) == 2 * n  # append-commit uids never collide
+
+
+def test_concurrent_writers_stage_disjointly(tmp_path):
+    """Two writers on one output path must not delete each other's
+    staged files: staging dirs are commit-scoped (_staging-<uid>), and
+    overwrite-commit preserves every in-flight staging dir."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from jira_scraper_etl_spark.sources.jsonl_sink import JsonlCommitWriter
+
+    schema = StructType([StructField("x", LongType())])
+    out = str(tmp_path / "shared")
+    a = JsonlCommitWriter({"path": out}, schema, overwrite=False)
+    b = JsonlCommitWriter({"path": out}, schema, overwrite=True)
+    assert a.staging != b.staging
+    # a stages a task's file; b runs a full write+commit meanwhile
+    staged_a = a.write(iter([(1,), (2,)]))
+    msg_b = b.write(iter([(10,)]))
+    b.commit([msg_b])
+    # b's overwrite commit must not have touched a's staging
+    assert os.path.exists(staged_a.staged)
+    a.commit([staged_a])  # append commit: b's published parts survive
+    # both commits published; each sees its own rows under its uid
+    rows = {r["x"] for r in _read_dir(out)}
+    assert rows == {1, 2, 10}
+    assert not [n for n in os.listdir(out) if n.startswith("_staging")]
+
+
+def test_stream_writer_requires_explicit_path(tmp_path):
+    """The stream sink must not silently write data into the
+    checkpointLocation when no path is given."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from jira_scraper_etl_spark.sources.jsonl_sink import (
+        JsonlCommitStreamWriter)
+
+    schema = StructType([StructField("x", LongType())])
+    with pytest.raises(ValueError, match="explicit"):
+        JsonlCommitStreamWriter(
+            {"checkpointLocation": str(tmp_path / "ck")}, schema)
 
 
 def test_stream_writer_batches_are_idempotent_dirs(sink_spark, sf_dir, tmp_path):

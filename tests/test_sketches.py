@@ -79,6 +79,23 @@ def test_mg_partial_counters_bounded_per_partition(spark, sf_dir):
         assert r.n <= 8  # the shuffle contract: ≤ k rows per partition
 
 
+def test_mg_null_tokens_ignored_not_counted(spark):
+    """Review-found edge: a genuine NULL token must not become a
+    counter key (it would be conflated with the empty-partition error
+    sentinel and dropped from the merged counts, silently undercounting
+    nothing while violating the ≤k-counter accounting). NULLs are
+    ignored — SQL-aggregate semantics — and the non-null counts stay
+    exact when the vocabulary fits the budget."""
+    toks = spark.createDataFrame(
+        [("a",), (None,), ("b",), ("a",), (None,), ("c",)],
+        "tok string").coalesce(1)
+    out = {r.tok: (r.lb, r.ub) for r in
+           mg_topk(toks, "tok", k=8, topk=10).collect()}
+    assert out == {"a": (2, 2), "b": (1, 1), "c": (1, 1)}
+    p = mg_partials(toks.coalesce(1), "tok", k=8).collect()
+    assert all(r.tok is not None for r in p)  # no NULL counter rows
+
+
 def test_mg_error_budget_survives_total_counter_wipe(spark):
     """Review-found edge: a partition whose FINAL decrement-all wipes
     every counter must still deliver its decrement total to the merged

@@ -67,7 +67,7 @@ def test_quantized_math_matches_numpy(spark):
 
 def test_pca_gram_exact_and_eigenpair_converged(spark, sf_dir):
     """(a) the distributed integer Gram equals numpy's exactly;
-    (b) the power-iteration eigenpair satisfies ‖Gv − λv‖ ≤ 1e-9·λ;
+    (b) the power-iteration eigenpair satisfies ‖Gv − λv‖ ≤ 1e-6·λ;
     (c) per-row projections match a numpy recompute; (d) re-running is
     bit-identical (everything is integer arithmetic + a deterministic
     driver solve + a fixed-order fold)."""

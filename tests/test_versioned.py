@@ -98,6 +98,21 @@ def test_snapshot_diff_over_committed_versions(spark, table):
     assert set(got) == keys
 
 
+def test_snapshot_diff_null_vs_value_is_changed(spark):
+    """NULL-vs-value in a non-key column must label the key 'changed'
+    (xxhash64 over the struct treats NULL as a distinct value; the
+    registered oracle matches via IS DISTINCT FROM — the review-found
+    trap was `<>`, which calls NULL-vs-value not-different)."""
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None), (4, "d")], "k long, v string")
+    got = {r.k: r.change
+           for r in V.snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "changed", 2: "changed",
+                   3: "unchanged", 4: "unchanged"}
+
+
 def test_snapshot_diff_rejects_schema_drift(spark, table):
     d, base = table
     with pytest.raises(ValueError):
