@@ -43,6 +43,13 @@ HEADLINE = [
     "mm_dedup_phash",
     "dedup_jaccard_prefix",
     "bpe_learn_merges",
+    # round-4 flagships (warehouse maintenance, stateful journey,
+    # iterative clustering, robust outlier stats) — benched from
+    # round 6 so their families carry trend lines
+    "events_user_journey",
+    "dq_profile_orders",
+    "embedding_kmeans_exact",
+    "events_anomaly_mad",
 ]
 
 

@@ -1,0 +1,68 @@
+"""The plan audit's violation rules must actually fire — a waiver list
+that silently allows everything is worse than none. Synthetic cases
+drive tools/plan_audit.py's detection (cartesian plans, budget
+overruns, stale waivers, row-Python) without a full registry sweep."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+import plan_audit as PA  # noqa: E402
+from jira_scraper_etl_spark import plans  # noqa: E402
+
+
+def test_audit_one_detects_cartesian(spark):
+    """A deliberately-cartesian plan must show nested_loop >= 1 in the
+    extracted features — the detector the waiver budgets gate."""
+    a = spark.range(10).withColumnRenamed("id", "x")
+    b = spark.range(10).withColumnRenamed("id", "y")
+    feats = PA.audit_one(spark, "synthetic", lambda s, d: a.crossJoin(b),
+                         "/root/testdata/sf0.001")
+    assert feats["nested_loop"] >= 1
+
+
+def test_unwaived_nested_loop_is_a_violation():
+    feats = {"nested_loop": 1, "py_eval": 0}
+    flags, violations = PA.check_features("not_on_any_list", feats)
+    assert "UNEXPECTED-NESTED-LOOP" in flags
+    assert violations and "no waiver" in violations[0]
+
+
+def test_waived_query_cannot_exceed_its_budget():
+    """The hole the flat allowlist had: a query waived for its 1-row
+    calibration join must still flag when a SECOND nested loop
+    appears."""
+    name = "embedding_quantize_int8"  # tiny-build, budget 1
+    tag, budget = PA.ALLOWED_NESTED_LOOP[name]
+    assert tag == "tiny-build" and budget == 1
+    ok_flags, ok_viol = PA.check_features(name, {"nested_loop": 1,
+                                                 "py_eval": 0})
+    assert not ok_flags and not ok_viol
+    bad_flags, bad_viol = PA.check_features(name, {"nested_loop": 2,
+                                                   "py_eval": 0})
+    assert "UNEXPECTED-NESTED-LOOP" in bad_flags
+    assert "exceeds waiver budget 1" in bad_viol[0]
+    assert "tiny-build" in bad_viol[0]
+
+
+def test_row_python_outside_allowlist_is_a_violation():
+    flags, violations = PA.check_features("some_query",
+                                          {"nested_loop": 0, "py_eval": 1})
+    assert "ROW-PYTHON-UDF" in flags and violations
+    flags, violations = PA.check_features("jira_qa_pairs_udtf",
+                                          {"nested_loop": 0, "py_eval": 1})
+    assert not flags and not violations
+
+
+def test_every_waiver_names_a_live_registry_entry():
+    """Stale-waiver rule, asserted directly against today's registry:
+    every allowlisted name must exist and carry a known tag."""
+    for name, (tag, budget) in PA.ALLOWED_NESTED_LOOP.items():
+        assert name in plans.QUERIES, f"stale waiver: {name}"
+        assert tag in ("gated", "tiny-build"), (name, tag)
+        assert budget >= 1, (name, budget)
+    for name in PA.ALLOWED_ROW_PYTHON:
+        assert name in plans.QUERIES, f"stale row-python waiver: {name}"

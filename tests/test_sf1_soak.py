@@ -1,5 +1,9 @@
-"""sf1 (10×-bench-scale) soak checks — run only when the scaled dataset
-exists (``python tools/make_sf.py 10 .scratch/sf1``).
+"""Scaled-dataset soak checks — run only when the scaled dataset
+exists (``python tools/make_sf.py 10 .scratch/sf1``). The target dir is
+``$SPARK_GRAFT_SOAK_DIR`` (default ``.scratch/sf1``), so the same
+invariant suite drives any scale decade: the invariants are
+scale-independent (``python tools/make_sf.py 100 .scratch/sf10; \
+SPARK_GRAFT_SOAK_DIR=.scratch/sf10 pytest tests/test_sf1_soak.py``).
 
 Two queries' DuckDB oracles are computationally impractical at sf1 —
 dedup_cluster_canonical's recursive-CTE transitive closure and
@@ -19,10 +23,13 @@ import pytest
 
 from jira_scraper_etl_spark import plans
 
-SF1 = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch", "sf1")
+SF1 = os.environ.get(
+    "SPARK_GRAFT_SOAK_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                 ".scratch", "sf1"))
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(SF1), reason="sf1 scaled dataset not generated")
+    not os.path.isdir(SF1), reason="scaled soak dataset not generated")
 
 
 def test_cluster_canonical_invariants_sf1(spark):

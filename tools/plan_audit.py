@@ -19,32 +19,43 @@ sys.path.insert(0, "/root/repo")
 from jira_scraper_etl_spark import plans  # noqa: E402
 from jira_scraper_etl_spark.session import get_spark  # noqa: E402
 
-# Deliberately-quadratic ground-truth twins and 1-row broadcast
-# calibration joins: the only entries allowed nested-loop/cartesian
-# plan nodes (each is gated or O(1) on one side; see their docstrings).
+# The only entries allowed nested-loop/cartesian plan nodes, each with
+# an explicit justification TAG and a BUDGET (max such nodes in the
+# plan at the default sf0.001 audit dir):
+#
+#   "gated"      — deliberately-quadratic ground-truth twin; the
+#                  quadratic form IS the operator's contract and its
+#                  docstring gates it to bounded slices / verify use.
+#   "tiny-build" — every nested-loop in the plan has a ≤1-row (or
+#                  bounded-constant, e.g. a bands/centroids dim) build
+#                  side: calibration rows, error budgets, model
+#                  broadcasts. O(n·1), not O(n²).
+#
+# The budget closes the waiver hole the flat allowlist had: a query
+# waived for its 1-row calibration join can no longer silently grow a
+# SECOND, unjustified nested loop — the audit flags anything beyond
+# the recorded count. Stale waivers (name gone from the registry, or
+# budget no longer consumed) are reported too, so the list cannot
+# accrete.
 ALLOWED_NESTED_LOOP = {
-    "dedup_ngram_jaccard", "dedup_embedding_cosine_exact",
-    "dedup_pairs_edit_distance", "dedup_containment",
-    "similarity_topk_bruteforce", "similarity_ann_signlsh",
-    "similarity_ann_mllsh", "similarity_ann_ivf", "similarity_topk_sq8",
-    "embedding_quantize_int8", "embedding_label_centroids",
-    "dedup_embedding_cosine", "dedup_embedding_cosine_rp",
-    "decontaminate_embedding", "events_zorder_code", "dedup_simhash_pairs",
-    "text_tfidf_topk", "text_corpus_freq_score", "curate_dataset_card",
-    "merge_upsert_customer_balance", "stats_corr_matrix",
-    "dq_profile_orders", "dq_referential_integrity",
-    "orders_basket_affinity", "embedding_kmeans_exact",
-    "embedding_pca_project", "curate_corpus_v2", "curate_corpus_v3",
-    "curate_pretrain_corpus", "curate_multimodal_corpus",
-    "sample_mixture_weights", "text_length_percentiles",
-    "text_length_percentiles_approx", "text_vocab_topk",
-    "text_bigram_assoc", "text_char_pair_stats", "jira_corpus_stats",
-    "ngram_count_of_counts", "bpe_learn_merges", "events_markov_eval",
-    # 1-row error-budget broadcast (Misra-Gries E join)
-    "text_heavy_hitters_mg",
-    # non-equi banded range join against a tiny bands dim: the nested
-    # loop IS the right physical strategy (broadcast the bands side)
-    "join_range_price_bands",
+    # gated ground-truth twins (quadratic by design)
+    "dedup_ngram_jaccard": ("gated", 1),
+    "dedup_embedding_cosine_exact": ("gated", 1),
+    "dedup_containment": ("gated", 1),
+    "similarity_topk_bruteforce": ("gated", 1),
+    "similarity_topk_sq8": ("gated", 3),  # + 1-row calibration joins
+    # tiny-build calibration / model / dim broadcasts
+    "decontaminate_embedding": ("tiny-build", 1),  # benchmark side
+    "embedding_quantize_int8": ("tiny-build", 1),  # 1-row calibration
+    "events_zorder_code": ("tiny-build", 1),       # 1-row bounds
+    "join_range_price_bands": ("tiny-build", 1),   # bands dim
+    "orders_basket_affinity": ("tiny-build", 1),   # 1-row totals
+    "sample_mixture_weights": ("tiny-build", 1),   # weights row
+    "similarity_ann_ivf": ("tiny-build", 1),       # centroid dim
+    "text_bigram_assoc": ("tiny-build", 1),        # 1-row totals
+    "text_heavy_hitters_mg": ("tiny-build", 1),    # 1-row E budget
+    "text_tfidf_topk": ("tiny-build", 1),          # 1-row doc count
+    "dq_referential_integrity": ("tiny-build", 4),  # 4× 1-row n_child
 }
 
 # The UDTF differential twin exists precisely to exercise the Python
@@ -70,6 +81,23 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
     return feats
 
 
+def check_features(name: str, f: dict) -> tuple[list[str], list[str]]:
+    """Pure violation rules over one query's plan features — factored
+    out so the synthetic-violation test can drive them directly."""
+    flags, violations = [], []
+    tag, budget = ALLOWED_NESTED_LOOP.get(name, (None, 0))
+    if f["nested_loop"] > budget:
+        flags.append("UNEXPECTED-NESTED-LOOP")
+        violations.append(
+            f"{name}: nested-loop/cartesian count {f['nested_loop']} "
+            f"exceeds waiver budget {budget}"
+            + (f" (tag: {tag})" if tag else " (no waiver)"))
+    if f["py_eval"] and name not in ALLOWED_ROW_PYTHON:
+        flags.append("ROW-PYTHON-UDF")
+        violations.append(f"{name}: row-at-a-time Python UDF in plan")
+    return flags, violations
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "PLANS.md"
@@ -77,6 +105,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     rows, violations = [], []
+    stale = [n for n in ALLOWED_NESTED_LOOP if n not in plans.QUERIES]
+    for n in stale:
+        violations.append(f"{n}: stale nested-loop waiver (not in registry)")
     for name, q in plans.QUERIES.items():
         try:
             f = audit_one(spark, name, q.fn, sf_dir)
@@ -84,13 +115,8 @@ def main() -> int:
             rows.append((name, None, f"ERROR {str(ex)[:80]}"))
             violations.append(f"{name}: plan build failed: {str(ex)[:120]}")
             continue
-        flags = []
-        if f["nested_loop"] and name not in ALLOWED_NESTED_LOOP:
-            flags.append("UNEXPECTED-NESTED-LOOP")
-            violations.append(f"{name}: unexpected nested-loop/cartesian")
-        if f["py_eval"] and name not in ALLOWED_ROW_PYTHON:
-            flags.append("ROW-PYTHON-UDF")
-            violations.append(f"{name}: row-at-a-time Python UDF in plan")
+        flags, violations_for_name = check_features(name, f)
+        violations.extend(violations_for_name)
         rows.append((name, f, " ".join(flags)))
 
     with open(out_md, "w") as fh:
@@ -112,8 +138,15 @@ def main() -> int:
                 f"| {name} | {f['exchanges']} | {f['sorts']} | {f['bhj']} "
                 f"| {f['smj']} | {f['nested_loop']} | {f['scans']} "
                 f"| {f['arrow_py']} | {flags} |\n")
+        unused = sorted(
+            name for name, f, _ in rows
+            if f is not None and name in ALLOWED_NESTED_LOOP
+            and f["nested_loop"] == 0)
         fh.write(f"\n{len(rows)} queries audited; "
                  f"{len(violations)} violations.\n")
+        if unused:
+            fh.write("\nUnconsumed nested-loop waivers (candidates for "
+                     f"removal): {', '.join(unused)}\n")
         if violations:
             fh.write("\n## Violations\n\n")
             for v in violations:
