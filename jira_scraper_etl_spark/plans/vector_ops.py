@@ -276,7 +276,7 @@ def power_iteration(g_rows: list, dim: int, iters: int = 800):
     top eigenvalue/eigenvector. Deterministic: fixed all-ones start,
     FIXED iteration count (no data-dependent early exit), one thread.
     800 iterations covers an eigengap as tight as λ2/λ1 ≈ 0.96 to
-    well under the enforced 1e-6 relative-residual test bound
+    well under the enforced 1e-8 relative-residual test bound
     (random-ish embedding corpora measure ≈ 0.93 and land near 1e-12;
     the test asserts the residual, so a tighter spectrum fails loudly
     instead of silently returning a mixed vector)."""
@@ -318,7 +318,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only: an eigensolve has no DuckDB twin. The test pins (a) the
     distributed Gram == numpy's exactly (integer arithmetic), (b) the
-    eigenpair residual ‖Gv − λv‖ ≤ 1e-6·λ (the enforced test
+    eigenpair residual ‖Gv − λv‖ ≤ 1e-8·λ (the enforced test
     bound; measured corpora land near 1e-12), (c) per-row scores vs a
     full numpy recompute, (d) bit-identical re-runs."""
     from ..functions import vectors as V

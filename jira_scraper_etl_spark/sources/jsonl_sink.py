@@ -36,6 +36,7 @@ import datetime as dt
 import json
 import os
 import shutil
+import time as _time
 import uuid
 from dataclasses import dataclass
 from typing import Any, Iterator
@@ -49,6 +50,10 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 STAGING = "_staging"
+# overwrite commits reap _staging-* dirs untouched for this long —
+# orphans from crashed jobs, never a live writer (which mutates its
+# staging dir continuously until publish)
+STAGING_TTL_SEC = 24 * 3600
 
 
 def _json_default(v: Any):
@@ -121,13 +126,30 @@ class JsonlCommitWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         if self.overwrite:
             for name in os.listdir(self.path):
-                # keep every in-flight staging dir (ours and any
-                # concurrent writer's) — overwrite clears published
-                # output only
-                if not name.startswith(STAGING):
-                    target = os.path.join(self.path, name)
+                target = os.path.join(self.path, name)
+                if name.startswith(STAGING):
+                    # keep in-flight staging dirs (ours and any
+                    # concurrent writer's), but reap orphans left by
+                    # crashed drivers: a live commit stages and
+                    # publishes within seconds, so anything untouched
+                    # for STAGING_TTL_SEC is dead weight
+                    if target == self.staging:
+                        continue
+                    try:
+                        age = _time.time() - os.path.getmtime(target)
+                    except OSError:
+                        continue
+                    if age > STAGING_TTL_SEC:
+                        shutil.rmtree(target, ignore_errors=True)
+                    continue
+                # two concurrent overwrite commits can race on the same
+                # published entry — losing the delete is fine, the
+                # entry is gone either way
+                try:
                     (shutil.rmtree if os.path.isdir(target)
                      else os.remove)(target)
+                except FileNotFoundError:
+                    pass
         counts = []
         for i, m in enumerate(sorted(messages, key=lambda m: m.staged)):
             final = os.path.join(

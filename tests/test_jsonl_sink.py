@@ -115,6 +115,53 @@ def test_concurrent_writers_stage_disjointly(tmp_path):
     assert not [n for n in os.listdir(out) if n.startswith("_staging")]
 
 
+def test_overwrite_reaps_orphaned_staging_dirs(tmp_path):
+    """Overwrite commit deletes _staging-* dirs untouched for longer
+    than STAGING_TTL_SEC (crashed jobs), keeps fresh ones (live
+    concurrent writers), and survives losing a published-entry delete
+    race to a concurrent overwrite."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from jira_scraper_etl_spark.sources import jsonl_sink
+    from jira_scraper_etl_spark.sources.jsonl_sink import JsonlCommitWriter
+
+    schema = StructType([StructField("x", LongType())])
+    out = tmp_path / "shared"
+    out.mkdir()
+    # an orphan from a crashed job, last touched 2×TTL ago
+    dead = out / "_staging-deadbeef"
+    dead.mkdir()
+    (dead / "_tmp-x.jsonl").write_text('{"x": 1}\n')
+    old = __import__("time").time() - 2 * jsonl_sink.STAGING_TTL_SEC
+    os.utime(dead, (old, old))
+    # a fresh staging dir from a live concurrent writer
+    live = out / "_staging-cafecafe"
+    live.mkdir()
+    # a published entry that a concurrent overwrite deletes first
+    raced = out / "part-gone-00000.jsonl"
+    raced.write_text('{"x": 0}\n')
+
+    w = JsonlCommitWriter({"path": str(out)}, schema, overwrite=True)
+    real_remove = os.remove
+
+    def racing_remove(p):
+        if os.path.basename(p).startswith("part-gone"):
+            real_remove(p)  # the concurrent writer wins the race...
+        real_remove(p)  # ...and ours raises FileNotFoundError
+
+    msg = w.write(iter([(7,)]))
+    try:
+        os.remove = racing_remove
+        w.commit([msg])
+    finally:
+        os.remove = real_remove
+    assert not dead.exists()  # orphan reaped
+    assert live.exists()  # live writer untouched
+    assert not raced.exists()
+    assert {r["x"] for r in _read_dir(str(out))} == {7}
+    assert os.path.exists(out / "_SUCCESS")  # commit completed
+
+
 def test_stream_writer_requires_explicit_path(tmp_path):
     """The stream sink must not silently write data into the
     checkpointLocation when no path is given."""

@@ -67,7 +67,7 @@ def test_quantized_math_matches_numpy(spark):
 
 def test_pca_gram_exact_and_eigenpair_converged(spark, sf_dir):
     """(a) the distributed integer Gram equals numpy's exactly;
-    (b) the power-iteration eigenpair satisfies ‖Gv − λv‖ ≤ 1e-6·λ;
+    (b) the power-iteration eigenpair satisfies ‖Gv − λv‖ ≤ 1e-8·λ;
     (c) per-row projections match a numpy recompute; (d) re-running is
     bit-identical (everything is integer arithmetic + a deterministic
     driver solve + a fixed-order fold)."""
@@ -92,7 +92,11 @@ def test_pca_gram_exact_and_eigenpair_converged(spark, sf_dir):
 
     lam, v = power_iteration([r.asDict() for r in got_rows], qm.shape[1])
     resid = np.linalg.norm(want_g @ v - lam * v)
-    assert resid <= 1e-6 * lam
+    # measured residual on the shipped corpora is ~1e-12·λ; 1e-8 leaves
+    # headroom for eigengap variation without letting a real
+    # power-iteration regression (e.g. a dropped iteration → ~1e-7)
+    # slip through
+    assert resid <= 1e-8 * lam
     assert lam > 0 and abs(np.linalg.norm(v) - 1) < 1e-12
 
     out = {r.vec_id: r.pc1_score for r in

@@ -108,6 +108,10 @@ def main() -> int:
     stale = [n for n in ALLOWED_NESTED_LOOP if n not in plans.QUERIES]
     for n in stale:
         violations.append(f"{n}: stale nested-loop waiver (not in registry)")
+    for n in ALLOWED_ROW_PYTHON:
+        if n not in plans.QUERIES:
+            violations.append(
+                f"{n}: stale row-Python waiver (not in registry)")
     for name, q in plans.QUERIES.items():
         try:
             f = audit_one(spark, name, q.fn, sf_dir)
