@@ -409,18 +409,37 @@ def _km_oracle() -> str:
 
 
 def _km_assign(q_df: DataFrame, cents: list) -> DataFrame:
-    structs = []
-    for cid, c in enumerate(cents):
-        clit = F.array(*[F.lit(int(x)) for x in c])
-        d2 = F.aggregate(
-            F.zip_with("q", clit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-        structs.append(F.struct(d2.alias("d2"),
-                                F.lit(cid).cast("int").alias("cid")))
-    # array_min over (d2, cid) structs = argmin with ties to low cid
-    best = F.array_min(F.array(*structs))
-    return q_df.withColumn("cluster", best["cid"]) \
-               .withColumn("d2", best["d2"])
+    """Assignment under a k×dim centroid model, shaped for plan reuse
+    AND cheap plan construction:
+
+    - The model enters as one SQL array-of-arrays literal inside a
+      single ``F.expr`` string. Constant folding collapses it to ONE
+      complex-typed Literal that codegen stores in its references
+      array — NOT k×dim inlined source constants — so every Lloyd
+      iteration generates the IDENTICAL codegen source (only the
+      referenced ArrayData changes) and Spark's codegen cache compiles
+      once for all iterations. The original per-cluster unrolling
+      inlined 512 fresh literals per iteration, forcing a multi-second
+      recompile per iteration at ANY data size.
+    - One ``F.expr`` string is ONE py4j round-trip parsed JVM-side;
+      building the same tree with F.transform/F.aggregate Python
+      lambdas plus ``F.lit(nested_list)`` costs ~0.4s of per-element
+      py4j conversion PER ITERATION (measured), pure driver overhead.
+
+    The argmin is array_min over (d2, cid) structs = ties to the
+    lowest cluster id."""
+    arr = "array(" + ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+        for c in cents) + ")"
+    best = F.expr(
+        f"array_min(zip_with("
+        f"transform({arr}, c -> aggregate(zip_with(q, c, "
+        f"(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)), "
+        f"sequence(0, {len(cents) - 1}), "
+        f"(d, i) -> named_struct('d2', d, 'cid', cast(i as int))))")
+    return (q_df.withColumn("b", best)
+            .withColumn("cluster", F.col("b.cid"))
+            .withColumn("d2", F.col("b.d2")).drop("b"))
 
 
 @register("embedding_kmeans_exact", oracle=_km_oracle(),
@@ -436,9 +455,10 @@ def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine. Deterministic seeding: the first k vectors are the
     initial centroids.
 
-    Scale shape per iteration: assignment is map-only against k×dim
-    broadcast literals (8 fused distance expressions inside codegen —
-    no crossJoin row blowup); the update is ONE map-side-combined
+    Scale shape per iteration: assignment is map-only against a k×dim
+    model literal (one referenced ArrayData — no crossJoin row blowup,
+    and an iteration-invariant plan so codegen compiles once, see
+    _km_assign); the update is ONE map-side-combined
     aggregation to k×(dim+1) longs; the k×64-int model state lives on
     the driver between iterations (the dedup_cluster_canonical /
     bpe_learn_merges bounded-driver-state pattern). The oracle replays
@@ -449,21 +469,24 @@ def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
          .persist())
-    q.count()
+    # the seed collect scans (and therefore fills) the whole cache —
+    # no separate count() job needed
     init = {r.vec_id: list(r.q)
             for r in q.where(F.col("vec_id") < KM_K).collect()}
     cents = [init[i] for i in range(KM_K)]
+    # iteration-invariant Columns built once: 65 agg expressions are
+    # ~200 py4j round-trips, driver overhead worth hoisting
+    agg_cols = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+        for i in range(KM_DIM)]
 
     def trunc_div(s: int, n: int) -> int:
         return abs(s) // n * (1 if s >= 0 else -1)
 
     for _ in range(KM_ITERS):
         a = _km_assign(q, cents)
-        sums = a.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
-              for i in range(KM_DIM)])
-        rows = {r.cluster: r for r in sums.collect()}
+        rows = {r.cluster: r
+                for r in a.groupBy("cluster").agg(*agg_cols).collect()}
         cents = [
             [trunc_div(int(rows[cid][f"s{i}"]), int(rows[cid].n))
              for i in range(KM_DIM)] if cid in rows else cents[cid]
