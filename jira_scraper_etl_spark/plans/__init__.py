@@ -29,43 +29,16 @@ from . import event_time  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- Entries #1-50: the round-6 correctness window. ------------------
-    # Rows-only entries the driver has NEVER executed in rounds 1-5 (the
-    # r5 verdict's #1 item): run them at least once so CORRECTNESS_r06
-    # records spark_rows > 0 for each.
-    "events_rolling_distinct_hll", "events_anomaly_mad_approx",
-    "text_heavy_hitters_mg", "embedding_pca_project",
-    # Changed this round: xxhash64-compacted MinHash band keys and the
-    # null-safe snapshot_diff oracle — both need fresh external hashes.
-    "dedup_minhash_lsh", "snapshot_diff_customers",
-    # Stale families last driver-checked in rounds 2-3 (displaced from
-    # the window by the r4 waves): shingle/CC spine first.
-    "dedup_span_exact", "dedup_cluster_canonical",
-    "dedup_incremental_novel", "dedup_ngram_jaccard",
-    "text_corpus_freq_score",
-    "text_vocab_topk", "text_char_diversity", "text_repetition_stats",
-    "decontaminate_ngram", "decontaminate_hashed",
-    "curate_pretrain_corpus", "curate_corpus_v2", "curate_corpus_v3",
-    "text_bigram_assoc", "text_char_pair_stats",
-    "events_session_concurrency", "events_cohort_retention",
-    "join_full_outer_entity_activity", "window_ntile_distribution",
-    "window_first_last_orders",
-    "events_hourly_gapfill", "events_pivot_type_counts",
-    "events_transition_matrix", "similarity_topk_sq8",
-    "curate_dataset_card", "dedup_containment",
-    "curate_multimodal_corpus", "decontaminate_embedding",
-    "mm_decode_meta", "mm_byte_stats", "mm_resize_plan",
-    "mm_frame_sample",
-    "events_attribution_1h", "dedup_pairs_edit_distance",
-    "text_fingerprint", "text_pii_redact", "text_length_percentiles",
-    "split_train_test", "sample_stratified", "pack_sequences",
-    "sample_mixture_weights", "embedding_label_centroids",
-    "similarity_topk_bruteforce",
-    "similarity_ann_signlsh",  # entry #50 — last slot inside the window
-    # -- Entries #51+: past the 50-entry window. -------------------------
-    # The r4/r5 window: every entry here was driver-green (hash or
-    # rows-only-by-design) in BOTH rounds 4 and 5, so they yield their
-    # slots to the stale families above.
+    # -- Entries #1-50: the round-7 correctness window. ------------------
+    # New this round (both oracle-backed): the compaction planner and
+    # the equi-width histogram profiler.
+    "layout_compaction_bins", "dq_histogram_totalprice",
+    # Changed this round: k-means assignment rewritten as a
+    # plan-cacheable F.expr (bit-identical semantics — but the rewrite
+    # needs a fresh external hash).
+    "embedding_kmeans_exact",
+    # The r4/r5 window, last driver-hashed in round 4 (r5 was a no-op
+    # replay, r6 rotated it out): freshest-signal-needed order.
     "jira_source_scan", "jira_corpus_stats", "jira_transform_silver",
     "jira_qa_pairs_udtf", "similarity_ann_ivf",
     "text_length_percentiles_approx",
@@ -87,9 +60,37 @@ _PRIORITY = [
     "dq_referential_integrity",
     "q3_shipping_priority", "events_volume_cusum",
     "events_path_mining", "events_markov_eval",
-    "orders_basket_affinity", "embedding_kmeans_exact",
-    "events_watermark_audit",
-    "embedding_quantize_int8", "dedup_simhash", "dedup_embedding_cosine",
+    "orders_basket_affinity", "events_watermark_audit",
+    "embedding_quantize_int8", "dedup_simhash",
+    "dedup_embedding_cosine",  # entry #50 — last slot inside the window
+    # -- Entries #51+: past the 50-entry window. -------------------------
+    # The round-6 window: every entry here was driver-green (hash or
+    # rows-only-by-design) in round 6, so it yields its slots to the
+    # r4/r5 families above.
+    "events_rolling_distinct_hll", "events_anomaly_mad_approx",
+    "text_heavy_hitters_mg", "embedding_pca_project",
+    "dedup_minhash_lsh", "snapshot_diff_customers",
+    "dedup_span_exact", "dedup_cluster_canonical",
+    "dedup_incremental_novel", "dedup_ngram_jaccard",
+    "text_corpus_freq_score",
+    "text_vocab_topk", "text_char_diversity", "text_repetition_stats",
+    "decontaminate_ngram", "decontaminate_hashed",
+    "curate_pretrain_corpus", "curate_corpus_v2", "curate_corpus_v3",
+    "text_bigram_assoc", "text_char_pair_stats",
+    "events_session_concurrency", "events_cohort_retention",
+    "join_full_outer_entity_activity", "window_ntile_distribution",
+    "window_first_last_orders",
+    "events_hourly_gapfill", "events_pivot_type_counts",
+    "events_transition_matrix", "similarity_topk_sq8",
+    "curate_dataset_card", "dedup_containment",
+    "curate_multimodal_corpus", "decontaminate_embedding",
+    "mm_decode_meta", "mm_byte_stats", "mm_resize_plan",
+    "mm_frame_sample",
+    "events_attribution_1h", "dedup_pairs_edit_distance",
+    "text_fingerprint", "text_pii_redact", "text_length_percentiles",
+    "split_train_test", "sample_stratified", "pack_sequences",
+    "sample_mixture_weights", "embedding_label_centroids",
+    "similarity_topk_bruteforce", "similarity_ann_signlsh",
     # Green in two or more rounds; registry tail keeps import order.
     "similarity_ann_mllsh",
     "text_language_id", "text_quality_score", "text_token_stats",

@@ -805,3 +805,83 @@ def events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
         .alias("est_users_24h"),
         F.count(F.lit(1)).over(w).cast("int").alias("n_hours_in_window"))
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning: pack documents into target-size output bins
+# ---------------------------------------------------------------------------
+
+COMPACT_BUCKET = 64        # docs per prefix-sum bucket (level-1 unit)
+COMPACT_TARGET = 16_384    # target output bin size in bytes
+
+
+@register(
+    "layout_compaction_bins",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, strlen(text) AS b FROM documents
+    ),
+    pre AS (
+        SELECT doc_id, b,
+               CAST(COALESCE(SUM(b) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS prev
+        FROM sized
+    ),
+    asg AS (
+        SELECT doc_id, b,
+               CAST(prev // {COMPACT_TARGET} AS INTEGER) AS bin
+        FROM pre
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b) AS BIGINT) AS bin_bytes,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM asg GROUP BY bin
+    """,
+    tags=("layout", "window"),
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: assign documents (in stable
+    doc_id order) to output bins of ~COMPACT_TARGET bytes by exclusive
+    prefix sum — bin = floor(bytes_before_me / target) — and report
+    each planned output file's doc count, byte size, and id range.
+    This is the planning step behind OPTIMIZE/rewriteDataFiles-style
+    table maintenance: deciding which row ranges coalesce into which
+    target-size file, deterministically.
+
+    Scale shape — the reason this is NOT one global window: a single
+    ``SUM OVER (ORDER BY doc_id)`` range-exchanges the whole corpus
+    into ONE ordered partition. Instead the prefix sum is two-level
+    (the events_watermark_audit scan pattern): (1) bucket docs by
+    ``doc_id div {COMPACT_BUCKET}`` — contiguous id ranges, so bucket
+    order == doc order — and aggregate per-bucket byte totals
+    (map-side combined, |corpus|/{COMPACT_BUCKET} rows); (2) a window
+    over the SMALL bucket table computes each bucket's exclusive byte
+    offset; (3) offsets broadcast-join back and a window PARTITIONED
+    by bucket (each partition ≤ {COMPACT_BUCKET} rows, no global sort)
+    finishes the per-doc exclusive prefix. All-integer arithmetic
+    (byte lengths + truncating div on non-negative sums), so the plan
+    is bit-identical to the oracle's single-window replay."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").cast("long").alias("b"))
+    d = d.withColumn(
+        "bucket", F.expr(f"doc_id div {COMPACT_BUCKET}"))
+    per_bucket = d.groupBy("bucket").agg(F.sum("b").alias("bb"))
+    wb = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bb").over(wb), F.lit(0)).alias("boff"))
+    wi = (Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    asg = (d.join(F.broadcast(offs), "bucket")
+           .withColumn("prev", F.col("boff")
+                       + F.coalesce(F.sum("b").over(wi), F.lit(0)))
+           .withColumn("bin",
+                       F.expr(f"prev div {COMPACT_TARGET}").cast("int")))
+    return asg.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("b").alias("bin_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"))

@@ -895,3 +895,70 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("n_co") * F.col("n_orders")).cast("double")
                  / (F.col("n_a") * F.col("n_b"))).alias("lift"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram with per-group CDF (profiling: value distribution)
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH = 25_000.0  # dollars per bucket; totalprice spans ~[1k, 500k]
+
+
+@register(
+    "dq_histogram_totalprice",
+    oracle=f"""
+    WITH binned AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS INTEGER) AS bin,
+               o_totalprice
+        FROM orders
+    ),
+    hist AS (
+        SELECT o_orderpriority, bin,
+               CAST(bin * {HIST_WIDTH} AS DOUBLE) AS bin_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM binned GROUP BY o_orderpriority, bin
+    )
+    SELECT o_orderpriority, bin, bin_lo, n_orders, min_price, max_price,
+           CAST(SUM(n_orders) OVER (
+               PARTITION BY o_orderpriority ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_orders
+    FROM hist
+    """,
+    tags=("quality", "agg", "window"),
+)
+def dq_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram of order totals per priority class,
+    with the running (cumulative) count per class — the distribution
+    profile a DQ pass draws next to dq_profile_orders' scalar metrics,
+    and the bucket layout an optimizer's column histogram stores.
+
+    Scale shape: binning is a map-only projection (one double divide +
+    floor per row — identical correctly-rounded IEEE ops on both
+    engines, so bucket edges agree bit-exactly); the histogram is ONE
+    map-side-combined aggregation on (priority, bin) — cardinality
+    bounded by |priorities|×|buckets| (~100), independent of row
+    count; the CDF is a window over those ~100 aggregated rows, not
+    over the fact table. min/max are value COPIES (no float
+    arithmetic), so every output column is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / F.lit(HIST_WIDTH))
+        .cast("int").alias("bin"),
+        "o_totalprice")
+    hist = (binned.groupBy("o_orderpriority", "bin")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_totalprice").alias("min_price"),
+                 F.max("o_totalprice").alias("max_price"))
+            .withColumn("bin_lo",
+                        (F.col("bin") * F.lit(HIST_WIDTH)).cast("double")))
+    w = (Window.partitionBy("o_orderpriority").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return hist.select(
+        "o_orderpriority", "bin", "bin_lo", "n_orders",
+        "min_price", "max_price",
+        F.sum("n_orders").over(w).alias("cum_orders"))

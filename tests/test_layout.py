@@ -84,3 +84,42 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
              .collect())
     spans = sorted((r.lo, r.hi) for r in spans)
     assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_compaction_bins_conserve_bytes_and_pack_to_target(spark, sf_dir):
+    """Compaction-planner invariants: every doc lands in exactly one
+    bin; bin byte totals sum to the corpus total; bins cover
+    contiguous, non-overlapping doc_id ranges in order; every bin
+    except the last crosses the target once started (a bin closes only
+    when the running total passes a target boundary); the two-level
+    prefix-sum assignment equals a python single-scan replay."""
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.plans.analysis_ops import COMPACT_TARGET
+
+    out = sorted(plans.QUERIES["layout_compaction_bins"].fn(spark, sf_dir)
+                 .collect(), key=lambda r: r.bin)
+    docs = sorted(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                  .select("doc_id", F.octet_length("text").alias("b"))
+                  .collect(), key=lambda r: r.doc_id)
+    # python replay of the exclusive-prefix-sum assignment
+    want = {}
+    prev = 0
+    for r in docs:
+        b = prev // COMPACT_TARGET
+        if b not in want:
+            want[b] = [0, 0, r.doc_id, r.doc_id]
+        want[b][0] += 1
+        want[b][1] += r.b
+        want[b][3] = r.doc_id
+        prev += r.b
+    got = {r.bin: [r.n_docs, r.bin_bytes, r.first_doc, r.last_doc]
+           for r in out}
+    assert got == want
+    assert sum(r.n_docs for r in out) == len(docs)
+    assert sum(r.bin_bytes for r in out) == sum(r.b for r in docs)
+    for a, b in zip(out, out[1:]):
+        assert a.last_doc < b.first_doc  # contiguous, ordered ranges
+    for r in out[:-1]:
+        # a bin closes only after crossing a target boundary: all
+        # full bins carry at least the target minus one max-doc slack
+        assert r.bin_bytes + max(d.b for d in docs) >= COMPACT_TARGET

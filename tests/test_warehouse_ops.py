@@ -578,3 +578,30 @@ def test_watermark_audit_no_global_single_partition_sort(spark, sf_dir):
     # this operator exists to avoid
     for w in wins:
         assert "bkt" in w, w
+
+
+def test_histogram_conserves_rows_and_cdf_is_total(spark, sf_dir):
+    """Histogram invariants: bucket counts sum to the table's row
+    count per priority; the last cumulative value equals that sum;
+    per-bucket min/max actually fall inside the bucket's range; a
+    python recompute of the binning agrees."""
+    import math
+
+    from jira_scraper_etl_spark.plans.warehouse_ops import HIST_WIDTH
+
+    out = plans.QUERIES["dq_histogram_totalprice"].fn(spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderpriority", "o_totalprice").collect()
+    want = {}
+    for r in o:
+        b = math.floor(r.o_totalprice / HIST_WIDTH)
+        want[(r.o_orderpriority, b)] = want.get((r.o_orderpriority, b), 0) + 1
+    got = {(r.o_orderpriority, r.bin): r.n_orders for r in out}
+    assert got == want
+    by_prio = {}
+    for r in sorted(out, key=lambda r: (r.o_orderpriority, r.bin)):
+        assert r.bin_lo == r.bin * HIST_WIDTH
+        assert r.bin_lo <= r.min_price <= r.max_price < r.bin_lo + HIST_WIDTH
+        by_prio.setdefault(r.o_orderpriority, 0)
+        by_prio[r.o_orderpriority] += r.n_orders
+        assert r.cum_orders == by_prio[r.o_orderpriority]  # running total
