@@ -198,11 +198,23 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
         # two stream queries on one output path must stage disjointly)
         self.staging = os.path.join(
             self.path, f"{STAGING}-{uuid.uuid4().hex[:8]}")
+        # test hook: crash ONCE between stage and publish of the Nth
+        # batch (filesystem marker = crash-proof "once"), so the
+        # crash-resume soak can prove replay-exactly-once — see
+        # tests/test_jsonl_sink.py
+        self.fail_batch = int(options.get("simulate_fail_commit_batch", -1))
 
     def write(self, iterator: Iterator) -> _FileCommit:
         return _write_partition(self.staging, self.fields, iterator)
 
     def commit(self, messages: list[_FileCommit], batch_id: int) -> None:
+        if batch_id == self.fail_batch:
+            marker = os.path.join(self.path, f"_crashed-{batch_id}")
+            if not os.path.exists(marker):
+                with open(marker, "w"):
+                    pass
+                raise RuntimeError(
+                    f"simulated crash before publishing batch {batch_id}")
         out = os.path.join(self.path, f"batch_id={batch_id}")
         if os.path.isdir(out):  # replayed batch: idempotent re-publish
             shutil.rmtree(out)

@@ -205,3 +205,54 @@ def test_stream_writer_batches_are_idempotent_dirs(sink_spark, sf_dir, tmp_path)
         assert os.path.exists(os.path.join(bdir, "_SUCCESS"))
         total += json.load(open(os.path.join(bdir, "_SUCCESS")))["n_rows"]
     assert total == df.where("c_custkey % 2 = 0").count()
+
+
+def test_stream_writer_crash_resume_exactly_once(sink_spark, sf_dir, tmp_path):
+    """Crash-resume soak: the query dies BETWEEN staging and publishing
+    batch 1 (rows already written to the staging dir, batch dir absent);
+    a restart from the same checkpoint replays batch 1 and must publish
+    every source row exactly once — no loss from the crashed attempt,
+    no duplicates from the replay, and the dead attempt's staging files
+    must not leak into what readers see."""
+    src = str(tmp_path / "crash_src")
+    df = sink_spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "crash_out")
+    ckpt = str(tmp_path / "crash_ckpt")
+
+    def run():
+        return (sink_spark.readStream.schema(df.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .writeStream.format("jsonl_commit")
+                .option("path", out)
+                .option("simulate_fail_commit_batch", "1")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start())
+
+    q = run()
+    with pytest.raises(Exception, match="simulated crash"):
+        q.awaitTermination(120)
+    # the crash hit after staging, before publish: batch 1 unpublished
+    published = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+    assert "batch_id=1" not in published
+    assert os.path.exists(os.path.join(out, "_crashed-1"))
+
+    q2 = run()  # same checkpoint: batch 1 replays, marker lets it pass
+    q2.awaitTermination(120)
+    batches = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert len(batches) == 3
+    rows = []
+    for b in batches:
+        bdir = os.path.join(out, b)
+        manifest = json.load(open(os.path.join(bdir, "_SUCCESS")))
+        got = [json.loads(line)
+               for name in sorted(os.listdir(bdir))
+               if name.startswith("part-") and name.endswith(".jsonl")
+               for line in open(os.path.join(bdir, name), encoding="utf-8")]
+        assert manifest["n_rows"] == len(got)
+        rows += got
+    want = sorted((r.c_custkey, r.c_mktsegment) for r in df.collect())
+    assert sorted((r["c_custkey"], r["c_mktsegment"]) for r in rows) == want
