@@ -33,6 +33,7 @@ _PRIORITY = [
     # New this round (both oracle-backed): the compaction planner and
     # the equi-width histogram profiler.
     "layout_compaction_bins", "dq_histogram_totalprice",
+    "text_bigram_novelty",
     # Changed this round: k-means assignment rewritten as a
     # plan-cacheable F.expr (bit-identical semantics — but the rewrite
     # needs a fresh external hash).
@@ -61,9 +62,10 @@ _PRIORITY = [
     "q3_shipping_priority", "events_volume_cusum",
     "events_path_mining", "events_markov_eval",
     "orders_basket_affinity", "events_watermark_audit",
-    "embedding_quantize_int8", "dedup_simhash",
-    "dedup_embedding_cosine",  # entry #50 — last slot inside the window
+    "embedding_quantize_int8",
+    "dedup_simhash",  # entry #50 — last slot inside the window
     # -- Entries #51+: past the 50-entry window. -------------------------
+    "dedup_embedding_cosine",
     # The round-6 window: every entry here was driver-green (hash or
     # rows-only-by-design) in round 6, so it yields its slots to the
     # r4/r5 families above.

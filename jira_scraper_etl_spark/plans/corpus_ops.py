@@ -985,3 +985,96 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "chunk_idx",
                     F.array_join("w", " ").alias("chunk"),
                     F.size("w").alias("n_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# Bigram novelty: the log-free LM-surprise signal
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bigram_novelty",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+    ),
+    bigr AS (
+        SELECT doc_id, toks[g.i] AS l, toks[g.i + 1] AS r
+        FROM toks, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    per_doc AS (
+        SELECT DISTINCT doc_id, l, r FROM bigr
+    ),
+    df AS (
+        SELECT l, r, CAST(COUNT(*) AS BIGINT) AS n_docs_with
+        FROM per_doc GROUP BY l, r
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+               CAST(COUNT(*) FILTER (WHERE df.n_docs_with = 1) AS BIGINT)
+                   AS n_unique_types
+        FROM per_doc p JOIN df ON p.l = df.l AND p.r = df.r
+        GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_bigram_types, 0) AS n_bigram_types,
+           COALESCE(s.n_unique_types, 0) AS n_unique_types,
+           CASE WHEN s.n_bigram_types IS NULL THEN NULL
+                ELSE CAST(1000 * s.n_unique_types // s.n_bigram_types
+                          AS INTEGER)
+           END AS novelty_permille
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+    tags=("textstats", "quality", "lm"),
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty — the share of a document's distinct
+    word bigrams that occur in NO other document. The log-free stand-in
+    for LM-perplexity surprise (a KenLM-style scorer flags exactly
+    these unseen n-gram transitions): boilerplate and template docs
+    score near 0 (every transition is corpus-common), unique prose and
+    OCR noise score near 1000. Complements text_corpus_freq_score
+    (unigram commonness) with transition-level evidence, all-integer so
+    the oracle compare is exact — the repo rule that libm ``ln`` never
+    enters a hashed result.
+
+    Scale shape (the text_tfidf_topk template): bigrams come from one
+    map-only slice/zip per doc (no self-join); the per-(doc, bigram)
+    DISTINCT collapses the explode output before any bigram-keyed
+    stage; the persisted seam feeds both the bigram document-frequency
+    aggregation and the scoring join (Catalyst never reuses the
+    exchange across the two subtrees). Everything shuffles on (l, r)
+    bigram keys with map-side combine; the final left join restores
+    bigram-less docs (<2 tokens) with NULL novelty."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = H.word_tokens(F.col("text"))
+    t = fan_out(d.select("doc_id", toks.alias("toks")), LIGHT)
+    k = F.size("toks")
+    pl = F.slice("toks", 1, F.greatest(k - 1, F.lit(0)))
+    pr = F.slice("toks", 2, F.greatest(k - 1, F.lit(0)))
+    per_doc = (t.select(
+        "doc_id",
+        F.explode(F.arrays_zip(pl.alias("l"), pr.alias("r"))).alias("p"))
+        .select("doc_id", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    per_doc.count()
+    df = (per_doc.groupBy("l", "r")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs_with")))
+    scored = (per_doc.join(df, ["l", "r"])
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+                   F.sum(F.when(F.col("n_docs_with") == 1, 1)
+                         .otherwise(0)).cast("long")
+                   .alias("n_unique_types")))
+    return (d.select("doc_id").join(scored, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_bigram_types", F.lit(0).cast("long"))
+                .alias("n_bigram_types"),
+                F.coalesce("n_unique_types", F.lit(0).cast("long"))
+                .alias("n_unique_types"),
+                # truncating integer div on non-negative operands ==
+                # DuckDB // ; NULL (not 0) for bigram-less docs
+                F.expr("cast((1000 * n_unique_types) div n_bigram_types"
+                       " as int)").alias("novelty_permille")))

@@ -282,3 +282,34 @@ def test_chunk_documents_overlap_covers_and_overlaps(spark, sf_dir):
                 assert n == CHUNK_TOKENS  # only the last chunk may be short
         covered = (len(got) - 1) * CHUNK_STRIDE + got[-1][2]
         assert covered == len(toks)
+
+
+def test_bigram_novelty_bounds_and_python_replay(spark, sf_dir):
+    """Novelty invariants plus an independent recompute: unique_types
+    <= bigram_types, permille in [0, 1000], one row per document, and
+    the whole result matches a pure-Python bigram scan."""
+    out = {r.doc_id: r for r in
+           QUERIES["text_bigram_novelty"].fn(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    per_doc = {}
+    df = {}
+    for r in docs:
+        toks = [t for t in (r.text or "").lower().split() if t]
+        bg = set(zip(toks, toks[1:]))
+        per_doc[r.doc_id] = bg
+        for b in bg:
+            df[b] = df.get(b, 0) + 1
+    for r in docs:
+        bg = per_doc[r.doc_id]
+        o = out[r.doc_id]
+        uniq = sum(1 for b in bg if df[b] == 1)
+        assert o.n_bigram_types == len(bg)
+        assert o.n_unique_types == uniq
+        if not bg:
+            assert o.novelty_permille is None
+        else:
+            assert o.novelty_permille == 1000 * uniq // len(bg)
+            assert 0 <= o.novelty_permille <= 1000
+        assert o.n_unique_types <= o.n_bigram_types
