@@ -50,6 +50,11 @@ HEADLINE = [
     "dq_profile_orders",
     "embedding_kmeans_exact",
     "events_anomaly_mad",
+    # round-7 additions (layout planning, distribution profiling,
+    # transition-level LM scoring)
+    "layout_compaction_bins",
+    "dq_histogram_totalprice",
+    "text_bigram_novelty",
 ]
 
 
