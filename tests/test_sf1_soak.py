@@ -144,3 +144,65 @@ def test_jaccard_prefix_exact_dup_recall_sf1(spark):
            out.where(F.col("jaccard") == 1.0).collect()}
     assert want <= got, want - got
     out.unpersist()
+
+
+def test_compaction_bins_conserve_at_scale(spark):
+    """Round-7 planner at soak scale: bins conserve docs and bytes
+    exactly, cover contiguous non-overlapping doc_id ranges in bin
+    order, and every bin but the last is filled to within one max-doc
+    of the target — all checked distributed (one collect of the
+    bin-level result, corpus never driver-side)."""
+    from jira_scraper_etl_spark.plans.analysis_ops import COMPACT_TARGET
+
+    out = sorted(plans.QUERIES["layout_compaction_bins"].fn(spark, SF1)
+                 .collect(), key=lambda r: r.bin)
+    d = spark.read.parquet(f"{SF1}/documents.parquet")
+    stats = d.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("text")).alias("b"),
+        F.max(F.octet_length("text")).alias("mx")).first()
+    assert sum(r.n_docs for r in out) == stats.n
+    assert sum(r.bin_bytes for r in out) == stats.b
+    assert [r.bin for r in out] == list(range(len(out)))
+    for a, b in zip(out, out[1:]):
+        assert a.last_doc < b.first_doc
+    for r in out[:-1]:
+        assert r.bin_bytes + stats.mx >= COMPACT_TARGET
+
+
+def test_histogram_totals_at_scale(spark):
+    """Round-7 histogram at soak scale: bucket counts sum to the table
+    row count, per-priority CDF ends at the priority's total, bucket
+    min/max stay inside their bucket."""
+    from jira_scraper_etl_spark.plans.warehouse_ops import HIST_WIDTH
+
+    out = plans.QUERIES["dq_histogram_totalprice"].fn(spark, SF1).collect()
+    o = spark.read.parquet(f"{SF1}/orders.parquet")
+    assert sum(r.n_orders for r in out) == o.count()
+    per_prio = {r.o_orderpriority: r.n_orders
+                for r in o.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_orders")).collect()}
+    last_cum = {}
+    for r in sorted(out, key=lambda r: (r.o_orderpriority, r.bin)):
+        assert r.bin_lo <= r.min_price <= r.max_price < r.bin_lo + HIST_WIDTH
+        last_cum[r.o_orderpriority] = r.cum_orders
+    assert last_cum == per_prio
+
+
+def test_bigram_novelty_bounds_at_scale(spark):
+    """Round-7 novelty scorer at soak scale: one row per doc, unique
+    <= total types, permille within [0, 1000] and consistent with the
+    counts — checked distributed, no corpus collect."""
+    out = plans.QUERIES["text_bigram_novelty"].fn(spark, SF1).cache()
+    n_docs = spark.read.parquet(f"{SF1}/documents.parquet").count()
+    assert out.count() == n_docs
+    bad = out.where(
+        (F.col("n_unique_types") > F.col("n_bigram_types"))
+        | ((F.col("n_bigram_types") > 0)
+           & (F.col("novelty_permille")
+              != F.expr("cast((1000 * n_unique_types) div n_bigram_types"
+                        " as int)")))
+        | ((F.col("n_bigram_types") == 0)
+           & F.col("novelty_permille").isNotNull()))
+    assert bad.count() == 0
+    out.unpersist()
