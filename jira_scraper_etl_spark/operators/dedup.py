@@ -223,6 +223,41 @@ def _check_nibble_hamming(max_hamming: int) -> None:
             f"would silently drop pairs that share no nibble block")
 
 
+def simhash_fp_pairs(fps: DataFrame, col: str = "simhash",
+                     max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs over DISTINCT fingerprint VALUES — the contracted
+    (≤ 2^16-node) form of the simhash graph, via the same lossless
+    nibble-block banding as :func:`simhash_near_dup_pairs`. This is the
+    graph dedup_cluster_canonical solves components on, and the
+    scale-sound way to audit simhash adjacency: the fingerprint graph
+    is bounded BY CONSTRUCTION regardless of corpus size, while the
+    doc-pair expansion is O(Σ|clique|²) and explodes on dup-dense or
+    fingerprint-saturated corpora (500k docs into 2^16 values ⇒
+    billions of doc pairs). Output: (fa, fb) with fa < fb, hamming ≤
+    ``max_hamming``."""
+    _check_nibble_hamming(max_hamming)
+    blocks = fps.select(
+        col,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright(col, i * 4).bitwiseAND(F.lit(0xF))
+                     .alias("nib"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select(col, "b.blk", "b.nib")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.nib") == F.col("b.nib"))
+               & (F.col(f"a.{col}") < F.col(f"b.{col}")))
+        .select(F.col(f"a.{col}").alias("fa"), F.col(f"b.{col}").alias("fb"))
+        .dropDuplicates(["fa", "fb"])
+        .where(F.bit_count(F.col("fa").cast("long")
+                           .bitwiseXOR(F.col("fb").cast("long")))
+               <= max_hamming)
+    )
+
+
 def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            max_hamming: int = 3) -> DataFrame:

@@ -1077,24 +1077,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str,
         fan_out(d.select("doc_id", "text"), HEAVY)).localCheckpoint()
     nodes = fp.groupBy("simhash").agg(F.min("doc_id").alias("fp_min"),
                                       F.count(F.lit(1)).alias("n_docs"))
-    blocks = nodes.select(
-        "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("blk"),
-                     F.shiftright("simhash", i * 4).bitwiseAND(F.lit(0xF)).alias("nib"))
-            for i in range(4)
-        ])).alias("b"),
-    ).select("simhash", "b.blk", "b.nib")
-    xa, xb = blocks.alias("a"), blocks.alias("b")
-    fp_pairs = (
-        xa.join(xb, (F.col("a.blk") == F.col("b.blk"))
-                & (F.col("a.nib") == F.col("b.nib"))
-                & (F.col("a.simhash") < F.col("b.simhash")))
-        .select(F.col("a.simhash").alias("fa"), F.col("b.simhash").alias("fb"))
-        .dropDuplicates(["fa", "fb"])
-        .where(F.bit_count(F.col("fa").cast("long")
-                           .bitwiseXOR(F.col("fb").cast("long"))) <= 3)
-    )
+    fp_pairs = D.simhash_fp_pairs(nodes.select("simhash"))
     # checkpoint fp_pairs, the shared upstream of BOTH edge directions
     # and the member set — one materialization instead of two (edges,
     # members) plus it truncates lineage for the loop path

@@ -52,15 +52,32 @@ def test_cluster_canonical_invariants_sf1(spark):
         | (F.col("n") != F.col("sz")) | (F.col("sz_variants") != 1))
     assert bad.count() == 0
 
+    # Edge consistency at the FINGERPRINT level — the scale-sound form
+    # of the defining CC property. The doc-pair expansion is
+    # O(Σ|clique|²): at the sf10 decade (500k docs saturating the 2^16
+    # fingerprint space) it is billions of pairs and the old doc-pair
+    # join ran >45 min without completing; the fingerprint graph is
+    # bounded at 2^16 nodes AT ANY CORPUS SIZE and implies the doc
+    # property — a hamming<=3 doc pair has equal fingerprints (check A)
+    # or adjacent ones (check B).
     from jira_scraper_etl_spark.operators import dedup as D
-    pairs = D.simhash_near_dup_pairs(
-        spark.read.parquet(f"{SF1}/documents.parquet").select("doc_id", "text"))
+    fp = D.simhash_fingerprints(
+        spark.read.parquet(f"{SF1}/documents.parquet")
+        .select("doc_id", "text"))
     labels = out.select("doc_id", "cluster_id")
+    fp_label = fp.join(labels, "doc_id")
+    # (A) all docs sharing a fingerprint share a cluster
+    assert fp_label.groupBy("simhash").agg(
+        F.count_distinct("cluster_id").alias("k")) \
+        .where(F.col("k") != 1).count() == 0
+    # (B) adjacent fingerprints (hamming <= 3) share a cluster
+    fp_cluster = fp_label.select("simhash", "cluster_id").distinct()
+    pairs = D.simhash_fp_pairs(fp_cluster.select("simhash"))
     joined = (pairs
-              .join(labels.withColumnsRenamed(
-                  {"doc_id": "doc_a", "cluster_id": "ca"}), "doc_a")
-              .join(labels.withColumnsRenamed(
-                  {"doc_id": "doc_b", "cluster_id": "cb"}), "doc_b"))
+              .join(fp_cluster.withColumnsRenamed(
+                  {"simhash": "fa", "cluster_id": "ca"}), "fa")
+              .join(fp_cluster.withColumnsRenamed(
+                  {"simhash": "fb", "cluster_id": "cb"}), "fb"))
     assert joined.where(F.col("ca") != F.col("cb")).count() == 0
     out.unpersist()
 
@@ -107,11 +124,18 @@ def test_embedding_derived_banding_candidates_linear_sf1(spark):
 
 
 def test_embedding_cosine_sound_and_scaled_sf1(spark):
-    """Wide-band (8,8) embedding dedup at sf1: every returned pair's
-    cosine clears the threshold (soundness is dial-independent), and the
-    engineered copy-0 near-dup pairs survive the wider bands."""
+    """Embedding dedup at soak scale with SIZE-DERIVED banding dials
+    (BASELINE finding 3: bits must grow ~log2(n) or candidates go
+    ~n²/2^bits — hardcoded (8,8) is 1e9 candidates at the sf10
+    decade): every returned pair's cosine clears the threshold
+    (soundness is dial-independent), and the engineered copy-0
+    near-dup pairs survive the scale-widened bands."""
+    from jira_scraper_etl_spark.plans.llm_ops import derive_banding
+
+    n = spark.read.parquet(f"{SF1}/embeddings.parquet").count()
+    bands, bits = derive_banding(n)
     out = plans.QUERIES["dedup_embedding_cosine"].fn(
-        spark, SF1, bands=8, bits=8).cache()
+        spark, SF1, bands=bands, bits=bits).cache()
     assert out.where(F.col("cos_sim") < 0.45).count() == 0
     # copy 0 (vec_id < 2000) carries the original engineered near-dups
     assert out.where((F.col("vec_a") < 2000) & (F.col("vec_b") < 2000)).count() > 0
