@@ -1165,6 +1165,46 @@ def rp_hyperplane_dots(bands: int, bits: int) -> list:
             for b in range(bands) for i in range(bits)]
 
 
+def rp_band_key_table(base, bands: int, bits: int):
+    """(vec_id, bks: array<bigint>) — all RP band keys per vector, via
+    ONE Arrow-batched numpy matmul: Q (batch×dim) @ S (dim×bands·bits),
+    strict-positive sign bits packed per band above a per-band offset —
+    value-identical to the rp_hyperplane_dots + rp_band_keys expression
+    path (integer arithmetic end to end; the differential test pins
+    equality).
+
+    This is the documented let-numpy-do-the-matmul exception to the
+    stay-in-codegen rule: at the sf10 soak's derived bits=16 the
+    expression path is a 512-column projection of 64-term sums that
+    falls out of whole-stage codegen into interpreted evaluation —
+    measured 558 s for 200k vectors even with a 512 MB JIT code cache
+    — while one BLAS-shaped int64 matmul per Arrow batch is
+    sub-second. The expression path remains the oracle-parity spec and
+    the twin for corpora small enough to interpret."""
+    signs = _rp_signs(bands, bits)
+    dim = EMB_DIM
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        S = np.array(signs, dtype=np.int64).reshape(bands * bits, dim).T
+        w = np.int64(1) << (bits - 1 - np.arange(bits, dtype=np.int64))
+        offs = np.arange(bands, dtype=np.int64) << np.int64(bits)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d = q @ S
+            b = (d > 0).reshape(len(pdf), bands, bits).astype(np.int64)
+            keys = (b * w).sum(axis=2) + offs
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "bks": list(keys)})
+
+    return base.select("vec_id", "q").mapInPandas(
+        gen, "vec_id bigint, bks array<bigint>")
+
+
 def rp_band_keys(bands: int, bits: int):
     """Band-key array from the materialized hyperplane dot columns:
     band b's key packs sign(d_b_i) bits above a per-band offset."""
@@ -1236,33 +1276,34 @@ def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
     sf1's derived 13 bits survives slice banding's 4 tables with
     p≈0.68 but 32 RP tables with p≈0.9999).
 
-    Spark shape: one projection widens the quantized vector into 64
-    component columns (evaluated once), the ±sums for all bands·bits
-    hyperplanes stay in whole-stage codegen, and candidates/verify are
-    the same keyed bucket-join + fixed-point-cosine stages as the slice
-    variant. Everything after key generation is identical plan shape;
-    only the key family changed.
+    Spark shape: band keys come from ONE Arrow-batched numpy int64
+    matmul per partition (rp_band_key_table — the bands·bits ±sums are
+    a BLAS-shaped product no 512-column expression tree can match: the
+    expression path drops out of whole-stage codegen into interpreted
+    evaluation, measured 558 s vs sub-second at the sf10 soak), then
+    candidates/verify are the same keyed bucket-join +
+    fixed-point-cosine stages as the slice variant. Everything after
+    key generation is identical plan shape; only the key family
+    changed. Integer arithmetic end to end, so the Arrow path is
+    bit-identical to the expression spec (differential-tested).
     """
     e = load_table(spark, sf_dir, "embeddings")
     if bits is None:
         _, bits = derive_banding(e.count())
     base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
             .withColumn("n2", V.qnorm2(F.col("q"))))
-    wide = base.select(
-        "vec_id",
-        *[F.element_at("q", j + 1).alias(f"e{j}") for j in range(EMB_DIM)])
-    # The hash-table materialization seam: the bands×bits dot columns
-    # are checkpointed so (a) key packing can't be collapsed back into
-    # one Janino-breaking mega-expression and (b) the hyperplane
-    # arithmetic runs exactly once — this is the LSH "build the tables"
-    # step; at warehouse scale it is a parquet write of n×(bands·bits)
-    # longs, here a localCheckpoint of the same.
-    dots = wide.select("vec_id", *rp_hyperplane_dots(bands, bits)) \
-        .localCheckpoint()
+    # The hash-table materialization seam: the packed band keys are
+    # checkpointed so the hyperplane arithmetic runs exactly once —
+    # this is the LSH "build the tables" step; at warehouse scale it is
+    # a parquet write of n×bands longs, here a localCheckpoint of the
+    # same. Keys come from the Arrow-batched numpy matmul
+    # (rp_band_key_table): the 512-expression projection path is
+    # interpreted-evaluation-bound at scale (see its docstring).
+    keys = rp_band_key_table(base, bands, bits).localCheckpoint()
     # merge hint: at any real scale the key table is broadcast-
     # ineligible; broadcasting would also rebuild it on the driver
-    slim = dots.select(
-        "vec_id", F.explode(rp_band_keys(bands, bits)).alias("bk")
+    slim = keys.select(
+        "vec_id", F.explode("bks").alias("bk")
     ).hint("merge")
     x, y = slim.alias("x"), slim.alias("y")
     cand = (

@@ -59,6 +59,15 @@ def get_spark(app_name: str = "jira-scraper-etl-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The default 240 MB JIT code cache fills under codegen-heavy
+        # workloads (measured: the RP-LSH 512-expression projection at
+        # the sf10 soak printed "compilation: disabled (not enough
+        # contiguous free space)" and fell back to interpreted
+        # bytecode, a >10x slowdown on every subsequent stage). A
+        # wide-plan engine wants JIT headroom; same dial a production
+        # Spark cluster sets in spark.executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -291,3 +291,34 @@ def test_banding_guards(spark, sf_dir):
         simhash_near_dup_pairs(d, max_hamming=4)
     with _pytest.raises(ValueError, match="lossless"):
         simhash_neighbor_stats(d, max_hamming=4)
+
+
+def test_rp_band_key_table_matches_expression_path(spark, sf_dir):
+    """The vectorized Arrow band-key builder must produce EXACTLY the
+    (vec_id, band key) set of the expression-path spec
+    (rp_hyperplane_dots + rp_band_keys) — integer arithmetic both
+    sides, so equality is exact, not approximate."""
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.functions import vectors as V
+    from jira_scraper_etl_spark.plans.llm_ops import (EMB_DIM, RP_BANDS,
+                                                      derive_banding,
+                                                      rp_band_key_table,
+                                                      rp_band_keys,
+                                                      rp_hyperplane_dots)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _, bits = derive_banding(e.count())
+    base = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    wide = base.select(
+        "vec_id",
+        *[F.element_at("q", j + 1).alias(f"e{j}") for j in range(EMB_DIM)])
+    dots = wide.select("vec_id", *rp_hyperplane_dots(RP_BANDS, bits))
+    want = {(r.vec_id, r.bk) for r in dots.select(
+        "vec_id", F.explode(rp_band_keys(RP_BANDS, bits)).alias("bk"))
+        .collect()}
+    got = {(r.vec_id, r.bk) for r in
+           rp_band_key_table(base, RP_BANDS, bits)
+           .select("vec_id", F.explode("bks").alias("bk")).collect()}
+    assert got == want

@@ -127,9 +127,14 @@ def test_embedding_cosine_sound_and_scaled_sf1(spark):
     """Embedding dedup at soak scale with SIZE-DERIVED banding dials
     (BASELINE finding 3: bits must grow ~log2(n) or candidates go
     ~n²/2^bits — hardcoded (8,8) is 1e9 candidates at the sf10
-    decade): every returned pair's cosine clears the threshold
-    (soundness is dial-independent), and the engineered copy-0
-    near-dup pairs survive the scale-widened bands."""
+    decade): every slice-banded pair's cosine clears the threshold
+    (soundness is dial-independent). RECALL at scale is asserted on
+    the RP-LSH variant — by design: the slice variant's bands×bits ≤
+    dim cap costs recall as bits grow (a cos-0.9 pair survives the
+    sf10-derived (4, 16) slices with p ≈ 0.30, and zero copy-0 pairs
+    surfacing is an expected draw), while 32 independent RP tables
+    hold recall ≈ 1 at the same bits (the documented scale path,
+    llm_ops.py slice-vs-RP note)."""
     from jira_scraper_etl_spark.plans.llm_ops import derive_banding
 
     n = spark.read.parquet(f"{SF1}/embeddings.parquet").count()
@@ -137,23 +142,46 @@ def test_embedding_cosine_sound_and_scaled_sf1(spark):
     out = plans.QUERIES["dedup_embedding_cosine"].fn(
         spark, SF1, bands=bands, bits=bits).cache()
     assert out.where(F.col("cos_sim") < 0.45).count() == 0
-    # copy 0 (vec_id < 2000) carries the original engineered near-dups
-    assert out.where((F.col("vec_a") < 2000) & (F.col("vec_b") < 2000)).count() > 0
     out.unpersist()
+    # copy 0 (vec_id < 2000) carries the original engineered near-dups;
+    # the 32-table RP variant is the recall path at scale
+    rp = plans.QUERIES["dedup_embedding_cosine_rp"].fn(spark, SF1).cache()
+    assert rp.where(F.col("cos_sim") < 0.45).count() == 0
+    assert rp.where((F.col("vec_a") < 2000) & (F.col("vec_b") < 2000)).count() > 0
+    rp.unpersist()
 
 
-def test_jaccard_prefix_exact_dup_recall_sf1(spark):
-    """Zero-false-negative spot check at sf1, where the all-pairs
-    DuckDB oracle is impractical (~1.25G list_intersect pairs): every
-    pair of documents with IDENTICAL text must be returned with
-    jaccard exactly 1.0 (their shingle sets are equal, so the prefix
-    lemma guarantees a shared prefix token), and every returned pair's
-    jaccard must clear the τ=0.5 threshold."""
-    out = plans.QUERIES["dedup_jaccard_prefix"].fn(spark, SF1).cache()
+JACCARD_SOAK_CAP = 100_000
+
+
+def test_jaccard_prefix_exact_dup_recall_sf1(spark, tmp_path):
+    """Zero-false-negative spot check at soak scale, where the
+    all-pairs DuckDB oracle is impractical (~1.25G list_intersect
+    pairs at sf1): every pair of documents with IDENTICAL text must be
+    returned with jaccard exactly 1.0 (their shingle sets are equal,
+    so the prefix lemma guarantees a shared prefix token), and every
+    returned pair's jaccard must clear the τ=0.5 threshold.
+
+    Above JACCARD_SOAK_CAP docs the check runs on the doc_id-prefix
+    slice (still 2× the sf1 corpus, and copy 0 keeps the engineered
+    dups): on THIS low-entropy 31-token-vocabulary corpus an EXACT
+    similarity join degenerates toward density — the full sf10 run
+    shuffled >70 GB of candidate pairs and filled the disk — which is
+    precisely the regime the operator docstring routes to
+    dedup_minhash_lsh / the LSH family (validated at full sf10 scale
+    by the other soak tests). The lemma being verified is corpus-size
+    independent; the slice is its own closed corpus."""
+    d = spark.read.parquet(f"{SF1}/documents.parquet")
+    target = SF1
+    if d.count() > JACCARD_SOAK_CAP:
+        target = str(tmp_path / "jacc_slice")
+        d.where(F.col("doc_id") < JACCARD_SOAK_CAP) \
+            .write.parquet(f"{target}/documents.parquet")
+    out = plans.QUERIES["dedup_jaccard_prefix"].fn(spark, target).cache()
     assert out.where(F.col("jaccard") < 0.5).count() == 0
 
-    d = spark.read.parquet(f"{SF1}/documents.parquet")
-    dup_groups = (d.groupBy("text")
+    dup_groups = (spark.read.parquet(f"{target}/documents.parquet")
+                  .groupBy("text")
                   .agg(F.collect_list("doc_id").alias("ids"))
                   .where(F.size("ids") > 1)
                   .collect())
