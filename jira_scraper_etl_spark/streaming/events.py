@@ -272,11 +272,23 @@ def attribution_1h(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 
 def drain_query(writer_start, timeout_seconds: float = 120.0):
-    """Start a streaming query and block until AvailableNow finishes."""
+    """Start a streaming query and block until AvailableNow finishes.
+
+    RAISES on timeout instead of silently stopping: a stopped
+    AvailableNow query has processed only a PREFIX of the backlog, and
+    a silent partial drain surfaces downstream as a baffling value
+    mismatch rather than as the timeout it is (found at the sf10 soak:
+    the 10M-event drain needed >120 s, and the comparison reported
+    every user short by one time-slice of events). Callers draining
+    scaled backlogs pass a scale-appropriate timeout."""
     q = writer_start()
     q.awaitTermination(timeout_seconds)
     if q.isActive:
         q.stop()
+        raise TimeoutError(
+            f"streaming backlog not drained within {timeout_seconds}s — "
+            f"partial results discarded (raise timeout_seconds for "
+            f"scaled runs)")
     return q
 
 

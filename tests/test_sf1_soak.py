@@ -258,3 +258,58 @@ def test_bigram_novelty_bounds_at_scale(spark):
            & F.col("novelty_permille").isNotNull()))
     assert bad.count() == 0
     out.unpersist()
+
+
+def test_streaming_journey_drain_at_scale(spark, tmp_path):
+    """Soak-scale streaming drain (the round-5 verdict's 'streaming
+    drains' decade ask): the stateful journey profile drained over a
+    3-file time-range backlog of the WHOLE soak event log must equal
+    the batch events_user_journey flagship on every metric for every
+    user — cross-batch applyInPandasWithState state at O(users) scale,
+    not the fixture-sized differential."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Window
+
+    from jira_scraper_etl_spark.catalog import load_events
+    from jira_scraper_etl_spark.streaming import events as SE
+
+    d = str(tmp_path / "soak_events_stream")
+    raw = load_events(spark, SF1)
+    nt = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    chunked = raw.withColumn("nt", nt)
+    for i in (1, 2, 3):  # sequential writes -> ascending mtimes
+        stage = f"{d}/_stage{i}"
+        chunked.where(F.col("nt") == i).drop("nt").coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, f"{d}/{i:02d}.parquet")
+        shutil.rmtree(stage)
+
+    stream = SE.stream_events(spark, d, glob="*.parquet",
+                              max_files_per_trigger=1)
+    out = SE.journey_state(stream)
+    SE.drain_query(lambda: (
+        out.writeStream.format("memory").queryName("journey_soak_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()),
+        timeout_seconds=1800.0)
+    sink = spark.table("journey_soak_sink").toPandas()
+    final = sink.groupby("user_id").last()
+    got = {
+        int(uid): (int(r.n_events), int(r.first_us), int(r.last_us),
+                   int(r.n_active_hours), int(r.n_sessions),
+                   int(r.n_debounced), int(r.funnel_stage))
+        for uid, r in final.iterrows()}
+    batch = (plans.QUERIES["events_user_journey"].fn(spark, SF1)
+             .withColumn("first_us",
+                         F.expr("unix_micros(cast(first_ts as timestamp))"))
+             .withColumn("last_us",
+                         F.expr("unix_micros(cast(last_ts as timestamp))")))
+    want = {r.user_id: (r.n_events, r.first_us, r.last_us,
+                        r.n_active_hours, r.n_sessions, r.n_debounced,
+                        r.funnel_stage) for r in batch.collect()}
+    assert got == want and want
+    spark.catalog.dropTempView("journey_soak_sink")
