@@ -335,24 +335,12 @@ def simhash_neighbor_stats(df: DataFrame, id_col: str = "doc_id",
           .groupBy("simhash").agg(F.min(id_col).alias("m2")))
     cl = cl.join(m2, "simhash", "left")
 
-    blocks = cl.select(
-        "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("blk"),
-                     F.shiftright("simhash", i * 4).bitwiseAND(F.lit(0xF))
-                     .alias("nib"))
-            for i in range(4)
-        ])).alias("b"),
-    ).select("simhash", "b.blk", "b.nib")
-    xa = blocks.alias("a")
-    xb = blocks.withColumnRenamed("simhash", "g").alias("b")
-    adj = (xa.join(xb, (F.col("a.blk") == F.col("b.blk"))
-                   & (F.col("a.nib") == F.col("b.nib"))
-                   & (F.col("simhash") != F.col("g")))
-           .select("simhash", "g").distinct()
-           .where(F.bit_count(F.col("simhash").cast("long")
-                              .bitwiseXOR(F.col("g").cast("long")))
-                  <= max_hamming))
+    # cross-fingerprint adjacency = the shared contracted-graph pair
+    # join, symmetrized (each fingerprint must see ALL its neighbors)
+    fpp = simhash_fp_pairs(cl.select("simhash"), max_hamming=max_hamming)
+    adj = (fpp.select(F.col("fa").alias("simhash"), F.col("fb").alias("g"))
+           .unionByName(fpp.select(F.col("fb").alias("simhash"),
+                                   F.col("fa").alias("g"))))
     ext = (adj.join(cl.select(F.col("simhash").alias("g"),
                               F.col("n_docs").alias("g_docs"),
                               F.col("m1").alias("g_m1")), "g")

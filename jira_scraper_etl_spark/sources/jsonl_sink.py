@@ -130,13 +130,23 @@ class JsonlCommitWriter(DataSourceWriter):
                 if name.startswith(STAGING):
                     # keep in-flight staging dirs (ours and any
                     # concurrent writer's), but reap orphans left by
-                    # crashed drivers: a live commit stages and
-                    # publishes within seconds, so anything untouched
-                    # for STAGING_TTL_SEC is dead weight
+                    # crashed drivers. Liveness is judged by the NEWEST
+                    # mtime of the dir OR any staged file inside it —
+                    # the dir's own mtime only advances on file
+                    # CREATION, so a long write stage streaming rows
+                    # into already-created _tmp files would look stale
+                    # by dir-mtime alone; the files' mtimes advance
+                    # with every flush. Only a dir whose entire
+                    # contents stopped changing STAGING_TTL_SEC ago is
+                    # dead weight.
                     if target == self.staging:
                         continue
                     try:
-                        age = _time.time() - os.path.getmtime(target)
+                        ts = [os.path.getmtime(target)]
+                        with os.scandir(target) as it:
+                            ts += [entry.stat().st_mtime
+                                   for entry in it]
+                        age = _time.time() - max(ts)
                     except OSError:
                         continue
                     if age > STAGING_TTL_SEC:

@@ -133,10 +133,15 @@ def test_overwrite_reaps_orphaned_staging_dirs(tmp_path):
     dead.mkdir()
     (dead / "_tmp-x.jsonl").write_text('{"x": 1}\n')
     old = __import__("time").time() - 2 * jsonl_sink.STAGING_TTL_SEC
+    # liveness = newest mtime of dir OR contents: age both
+    os.utime(dead / "_tmp-x.jsonl", (old, old))
     os.utime(dead, (old, old))
-    # a fresh staging dir from a live concurrent writer
+    # a LIVE writer mid-long-write: dir mtime aged (files were created
+    # long ago) but a staged file was flushed recently — must be kept
     live = out / "_staging-cafecafe"
     live.mkdir()
+    (live / "_tmp-y.jsonl").write_text('{"x": 2}\n')
+    os.utime(live, (old, old))
     # a published entry that a concurrent overwrite deletes first
     raced = out / "part-gone-00000.jsonl"
     raced.write_text('{"x": 0}\n')
@@ -156,7 +161,8 @@ def test_overwrite_reaps_orphaned_staging_dirs(tmp_path):
     finally:
         os.remove = real_remove
     assert not dead.exists()  # orphan reaped
-    assert live.exists()  # live writer untouched
+    assert live.exists()  # live writer kept (fresh file mtime wins)
+    assert (live / "_tmp-y.jsonl").exists()
     assert not raced.exists()
     assert {r["x"] for r in _read_dir(str(out))} == {7}
     assert os.path.exists(out / "_SUCCESS")  # commit completed

@@ -119,7 +119,8 @@ def test_compaction_bins_conserve_bytes_and_pack_to_target(spark, sf_dir):
     assert sum(r.bin_bytes for r in out) == sum(r.b for r in docs)
     for a, b in zip(out, out[1:]):
         assert a.last_doc < b.first_doc  # contiguous, ordered ranges
+    mx = max(d.b for d in docs)
     for r in out[:-1]:
         # a bin closes only after crossing a target boundary: all
         # full bins carry at least the target minus one max-doc slack
-        assert r.bin_bytes + max(d.b for d in docs) >= COMPACT_TARGET
+        assert r.bin_bytes + mx >= COMPACT_TARGET
