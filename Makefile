@@ -1,0 +1,37 @@
+# Repeatable validation targets. The scaled soak decades are one
+# command each: the dataset is (re)generated only if absent, then the
+# scale-independent invariant suite (tests/test_sf1_soak.py) runs
+# against it via SPARK_GRAFT_SOAK_DIR.
+
+.PHONY: test oracle bench bench-sf1 bench-sf10 soak-sf1 soak-sf10 plan-audit
+
+test:
+	python -m pytest tests/ -x -q
+
+# full exact-value oracle sweep (stricter than the driver's hash compare)
+oracle:
+	python tools/check_oracle.py /root/testdata/sf0.01
+
+bench:
+	python bench.py
+
+.scratch/sf1:
+	python tools/make_sf.py 10 .scratch/sf1
+
+.scratch/sf10:
+	python tools/make_sf.py 100 .scratch/sf10
+
+soak-sf1: .scratch/sf1
+	SPARK_GRAFT_SOAK_DIR=.scratch/sf1 python -m pytest tests/test_sf1_soak.py -q
+
+soak-sf10: .scratch/sf10
+	SPARK_GRAFT_SOAK_DIR=.scratch/sf10 python -m pytest tests/test_sf1_soak.py -q
+
+bench-sf1: .scratch/sf1
+	SPARK_GRAFT_SF_DIR=.scratch/sf1 python bench.py
+
+bench-sf10: .scratch/sf10
+	SPARK_GRAFT_SF_DIR=.scratch/sf10 python bench.py
+
+plan-audit:
+	python tools/plan_audit.py

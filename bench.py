@@ -55,6 +55,11 @@ HEADLINE = [
     "layout_compaction_bins",
     "dq_histogram_totalprice",
     "text_bigram_novelty",
+    # round-8 additions: the warehouse/CDC family had no trend line
+    # (merge-upsert, SCD2 history, snapshot diff)
+    "merge_upsert_customer_balance",
+    "events_scd2_history",
+    "snapshot_diff_customers",
 ]
 
 

@@ -29,46 +29,20 @@ from . import event_time  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- Entries #1-50: the round-7 correctness window. ------------------
-    # New this round (both oracle-backed): the compaction planner and
-    # the equi-width histogram profiler.
-    "layout_compaction_bins", "dq_histogram_totalprice",
-    "text_bigram_novelty",
-    # Changed this round: k-means assignment rewritten as a
-    # plan-cacheable F.expr (bit-identical semantics — but the rewrite
-    # needs a fresh external hash).
-    "embedding_kmeans_exact",
-    # The r4/r5 window, last driver-hashed in round 4 (r5 was a no-op
-    # replay, r6 rotated it out): freshest-signal-needed order.
-    "jira_source_scan", "jira_corpus_stats", "jira_transform_silver",
-    "jira_qa_pairs_udtf", "similarity_ann_ivf",
-    "text_length_percentiles_approx",
-    "join_skewed_peers_1h", "dedup_simhash_pairs",
-    "join_hotkey_isolated_lang", "corpus_shard_shuffle",
-    "text_dedup_lines", "chunk_documents_overlap",
+    # -- Entries #1-50: the round-8 correctness window. ------------------
+    # Changed this round: similarity_ann_signlsh rewritten as derived-
+    # parameter multi-table RP ANN (RESULTS CHANGED — needs the freshest
+    # signal); dedup_jaccard_prefix gained the candidate-volume guard
+    # (results unchanged, code path changed); dedup_embedding_cosine_rp's
+    # oracle refactored onto the shared SQL_RP_KEYS CTEs (results and
+    # plan unchanged, oracle text changed).
+    "similarity_ann_signlsh", "dedup_jaccard_prefix",
     "dedup_embedding_cosine_rp",
-    "text_tfidf_topk", "pareto_revenue_by_brand", "orders_yoy_growth",
-    "events_debounce_5m", "mm_dedup_phash", "events_zorder_code",
-    "events_type_cooccurrence", "agg_incremental_merge",
-    "agg_hll_mergeable", "sample_weighted_hash",
-    "events_winsorize_p1_p99", "events_winsorize_approx",
-    "events_scd2_history",
-    "dq_profile_orders", "merge_upsert_customer_balance",
-    "events_merge_intervals", "window_rolling_median",
-    "stats_corr_matrix", "dedup_jaccard_prefix", "ngram_count_of_counts",
-    "bpe_learn_merges", "events_trailing_distinct_types",
-    "events_user_journey", "events_anomaly_mad",
-    "dq_referential_integrity",
-    "q3_shipping_priority", "events_volume_cusum",
-    "events_path_mining", "events_markov_eval",
-    "orders_basket_affinity", "events_watermark_audit",
-    "embedding_quantize_int8",
-    "dedup_simhash",  # entry #50 — last slot inside the window
-    # -- Entries #51+: past the 50-entry window. -------------------------
-    "dedup_embedding_cosine",
-    # The round-6 window: every entry here was driver-green (hash or
-    # rows-only-by-design) in round 6, so it yields its slots to the
-    # r4/r5 families above.
+    # The round-6 window, driver-green exactly once (in r6) and rotated
+    # out since — the stalest external signal in the registry, per the
+    # round-7 verdict's rotation ask. Rows-only entries among them
+    # (hll/mad_approx/heavy-hitters/pca) get the rows-only check by
+    # design; their envelope/differential tests carry exactness.
     "events_rolling_distinct_hll", "events_anomaly_mad_approx",
     "text_heavy_hitters_mg", "embedding_pca_project",
     "dedup_minhash_lsh", "snapshot_diff_customers",
@@ -91,8 +65,36 @@ _PRIORITY = [
     "events_attribution_1h", "dedup_pairs_edit_distance",
     "text_fingerprint", "text_pii_redact", "text_length_percentiles",
     "split_train_test", "sample_stratified", "pack_sequences",
-    "sample_mixture_weights", "embedding_label_centroids",
-    "similarity_topk_bruteforce", "similarity_ann_signlsh",
+    "sample_mixture_weights",  # entry #50 — last slot inside the window
+    # -- Entries #51+: past the 50-entry window. -------------------------
+    # The round-7 window (driver-hashed in r7, the freshest green on
+    # record) yields all its slots to the r6-stale families above.
+    "layout_compaction_bins", "dq_histogram_totalprice",
+    "text_bigram_novelty", "embedding_kmeans_exact",
+    "jira_source_scan", "jira_corpus_stats", "jira_transform_silver",
+    "jira_qa_pairs_udtf", "similarity_ann_ivf",
+    "text_length_percentiles_approx",
+    "join_skewed_peers_1h", "dedup_simhash_pairs",
+    "join_hotkey_isolated_lang", "corpus_shard_shuffle",
+    "text_dedup_lines", "chunk_documents_overlap",
+    "text_tfidf_topk", "pareto_revenue_by_brand", "orders_yoy_growth",
+    "events_debounce_5m", "mm_dedup_phash", "events_zorder_code",
+    "events_type_cooccurrence", "agg_incremental_merge",
+    "agg_hll_mergeable", "sample_weighted_hash",
+    "events_winsorize_p1_p99", "events_winsorize_approx",
+    "events_scd2_history",
+    "dq_profile_orders", "merge_upsert_customer_balance",
+    "events_merge_intervals", "window_rolling_median",
+    "stats_corr_matrix", "ngram_count_of_counts",
+    "bpe_learn_merges", "events_trailing_distinct_types",
+    "events_user_journey", "events_anomaly_mad",
+    "dq_referential_integrity",
+    "q3_shipping_priority", "events_volume_cusum",
+    "events_path_mining", "events_markov_eval",
+    "orders_basket_affinity", "events_watermark_audit",
+    "embedding_quantize_int8", "dedup_simhash",
+    "dedup_embedding_cosine", "embedding_label_centroids",
+    "similarity_topk_bruteforce",
     # Green in two or more rounds; registry tail keeps import order.
     "similarity_ann_mllsh",
     "text_language_id", "text_quality_score", "text_token_stats",

@@ -493,6 +493,141 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-table random-hyperplane LSH (the recall-preserving scale path)
+# ---------------------------------------------------------------------------
+# The slice-based banding above draws each band's bits from DISJOINT
+# component slices, capping bands × bits ≤ dim (64). That cap is what
+# costs recall as bits grow with log2(n): at sf1's derived (4, 13) a
+# cos-0.9 pair survives a 13-bit band with probability ~0.25 and only 4
+# bands exist. Random-hyperplane LSH (classic SimHash-for-cosine,
+# Charikar '02) removes the cap: every band hashes the FULL vector
+# against `bits` pseudo-random ±1 (Rademacher) hyperplanes, so the band
+# count is a free recall dial (RP_BANDS=32 ⇒ the same pair survives
+# with 1-(1-0.25)^32 ≈ 99.99%) while candidate volume stays
+# ~bands · occupancy · n. The hyperplane signs are derived from md5
+# parity of "band:bit:component" — data-independent, and reproduced
+# digit-for-digit by the oracle SQL, so both engines band identically.
+RP_BANDS = 32
+
+
+def _rp_signs(bands: int, bits: int, dim: int = EMB_DIM) -> list:
+    import hashlib
+
+    def s(b, i, j):
+        h = hashlib.md5(f"{b}:{i}:{j}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    return [[[s(b, i, j) for j in range(dim)]
+             for i in range(bits)] for b in range(bands)]
+
+
+def rp_hyperplane_dots(bands: int, bits: int) -> list:
+    """One ±sum expression per hyperplane over the pre-projected
+    component columns e0..e63, as SQL strings (composed Column objects
+    would cost one py4j round trip per node — minutes of driver time
+    for ~14k nodes; F.expr parses each in microseconds). Emitted as
+    SEPARATE columns on purpose: Spark's codegen splits a projection
+    into one method per expression, while a single
+    explode(array(<everything>)) generator expression compiles as one
+    giant method and OOMs Janino (measured at 32×7 hyperplanes)."""
+    signs = _rp_signs(bands, bits)
+
+    def dot(b, i):
+        return " ".join(("+" if s == 1 else "-") + f" e{j}"
+                        for j, s in enumerate(signs[b][i]))
+
+    return [F.expr(dot(b, i)).alias(f"d{b}_{i}")
+            for b in range(bands) for i in range(bits)]
+
+
+def rp_band_key_table(base, bands: int, bits: int):
+    """(vec_id, bks: array<bigint>) — all RP band keys per vector, via
+    ONE Arrow-batched numpy matmul: Q (batch×dim) @ S (dim×bands·bits),
+    strict-positive sign bits packed per band above a per-band offset —
+    value-identical to the rp_hyperplane_dots + rp_band_keys expression
+    path (integer arithmetic end to end; the differential test pins
+    equality).
+
+    This is the documented let-numpy-do-the-matmul exception to the
+    stay-in-codegen rule: at the sf10 soak's derived bits=16 the
+    expression path is a 512-column projection of 64-term sums that
+    falls out of whole-stage codegen into interpreted evaluation —
+    measured 558 s for 200k vectors even with a 512 MB JIT code cache
+    — while one BLAS-shaped int64 matmul per Arrow batch is
+    sub-second. The expression path remains the oracle-parity spec and
+    the twin for corpora small enough to interpret."""
+    signs = _rp_signs(bands, bits)
+    dim = EMB_DIM
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        S = np.array(signs, dtype=np.int64).reshape(bands * bits, dim).T
+        w = np.int64(1) << (bits - 1 - np.arange(bits, dtype=np.int64))
+        offs = np.arange(bands, dtype=np.int64) << np.int64(bits)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d = q @ S
+            b = (d > 0).reshape(len(pdf), bands, bits).astype(np.int64)
+            keys = (b * w).sum(axis=2) + offs
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "bks": list(keys)})
+
+    return base.select("vec_id", "q").mapInPandas(
+        gen, "vec_id bigint, bks array<bigint>")
+
+
+def rp_band_keys(bands: int, bits: int):
+    """Band-key array from the materialized hyperplane dot columns:
+    band b's key packs sign(d_b_i) bits above a per-band offset."""
+
+    def key(b):
+        terms = " + ".join(
+            f"(CASE WHEN d{b}_{i} > 0 THEN {1 << (bits - 1 - i)} "
+            f"ELSE 0 END)"
+            for i in range(bits))
+        return f"{b * (1 << bits)} + {terms}"
+
+    return F.expr("array(" + ", ".join(key(b) for b in range(bands)) + ")")
+
+
+# The RP hash-table construction, as SQL CTEs shared by every oracle
+# that banded with rp_band_key_table: derived bits from COUNT(*)
+# (digit-for-digit derive_banding), the md5-parity Rademacher
+# hyperplane matrix, per-(vector, table) sign bits, packed keys.
+SQL_RP_KEYS = f"""
+    p AS (SELECT LEAST(16, GREATEST(4,
+              CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT) - 2)) AS bits
+          FROM embeddings),
+    mat AS (
+        SELECT gb.b AS b, gi.i AS i, gj.j AS j,
+               CASE WHEN (strpos('0123456789abcdef',
+                    substring(md5(CAST(gb.b AS VARCHAR) || ':' ||
+                              CAST(gi.i AS VARCHAR) || ':' ||
+                              CAST(gj.j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM generate_series(0, {RP_BANDS - 1}) AS gb(b), p,
+             generate_series(0, 15) AS gi(i),
+             generate_series(0, 63) AS gj(j)
+        WHERE gi.i < p.bits
+    ),
+    bt AS (
+        SELECT q.vec_id, m.b, m.i,
+               CASE WHEN SUM(m.s * q.q[m.j + 1]) > 0 THEN 1 ELSE 0 END AS bit
+        FROM q, mat m GROUP BY q.vec_id, m.b, m.i
+    ),
+    keys AS (
+        SELECT vec_id, b, CAST(SUM(bit << (p.bits - 1 - i)) AS BIGINT) AS k
+        FROM bt, p GROUP BY vec_id, b
+    )
+"""
+
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 
@@ -547,19 +682,20 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_ann_signlsh",
     oracle=f"""
     WITH q AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
-    n AS (
-        SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2,
-               (CASE WHEN q[1] > 0 THEN 4 ELSE 0 END
-                + CASE WHEN q[2] > 0 THEN 2 ELSE 0 END
-                + CASE WHEN q[3] > 0 THEN 1 ELSE 0 END) AS bucket
-        FROM q
+    {SQL_RP_KEYS},
+    cand AS (
+        SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+        FROM keys x JOIN keys y
+          ON x.b = y.b AND x.k = y.k AND y.vec_id <> x.vec_id
+        WHERE x.vec_id < 20
     ),
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
     scored AS (
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        SELECT cand.query_id, cand.neighbor_id,
                CAST({SQL_QDOT_AB} AS DOUBLE)
                  / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cos_sim
-        FROM n a JOIN n b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
-        WHERE a.vec_id < 20
+        FROM cand JOIN n a ON cand.query_id = a.vec_id
+                  JOIN n b ON cand.neighbor_id = b.vec_id
     )
     SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -569,34 +705,62 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity", "lsh"),
 )
-def similarity_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN: sign-LSH on the first 3 components (8 buckets) —
-    candidates share the query's bucket; top-5 by quantized cosine.
+def similarity_ann_signlsh(spark: SparkSession, sf_dir: str,
+                           bands: int = RP_BANDS,
+                           bits: int | None = None) -> DataFrame:
+    """Bucketed ANN with SIZE-DERIVED parameters: each of ``bands``
+    random-hyperplane tables (md5-parity Rademacher signs, identical in
+    both engines) hashes the full vector into 2^bits buckets with
+    ``bits`` auto-derived from corpus size (``derive_banding`` — bits ≈
+    log2(n) − 2 holds per-bucket occupancy, and therefore per-query
+    candidate volume, at ~4·bands at ANY corpus size); candidates are
+    the union over tables of same-bucket vectors, scored by quantized
+    cosine, top-5 per query.
 
-    The scale path for similarity search: an equi-join on the bucket id
-    replaces the all-pairs product, trading recall (~bucket collision
-    probability) for a shuffle keyed on 1 byte. Production tuning =
-    more hyperplanes + multi-probe; the operator shape is identical.
+    This replaced the round-2 manual layout (3 fixed sign bits = 8
+    buckets): fixed bits means per-query candidates grow ~n/2^bits —
+    linear scans at sf10 — while deriving bits from n without multiple
+    tables costs recall (a cos-0.9 pair survives ONE 16-bit table with
+    p ≈ 0.08). The multi-table form keeps both: candidates stay
+    ~4·bands per query and recall across 32 tables is 1−(1−p)^32 ≈ 0.94
+    at the sf10-derived 16 bits (≈ 0.99+ below sf1), verified against
+    the brute-force exact baseline in tests/test_queries.py and at the
+    soak decades in tests/test_sf1_soak.py.
+
+    Spark shape: band keys from ONE Arrow-batched numpy int64 matmul
+    per partition (rp_band_key_table — the expression path drops out of
+    whole-stage codegen at derived bit widths, the round-7 558 s sf10
+    wall); the query side (20 ids × bands keys) broadcasts, so the
+    corpus-sized key table never shuffles — candidate generation is a
+    map-side hash join, then the verify joins the ≤ 20·4·bands distinct
+    candidate ids back to the quantized vectors.
     """
     e = load_table(spark, sf_dir, "embeddings")
+    if bits is None:
+        _, bits = derive_banding(e.count())
     base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
             .withColumn("n2", V.qnorm2(F.col("q"))))
-    bucket = (
-        F.when(F.element_at("q", 1) > 0, 4).otherwise(0)
-        + F.when(F.element_at("q", 2) > 0, 2).otherwise(0)
-        + F.when(F.element_at("q", 3) > 0, 1).otherwise(0)
-    )
-    base = base.withColumn("bucket", bucket)
+    keys = rp_band_key_table(base, bands, bits)
+    # bks[b] embeds the table offset b·2^bits, so one exploded column
+    # equi-joins (table, bucket) at once — same key family as the rp
+    # dedup variant, shared build
+    slim = keys.select("vec_id", F.explode("bks").alias("bk"))
+    qk = (slim.where(F.col("vec_id") < 20)
+          .select(F.col("vec_id").alias("query_id"), F.col("bk").alias("qbk")))
+    cand = (slim.join(F.broadcast(qk),
+                      (F.col("bk") == F.col("qbk"))
+                      & (F.col("vec_id") != F.col("query_id")))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct())
     queries = base.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
-        F.col("n2").alias("qn2"), F.col("bucket").alias("qbucket"))
+        F.col("n2").alias("qn2"))
     cos = (V.qdot(F.col("qq"), F.col("q")).cast("double")
            / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double"))))
     scored = (
-        base.join(F.broadcast(queries),
-                  (F.col("bucket") == F.col("qbucket"))
-                  & (F.col("vec_id") != F.col("query_id")))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+        cand.join(F.broadcast(queries), "query_id")
+        .join(base, F.col("neighbor_id") == F.col("vec_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rk", F.row_number().over(w))
@@ -1117,136 +1281,12 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str,
     return (docs_out.join(sizes, "cluster_id")
             .select("doc_id", "cluster_id", F.col("cluster_size").cast("int")))
 
-# ---------------------------------------------------------------------------
-# Multi-table random-hyperplane LSH (the recall-preserving scale path)
-# ---------------------------------------------------------------------------
-# The slice-based banding above draws each band's bits from DISJOINT
-# component slices, capping bands × bits ≤ dim (64). That cap is what
-# costs recall as bits grow with log2(n): at sf1's derived (4, 13) a
-# cos-0.9 pair survives a 13-bit band with probability ~0.25 and only 4
-# bands exist. Random-hyperplane LSH (classic SimHash-for-cosine,
-# Charikar '02) removes the cap: every band hashes the FULL vector
-# against `bits` pseudo-random ±1 (Rademacher) hyperplanes, so the band
-# count is a free recall dial (RP_BANDS=32 ⇒ the same pair survives
-# with 1-(1-0.25)^32 ≈ 99.99%) while candidate volume stays
-# ~bands · occupancy · n. The hyperplane signs are derived from md5
-# parity of "band:bit:component" — data-independent, and reproduced
-# digit-for-digit by the oracle SQL, so both engines band identically.
-RP_BANDS = 32
-
-
-def _rp_signs(bands: int, bits: int, dim: int = EMB_DIM) -> list:
-    import hashlib
-
-    def s(b, i, j):
-        h = hashlib.md5(f"{b}:{i}:{j}".encode()).hexdigest()
-        return 1 if int(h[0], 16) % 2 == 0 else -1
-
-    return [[[s(b, i, j) for j in range(dim)]
-             for i in range(bits)] for b in range(bands)]
-
-
-def rp_hyperplane_dots(bands: int, bits: int) -> list:
-    """One ±sum expression per hyperplane over the pre-projected
-    component columns e0..e63, as SQL strings (composed Column objects
-    would cost one py4j round trip per node — minutes of driver time
-    for ~14k nodes; F.expr parses each in microseconds). Emitted as
-    SEPARATE columns on purpose: Spark's codegen splits a projection
-    into one method per expression, while a single
-    explode(array(<everything>)) generator expression compiles as one
-    giant method and OOMs Janino (measured at 32×7 hyperplanes)."""
-    signs = _rp_signs(bands, bits)
-
-    def dot(b, i):
-        return " ".join(("+" if s == 1 else "-") + f" e{j}"
-                        for j, s in enumerate(signs[b][i]))
-
-    return [F.expr(dot(b, i)).alias(f"d{b}_{i}")
-            for b in range(bands) for i in range(bits)]
-
-
-def rp_band_key_table(base, bands: int, bits: int):
-    """(vec_id, bks: array<bigint>) — all RP band keys per vector, via
-    ONE Arrow-batched numpy matmul: Q (batch×dim) @ S (dim×bands·bits),
-    strict-positive sign bits packed per band above a per-band offset —
-    value-identical to the rp_hyperplane_dots + rp_band_keys expression
-    path (integer arithmetic end to end; the differential test pins
-    equality).
-
-    This is the documented let-numpy-do-the-matmul exception to the
-    stay-in-codegen rule: at the sf10 soak's derived bits=16 the
-    expression path is a 512-column projection of 64-term sums that
-    falls out of whole-stage codegen into interpreted evaluation —
-    measured 558 s for 200k vectors even with a 512 MB JIT code cache
-    — while one BLAS-shaped int64 matmul per Arrow batch is
-    sub-second. The expression path remains the oracle-parity spec and
-    the twin for corpora small enough to interpret."""
-    signs = _rp_signs(bands, bits)
-    dim = EMB_DIM
-
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        S = np.array(signs, dtype=np.int64).reshape(bands * bits, dim).T
-        w = np.int64(1) << (bits - 1 - np.arange(bits, dtype=np.int64))
-        offs = np.arange(bands, dtype=np.int64) << np.int64(bits)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
-            d = q @ S
-            b = (d > 0).reshape(len(pdf), bands, bits).astype(np.int64)
-            keys = (b * w).sum(axis=2) + offs
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                "bks": list(keys)})
-
-    return base.select("vec_id", "q").mapInPandas(
-        gen, "vec_id bigint, bks array<bigint>")
-
-
-def rp_band_keys(bands: int, bits: int):
-    """Band-key array from the materialized hyperplane dot columns:
-    band b's key packs sign(d_b_i) bits above a per-band offset."""
-
-    def key(b):
-        terms = " + ".join(
-            f"(CASE WHEN d{b}_{i} > 0 THEN {1 << (bits - 1 - i)} "
-            f"ELSE 0 END)"
-            for i in range(bits))
-        return f"{b * (1 << bits)} + {terms}"
-
-    return F.expr("array(" + ", ".join(key(b) for b in range(bands)) + ")")
-
 
 @register(
     "dedup_embedding_cosine_rp",
     oracle=f"""
     WITH q AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
-    p AS (SELECT LEAST(16, GREATEST(4,
-              CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT) - 2)) AS bits
-          FROM embeddings),
-    mat AS (
-        SELECT gb.b AS b, gi.i AS i, gj.j AS j,
-               CASE WHEN (strpos('0123456789abcdef',
-                    substring(md5(CAST(gb.b AS VARCHAR) || ':' ||
-                              CAST(gi.i AS VARCHAR) || ':' ||
-                              CAST(gj.j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
-                    THEN 1 ELSE -1 END AS s
-        FROM generate_series(0, {RP_BANDS - 1}) AS gb(b), p,
-             generate_series(0, 15) AS gi(i),
-             generate_series(0, 63) AS gj(j)
-        WHERE gi.i < p.bits
-    ),
-    bt AS (
-        SELECT q.vec_id, m.b, m.i,
-               CASE WHEN SUM(m.s * q.q[m.j + 1]) > 0 THEN 1 ELSE 0 END AS bit
-        FROM q, mat m GROUP BY q.vec_id, m.b, m.i
-    ),
-    keys AS (
-        SELECT vec_id, b, CAST(SUM(bit << (p.bits - 1 - i)) AS BIGINT) AS k
-        FROM bt, p GROUP BY vec_id, b
-    ),
+    {SQL_RP_KEYS},
     cand AS (
         SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
         FROM keys x JOIN keys y

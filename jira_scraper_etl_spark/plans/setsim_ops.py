@@ -31,6 +31,19 @@ from .registry import register
 # inside both prefixes under one global order.
 TAU = 0.5
 
+# Candidate-volume budget for the prefix join: the upper bound
+# Σ_tok m·(m−1)/2 over prefix-bucket sizes m (computed from the already-
+# persisted prefix table, one cheap agg) is compared against this before
+# the self-join is ever launched. On Zipfian vocabularies the bound is
+# ~linear in corpus size (prefixes prefer rare tokens) and never trips;
+# on degenerate low-entropy corpora it goes ~n² — the sf10 soak corpus
+# (500k docs, 31-token vocabulary) projected >4G candidates, shuffled
+# >70 GB and filled the disk. 500M admits every legitimate regime on
+# record (sf1 full corpus ≈ 41M, the 100k-doc soak slice ≈ 165M) while
+# refusing the quadratic one with a routing error instead of an OOM-disk
+# crash hours later.
+MAX_PREFIX_CANDIDATES = 500_000_000
+
 
 @register(
     "dedup_jaccard_prefix",
@@ -52,7 +65,8 @@ TAU = 0.5
     """,
     tags=("dedup", "join"),
 )
-def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
+                         max_candidates: int | None = None) -> DataFrame:
     """EXACT Jaccard ≥ 0.5 similarity join over the FULL corpus with no
     all-pairs stage — prefix filtering (AllPairs, WWW'07): order the
     shingle vocabulary globally by (document frequency, shingle), keep
@@ -81,7 +95,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-entropy corpora (the sf1 soak's 31-token vocabulary) candidate
     volume degenerates toward density — intrinsic to any EXACT
     similarity join; the operator-selection rule there is
-    dedup_minhash_lsh or a higher τ (see BASELINE.md)."""
+    dedup_minhash_lsh or a higher τ, and it is ENFORCED, not advisory:
+    before the self-join launches, the candidate upper bound
+    Σ_tok m·(m−1)/2 over prefix-bucket sizes is checked against
+    ``max_candidates`` (default MAX_PREFIX_CANDIDATES) and a routing
+    ValueError is raised past the budget — the sf10 degenerate corpus
+    now fails in seconds with instructions instead of shuffling >70 GB
+    and filling the disk (BASELINE.md round-7 finding 3)."""
+    if max_candidates is None:
+        max_candidates = MAX_PREFIX_CANDIDATES
     d = load_table(spark, sf_dir, "documents")
     # persisted seam: the interpreted shingling HOF pipeline is the
     # expensive map stage and has two consumers (prefix pipeline,
@@ -114,6 +136,25 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("idx", F.col("idx") + 1)  # 1-based prefix position
         .persist(StorageLevel.MEMORY_AND_DISK))
     prefix.count()
+    # Candidate-volume guard: the self-join below emits at most
+    # Σ_tok m·(m−1)/2 rows (m = prefix-bucket size) BEFORE filters, and
+    # on low-entropy corpora the filters cannot prune below true
+    # density. One map-side-combined agg over the persisted prefix
+    # table prices the join before paying for it.
+    est = (prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("m"))
+           .select(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("c"))
+           .first().c or 0)
+    if est > max_candidates:
+        docs.unpersist()
+        prefix.unpersist()
+        raise ValueError(
+            f"dedup_jaccard_prefix: projected candidate volume "
+            f"{int(est):,} exceeds the {max_candidates:,} budget — the "
+            f"corpus vocabulary is too low-entropy for an exact prefix-"
+            f"filtered join (no rare tokens to prune on). Route this "
+            f"corpus to dedup_minhash_lsh, raise TAU, or pass a larger "
+            f"max_candidates= if the shuffle volume is genuinely "
+            f"affordable (~32 bytes/candidate).")
     a, b = prefix.alias("a"), prefix.alias("b")
     # required overlap α = ceil(τ/(1+τ)·(|a|+|b|)); τ=1/2 → ceil((…)/3)
     # = (…+2) div 3 for positive ints (Spark div TRUNCATES toward zero,

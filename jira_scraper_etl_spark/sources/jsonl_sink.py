@@ -138,7 +138,13 @@ class JsonlCommitWriter(DataSourceWriter):
                     # by dir-mtime alone; the files' mtimes advance
                     # with every flush. Only a dir whose entire
                     # contents stopped changing STAGING_TTL_SEC ago is
-                    # dead weight.
+                    # dead weight. Known residual (accepted): a writer
+                    # legitimately stalled > TTL between flushes (a
+                    # suspended VM, an upstream stage that produces no
+                    # rows for a day) can be reaped by a concurrent
+                    # overwrite commit; its own commit then fails LOUD
+                    # and data-safe — os.replace raises
+                    # FileNotFoundError, nothing partial publishes.
                     if target == self.staging:
                         continue
                     try:
@@ -243,6 +249,15 @@ class JsonlCommitStreamWriter(DataSourceStreamWriter):
         # starts, so this query's staging dir is quiescent here (same
         # rule as the batch writer)
         shutil.rmtree(self.staging, ignore_errors=True)
+        if batch_id == self.fail_batch:
+            # the crash-once marker did its job (the pre-publish raise
+            # above fired on the FIRST attempt); drop it now that the
+            # replay published, so production-shaped readers listing the
+            # sink never see the test hook's residue
+            try:
+                os.remove(os.path.join(self.path, f"_crashed-{batch_id}"))
+            except FileNotFoundError:
+                pass
 
     def abort(self, messages: list[_FileCommit], batch_id: int) -> None:
         shutil.rmtree(self.staging, ignore_errors=True)

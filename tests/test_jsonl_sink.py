@@ -250,6 +250,10 @@ def test_stream_writer_crash_resume_exactly_once(sink_spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     batches = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
     assert len(batches) == 3
+    # the crash-once marker is cleaned up after the replay publishes:
+    # production-shaped readers listing the sink see only batch dirs
+    # (and possibly inert _staging-* from the dead attempt)
+    assert not os.path.exists(os.path.join(out, "_crashed-1"))
     rows = []
     for b in batches:
         bdir = os.path.join(out, b)

@@ -128,6 +128,34 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.4, recall
 
 
+def test_signlsh_recall_vs_bruteforce(spark, sf_dir):
+    """Derived-parameter multi-table RP ANN vs the exact baseline: on
+    the shared query set (vec_id < 5), mean recall@5 against brute-force
+    top-5 clears a floor, and every reported cosine is the true quantized
+    cosine (precision is exact by construction — the verify stage
+    computes real cosines, only candidate generation is approximate)."""
+    import pyspark.sql.functions as F
+
+    ann = plans.QUERIES["similarity_ann_signlsh"].fn(spark, sf_dir)
+    got, got_cos = {}, {}
+    for r in ann.where(F.col("query_id") < 5).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        got_cos[(r.query_id, r.neighbor_id)] = r.cos_sim
+    exact = plans.QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir)
+    want, want_cos = {}, {}
+    for r in exact.collect():
+        if r.rk <= 5:
+            want.setdefault(r.query_id, set()).add(r.neighbor_id)
+        want_cos[(r.query_id, r.neighbor_id)] = r.cos_sim
+    common = set(got) & set(want)
+    assert common
+    recall = sum(len(got[q] & want[q]) / len(want[q]) for q in common) / len(common)
+    assert recall >= 0.4, recall
+    for k, c in got_cos.items():
+        if k in want_cos:
+            assert c == want_cos[k], k
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as entrymod
 

@@ -151,6 +151,61 @@ def test_embedding_cosine_sound_and_scaled_sf1(spark):
     rp.unpersist()
 
 
+def test_signlsh_ann_recall_at_scale(spark, tmp_path):
+    """similarity_ann_signlsh with SIZE-DERIVED parameters at the soak
+    decade, on a PLANTED-neighbor corpus: the soak embeddings plus one
+    near-duplicate of each query vector (cos ≈ 0.9998 — 0.98·v + 0.02·u
+    with a deterministic unit perturbation). LSH recall is only
+    guaranteed for genuinely similar pairs, and this corpus's natural
+    neighbors max out near cos 0.5 where NO sublinear method can
+    promise recall — so the assertion plants pairs the theory covers:
+    at the sf10-derived 16 bits a cos-0.9998 pair survives one RP table
+    with p ≈ 0.90, hence all 32 tables miss it with p ≈ 1e-32. Every
+    query must rank its planted partner first; the reported cosine must
+    clear 0.99. This exercises the full corpus-sized machinery (Arrow
+    matmul key build over every vector, broadcast candidate join) at
+    the decade, not a fixture."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = spark.read.parquet(f"{SF1}/embeddings.parquet")
+    base = sorted(src.where(F.col("vec_id") < 20).collect(),
+                  key=lambda r: r.vec_id)
+    n_max = src.agg(F.max("vec_id")).first()[0]
+    rng = np.random.default_rng(7)
+    vec_ids, embs, labels, planted = [], [], [], {}
+    for r in base:
+        v = np.array(r.embedding, dtype=np.float64)
+        u = rng.standard_normal(len(v))
+        u /= np.linalg.norm(u)
+        p = 0.98 * (v / np.linalg.norm(v)) + 0.02 * u
+        p /= np.linalg.norm(p)
+        pid = n_max + 1 + r.vec_id
+        planted[r.vec_id] = pid
+        vec_ids.append(pid)
+        embs.append([float(x) for x in p])
+        labels.append(int(r.label))
+    d = str(tmp_path / "planted")
+    tbl = pa.table({"vec_id": pa.array(vec_ids, pa.int64()),
+                    "embedding": pa.array(embs, pa.list_(pa.float32())),
+                    "label": pa.array(labels, pa.int32())})
+    extra = str(tmp_path / "extra.parquet")
+    pq.write_table(tbl, extra)
+    os.makedirs(d, exist_ok=True)
+    (src.unionByName(spark.read.parquet(extra))
+        .coalesce(8).write.parquet(f"{d}/embeddings.parquet"))
+
+    ann = plans.QUERIES["similarity_ann_signlsh"].fn(spark, d)
+    top1 = {r.query_id: (r.neighbor_id, r.cos_sim)
+            for r in ann.where(F.col("rk") == 1).collect()}
+    assert set(top1) == set(planted)
+    for q, pid in planted.items():
+        nid, cos = top1[q]
+        assert nid == pid, (q, nid, pid)
+        assert cos >= 0.99, (q, cos)
+
+
 JACCARD_SOAK_CAP = 100_000
 
 
@@ -174,6 +229,11 @@ def test_jaccard_prefix_exact_dup_recall_sf1(spark, tmp_path):
     d = spark.read.parquet(f"{SF1}/documents.parquet")
     target = SF1
     if d.count() > JACCARD_SOAK_CAP:
+        # the degenerate-density regime: the candidate-volume guard must
+        # REFUSE the full corpus (routing error in seconds) rather than
+        # shuffle >70 GB of candidates — round-7 finding 3, now enforced
+        with pytest.raises(ValueError, match="dedup_minhash_lsh"):
+            plans.QUERIES["dedup_jaccard_prefix"].fn(spark, SF1)
         target = str(tmp_path / "jacc_slice")
         d.where(F.col("doc_id") < JACCARD_SOAK_CAP) \
             .write.parquet(f"{target}/documents.parquet")

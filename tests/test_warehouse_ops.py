@@ -138,6 +138,20 @@ def test_jaccard_prefix_equals_brute_force(spark, sf_dir):
     assert got == want and want
 
 
+def test_jaccard_prefix_guard_refuses_dense_corpus(spark, sf_dir):
+    """The candidate-volume guard: with a budget below the corpus's
+    projected prefix-bucket candidate volume the operator must raise a
+    routing error (naming the LSH alternative) BEFORE launching the
+    self-join; with the default budget the same corpus passes."""
+    import pytest
+
+    with pytest.raises(ValueError, match="dedup_minhash_lsh"):
+        plans.QUERIES["dedup_jaccard_prefix"].fn(
+            spark, sf_dir, max_candidates=1)
+    # the default budget admits the test corpus (exactness pinned above)
+    assert plans.QUERIES["dedup_jaccard_prefix"].fn(spark, sf_dir).count() >= 0
+
+
 def test_jaccard_prefix_plan_has_no_cartesian(spark, sf_dir):
     plan = plans.QUERIES["dedup_jaccard_prefix"].fn(
         spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
