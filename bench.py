@@ -56,10 +56,13 @@ HEADLINE = [
     "dq_histogram_totalprice",
     "text_bigram_novelty",
     # round-8 additions: the warehouse/CDC family had no trend line
-    # (merge-upsert, SCD2 history, snapshot diff)
+    # (merge-upsert, SCD2 history, snapshot diff), plus the widest join
+    # tree in the suite (TPC-H Q5) and the map-only winnowing pass
     "merge_upsert_customer_balance",
     "events_scd2_history",
     "snapshot_diff_customers",
+    "q5_local_supplier_volume",
+    "text_winnow_fingerprints",
 ]
 
 

@@ -189,6 +189,92 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8   # character k-gram length
+WINNOW_W = 4   # window: one fingerprint selected per W consecutive grams
+# min over (hash, rightmost position) as ONE lexicographic key: md5 hex
+# is fixed-width lowercase, so string min == 128-bit value min, and
+# appending zero-padded (10^9 − pos) makes ties resolve to the largest
+# position — the paper's "rightmost minimal hash" rule — in a single
+# MIN aggregate both engines evaluate identically.
+_POS_BASE = 1_000_000_000
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, t.i AS pos,
+               md5(substring(text, t.i, {WINNOW_K}))
+                 || lpad(CAST({_POS_BASE} - t.i AS VARCHAR), 10, '0') AS key,
+               greatest(len(text) - {WINNOW_K} + 1, 0) AS n
+        FROM documents, LATERAL unnest(generate_series(
+            1, greatest(len(text) - {WINNOW_K} + 1, 0))) AS t(i)
+    ),
+    wins AS (
+        SELECT doc_id, pos, n,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {WINNOW_W - 1} FOLLOWING) AS sk
+        FROM g
+    )
+    SELECT DISTINCT doc_id,
+           CAST({_POS_BASE} - CAST(substring(sk, 33, 10) AS BIGINT) AS BIGINT)
+             AS pos,
+           substring(sk, 1, 16) AS fp
+    FROM wins WHERE pos <= n - {WINNOW_W} + 1
+    """,
+    tags=("textstats", "dedup", "fingerprint"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character 8-gram, slide
+    a window of 4 consecutive hashes, keep the minimal hash per window
+    (rightmost on ties), emit the distinct (position, fingerprint)
+    pairs per document. The selection guarantee: any substring match of
+    length ≥ w + k − 1 between two documents shares at least one
+    selected fingerprint — local fingerprinting with a DENSITY
+    guarantee (≈ 2/(w+1) of grams selected), which plain "every i-th
+    hash" or "hashes ≡ 0 mod p" schemes don't give. Complements the
+    fingerprint family: text_fingerprint is one rolling hash per doc,
+    this is the position-anchored set plagiarism/overlap detectors
+    join on.
+
+    Scale shape: strictly MAP-ONLY, zero exchanges — grams, window
+    minima, tie-breaks, AND the output dedup are array expressions
+    inside one row (array_distinct over the ≈ 2n/(w+1) selected keys;
+    the ~|text| gram stream never explodes through a shuffle). The
+    rightmost-min tie-break folds into a single lexicographic
+    array_min over slice() windows via the key encoding above (md5 hex
+    ∥ zero-padded 10⁹−pos) — no struct comparators, so the whole pass
+    stays in whole-stage codegen. Documents shorter than k + w − 1
+    chars emit nothing (below the guarantee threshold — the paper's
+    contract, documented rather than padded)."""
+    d = load_table(spark, sf_dir, "documents")
+    # (md5(gram) ∥ pad(POS_BASE − i)) per position; substring needs a
+    # Column start index inside the lambda — F.expr keeps it terse
+    keys = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {WINNOW_K} + 1, 0)),"
+        f" i -> md5(substring(text, i, {WINNOW_K}))"
+        f"      || lpad(cast({_POS_BASE} - i as string), 10, '0'))")
+    sel = F.expr(
+        f"transform(sequence(1, size(ks) - {WINNOW_W} + 1),"
+        f" j -> array_min(slice(ks, j, {WINNOW_W})))")
+    return (
+        d.select("doc_id", keys.alias("ks"))
+        .where(F.size("ks") >= WINNOW_W)
+        .select("doc_id", F.explode(F.array_distinct(sel)).alias("sk"))
+        .select(
+            "doc_id",
+            (F.lit(_POS_BASE)
+             - F.substring("sk", 33, 10).cast("long")).alias("pos"),
+            F.substring("sk", 1, 16).alias("fp"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Good-Turing frequency spectrum (count-of-counts)
 # ---------------------------------------------------------------------------
 

@@ -747,6 +747,139 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q5 (local supplier volume): 6-table star join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation for 1996
+    orders where the customer and the line's supplier sit in the SAME
+    Asian nation — the canonical 6-table star join and the widest join
+    tree in the suite (customer ⨝ orders ⨝ lineitem ⨝ supplier ⨝
+    nation ⨝ region with a cross-dimension equality c_nationkey =
+    s_nationkey).
+
+    Plan shape at 100 TB: the date predicate pushes into the orders
+    scan (one year ≈ 1/7 of the fact) and region's filter prunes
+    nation to 5 rows BEFORE anything joins — nation⨝region broadcast
+    as constant-size dims, so customer and supplier are each reduced
+    by the nation semi-condition early. The two SF-linear sides
+    (customer, supplier) are NOT force-broadcast (the
+    join_revenue_by_nation rule: AQE picks broadcast under threshold,
+    sort-merge above). The same-nation constraint rides the supplier
+    join as a residual equality, never a post-join filter over a wider
+    product. Revenue is the exact-decimal chain (registry rules) cast
+    to double only at the end."""
+    from .registry import one_minus_rate
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # constant-size dims, pre-joined and broadcast: 5 Asian nations
+    dims = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .where(F.col("r_name") == "ASIA")
+            .select("n_nationkey", "n_name"))
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(money("l_extendedprice") * one_minus_rate("l_discount"))
+             .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 (large-volume customers): having-filtered semi join
+# ---------------------------------------------------------------------------
+
+Q18_QTY = 300
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY})
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "agg", "ranking"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the 100 biggest orders whose
+    total line quantity exceeds Q18_QTY (300) units, with their
+    customers — the canonical HAVING-subquery-into-semi-join benchmark.
+
+    Plan shape at 100 TB: the qualifying-order set comes from one
+    map-side-combined groupBy over (l_orderkey, quantity) — column
+    pruning keeps the pre-aggregation scan to two columns — and is
+    LEFT SEMI joined back (the IN subquery's relational form: no row
+    multiplication, AQE can broadcast the qualifying keys since the
+    >300 filter is ~1e-4 selective). Only then do the surviving
+    lineitems re-aggregate and join orders/customer, so the expensive
+    side of the plan runs on the filtered fact. Top-100 is a
+    TakeOrderedAndProject with a deterministic (price, orderkey)
+    tie-break — no global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("q"))
+           .where(F.col("q") > Q18_QTY)
+           .select("l_orderkey"))
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUSUM change-point detection on event volume
 # ---------------------------------------------------------------------------
 

@@ -159,6 +159,82 @@ def test_jaccard_prefix_plan_has_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_winnowing_matches_python_replay_and_guarantee(spark, sf_dir):
+    """Winnowing vs a plain-Python replay of the paper's algorithm
+    (hash every k-gram, per window of w keep the minimal hash with
+    rightmost tie-break, dedup), plus the density/coverage guarantee:
+    every window of w consecutive gram positions contains at least one
+    SELECTED position — the property that makes any match of length
+    ≥ w + k − 1 detectable."""
+    import hashlib
+
+    from jira_scraper_etl_spark.plans.setsim_ops import WINNOW_K, WINNOW_W
+
+    out = plans.QUERIES["text_winnow_fingerprints"].fn(spark, sf_dir)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    n_checked = 0
+    for d in docs:
+        n = len(d.text) - WINNOW_K + 1
+        if n < WINNOW_W:
+            assert d.doc_id not in got
+            continue
+        hs = [hashlib.md5(d.text[i:i + WINNOW_K].encode()).hexdigest()
+              for i in range(n)]
+        want = set()
+        for j in range(n - WINNOW_W + 1):
+            best = j
+            for p in range(j, j + WINNOW_W):
+                if hs[p] <= hs[best]:  # <= : rightmost minimal
+                    best = p
+            want.add((best + 1, hs[best][:16]))  # 1-based positions
+        assert got.get(d.doc_id) == want, d.doc_id
+        sel_pos = sorted(p for p, _ in want)
+        for a, b in zip(sel_pos, sel_pos[1:]):
+            assert b - a <= WINNOW_W  # coverage: no unselected window
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_q18_semi_join_and_threshold(spark, sf_dir):
+    """Q18: every returned order's total quantity exceeds the
+    threshold, the set equals the brute-force qualifying set (up to the
+    LIMIT), and the plan uses a LEFT SEMI join for the IN subquery with
+    a TakeOrdered top-k (no global sort)."""
+    from jira_scraper_etl_spark.plans.warehouse_ops import Q18_QTY
+
+    out = plans.QUERIES["q18_large_volume_customers"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.total_qty > Q18_QTY for r in rows)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = {r.l_orderkey for r in
+            li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+            .where(F.col("q") > Q18_QTY).collect()}
+    got = {r.o_orderkey for r in rows}
+    assert got <= want
+    assert len(rows) == min(100, len(want))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_plan_broadcasts_dims_only(spark, sf_dir):
+    """Q5: nation/region broadcast; the same-nation condition rides the
+    supplier join (no post-join cartesian residue); date pushes to the
+    orders scan."""
+    df = plans.QUERIES["q5_local_supplier_volume"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l and "GreaterThanOrEqual" in l
+               for l in scans)
+
+
 def test_count_of_counts_conserves_tokens_and_vocab(spark, sf_dir):
     rows = sorted(
         plans.QUERIES["ngram_count_of_counts"].fn(spark, sf_dir).collect(),
