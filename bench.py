@@ -84,6 +84,7 @@ def main() -> int:
             plans.QUERIES["q1_pricing_summary"].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    refused: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = plans.QUERIES[name].fn
@@ -92,22 +93,34 @@ def main() -> int:
         # swing on unchanged queries); the median is robust to one
         # outlier in either direction without the minimum's bias
         runs, n = [], 0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+        except ValueError as e:
+            # an operator REFUSING a regime (dedup_jaccard_prefix's
+            # candidate-volume guard on low-entropy corpora at the soak
+            # decades) is a documented routing decision, not a bench
+            # crash — record it and keep the suite comparable
+            refused[name] = str(e).split(" — ")[0]
+            print(f"# {name}: refused ({refused[name]})", file=sys.stderr)
+            continue
         dt = round(sorted(runs)[1], 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if refused:
+        out["refused"] = refused
+    print(json.dumps(out))
     spark.stop()
     return 0
 

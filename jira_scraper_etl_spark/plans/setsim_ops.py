@@ -21,7 +21,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
 from ..functions import hashing as H
-from ..operators.fanout import LIGHT, fan_out
+from ..operators.fanout import HEAVY, LIGHT, fan_out
 from .llm_ops import SQL_SHINGLES, SQL_TOKS
 from .registry import register
 
@@ -242,17 +242,28 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the position-anchored set plagiarism/overlap detectors
     join on.
 
-    Scale shape: strictly MAP-ONLY, zero exchanges — grams, window
-    minima, tie-breaks, AND the output dedup are array expressions
-    inside one row (array_distinct over the ≈ 2n/(w+1) selected keys;
-    the ~|text| gram stream never explodes through a shuffle). The
-    rightmost-min tie-break folds into a single lexicographic
-    array_min over slice() windows via the key encoding above (md5 hex
-    ∥ zero-padded 10⁹−pos) — no struct comparators, so the whole pass
-    stays in whole-stage codegen. Documents shorter than k + w − 1
-    chars emit nothing (below the guarantee threshold — the paper's
-    contract, documented rather than padded)."""
-    d = load_table(spark, sf_dir, "documents")
+    Scale shape: MAP-ONLY after one conditional fan-out — grams,
+    window minima, tie-breaks, AND the output dedup are array
+    expressions inside one row (array_distinct over the ≈ 2n/(w+1)
+    selected keys; the ~|text| gram stream never explodes through a
+    shuffle). The fan_out seam matters here more than anywhere: the
+    per-row work is ~|text| md5 calls, so a single-file scan whose row
+    groups land in one task serializes the whole corpus — measured at
+    the sf10 decade as a 13-of-14-tasks-idle straggler running ~10 min
+    while the balanced form takes seconds (round-3 finding 5, same fix
+    as dedup_span_exact). The rightmost-min tie-break folds into a
+    single lexicographic array_min over slice() windows via the key
+    encoding above (md5 hex ∥ zero-padded 10⁹−pos) — no struct
+    comparators, so the whole pass stays in whole-stage codegen.
+    Documents shorter than k + w − 1 chars emit nothing (below the
+    guarantee threshold — the paper's contract, documented rather than
+    padded)."""
+    # HEAVY preset: one md5 per character position is cryptographic-
+    # hash-per-token-class work (~5-10 s/MB single-core), so fan out
+    # beyond toy scale — measured 4.9 s single-task vs sub-second
+    # fanned at sf0.1's 0.6 MB corpus
+    d = fan_out(load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text"), HEAVY)
     # (md5(gram) ∥ pad(POS_BASE − i)) per position; substring needs a
     # Column start index inside the lambda — F.expr keeps it terse
     keys = F.expr(
@@ -262,9 +273,18 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = F.expr(
         f"transform(sequence(1, size(ks) - {WINNOW_W} + 1),"
         f" j -> array_min(slice(ks, j, {WINNOW_W})))")
+    # the short-doc gate MUST be the cheap length predicate, not
+    # size(ks) >= w: filtering on the computed column makes Catalyst
+    # inline the entire md5 gram pipeline into the Filter and push it
+    # into the SCAN stage as a DataFilter — below the fan-out exchange,
+    # so the whole corpus's hashing ran twice, once serialized in the
+    # scan's straggler task (measured: 682 s at sf10 vs 8 s fixed).
+    # length(text) ≥ k + w − 1 ⇔ size(ks) ≥ w, and it also keeps
+    # sequence(1, size−w+1) ascending (sequence(1, 0) is DESCENDING in
+    # Spark — bogus windows, not an empty array).
     return (
-        d.select("doc_id", keys.alias("ks"))
-        .where(F.size("ks") >= WINNOW_W)
+        d.where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", keys.alias("ks"))
         .select("doc_id", F.explode(F.array_distinct(sel)).alias("sk"))
         .select(
             "doc_id",

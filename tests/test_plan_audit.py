@@ -57,6 +57,42 @@ def test_row_python_outside_allowlist_is_a_violation():
     assert not flags and not violations
 
 
+def test_hof_scan_filter_detected_and_flagged(spark):
+    """The round-8 straggler class: a filter on a HOF-computed column
+    gets inlined into the scan's DataFilters (duplicate serialized
+    work). Both the extraction (a synthetic plan built exactly that
+    way) and the violation rule must fire; the clean formulation —
+    filtering the source column — must not."""
+    import pyspark.sql.functions as F
+
+    def bad(s, d):
+        df = s.read.parquet(f"{d}/documents.parquet")
+        toks = df.select(
+            "doc_id",
+            F.expr("transform(sequence(1, length(text)), i -> md5(text))")
+            .alias("ks"))
+        return toks.where(F.size("ks") > 3)
+
+    feats = PA.audit_one(spark, "synthetic_bad", bad,
+                         "/root/testdata/sf0.001")
+    assert feats["hof_scan_filter"] >= 1
+    flags, violations = PA.check_features(
+        "synthetic_bad", {"nested_loop": 0, "py_eval": 0,
+                          "hof_scan_filter": 1})
+    assert "HOF-SCAN-FILTER" in flags and violations
+
+    def good(s, d):
+        df = s.read.parquet(f"{d}/documents.parquet")
+        return df.where(F.length("text") > 3).select(
+            "doc_id",
+            F.expr("transform(sequence(1, length(text)), i -> md5(text))")
+            .alias("ks"))
+
+    feats = PA.audit_one(spark, "synthetic_good", good,
+                         "/root/testdata/sf0.001")
+    assert feats["hof_scan_filter"] == 0
+
+
 def test_every_waiver_names_a_live_registry_entry():
     """Stale-waiver rule, asserted directly against today's registry:
     every allowlisted name must exist and carry a known tag."""

@@ -206,6 +206,50 @@ def test_signlsh_ann_recall_at_scale(spark, tmp_path):
         assert cos >= 0.99, (q, cos)
 
 
+def test_winnowing_sampled_replay_at_scale(spark):
+    """text_winnow_fingerprints at the soak decade: the full-result
+    oracle compare is harness-impractical at sf10 (58M fingerprint rows
+    exceed the driver collect budget — the dedup_simhash finding-4
+    class), so correctness is pinned the scale-sound way: the engine's
+    output FILTERED to a 200-doc sample (predicate pushed to the join,
+    never a driver collect of the corpus result) must equal a plain-
+    Python replay of the paper's algorithm on those docs, and global
+    invariants (positions ≥ 1, 16-hex fingerprints) hold on an
+    aggregate pass."""
+    import hashlib
+
+    from jira_scraper_etl_spark.plans.setsim_ops import WINNOW_K, WINNOW_W
+
+    out = plans.QUERIES["text_winnow_fingerprints"].fn(spark, SF1)
+    sample_ids = list(range(0, 2000, 10))  # 200 copy-0 docs
+    got = {}
+    for r in out.where(F.col("doc_id").isin(sample_ids)).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    docs = (spark.read.parquet(f"{SF1}/documents.parquet")
+            .where(F.col("doc_id").isin(sample_ids))
+            .select("doc_id", "text").collect())
+    assert docs
+    for d in docs:
+        n = len(d.text) - WINNOW_K + 1
+        if n < WINNOW_W:
+            assert d.doc_id not in got
+            continue
+        hs = [hashlib.md5(d.text[i:i + WINNOW_K].encode()).hexdigest()
+              for i in range(n)]
+        want = set()
+        for j in range(n - WINNOW_W + 1):
+            best = j
+            for p in range(j, j + WINNOW_W):
+                if hs[p] <= hs[best]:
+                    best = p
+            want.add((best + 1, hs[best][:16]))
+        assert got.get(d.doc_id) == want, d.doc_id
+    bad = out.where(
+        (F.col("pos") < 1) | (F.length("fp") != 16)
+        | ~F.col("fp").rlike("^[0-9a-f]{16}$")).count()
+    assert bad == 0
+
+
 JACCARD_SOAK_CAP = 100_000
 
 

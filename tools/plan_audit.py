@@ -63,6 +63,26 @@ ALLOWED_NESTED_LOOP = {
 ALLOWED_ROW_PYTHON = {"jira_qa_pairs_udtf"}
 
 
+def _hof_scan_filters(plan: str) -> int:
+    """Count scans whose DataFilters embed a higher-order-function
+    expression — the round-8 winnowing straggler class: filtering on a
+    column computed by a HOF projection makes Catalyst inline the whole
+    pipeline into the Filter and push it into the SCAN stage, below any
+    fan-out exchange, so the expensive map work runs TWICE with one
+    copy serialized into however few splits the file has (measured
+    682 s → 49 s at sf10 when the filter became a cheap source-column
+    predicate). Markers cover the plan's spelling even after DataFilters
+    truncation ('lambdafun...')."""
+    n = 0
+    for line in plan.splitlines():
+        if "DataFilters:" not in line:
+            continue
+        seg = line.split("DataFilters:", 1)[1].split("Format:", 1)[0]
+        if re.search(r"lambdafun|transform\(|aggregate\(|zip_with\(", seg):
+            n += 1
+    return n
+
+
 def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
     df = fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -77,6 +97,7 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
         "py_eval": len(re.findall(r"BatchEvalPython", plan)),
         "arrow_py": len(re.findall(
             r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
+        "hof_scan_filter": _hof_scan_filters(plan),
     }
     return feats
 
@@ -95,6 +116,13 @@ def check_features(name: str, f: dict) -> tuple[list[str], list[str]]:
     if f["py_eval"] and name not in ALLOWED_ROW_PYTHON:
         flags.append("ROW-PYTHON-UDF")
         violations.append(f"{name}: row-at-a-time Python UDF in plan")
+    if f.get("hof_scan_filter"):
+        flags.append("HOF-SCAN-FILTER")
+        violations.append(
+            f"{name}: higher-order-function expression inside a scan's "
+            f"DataFilters — the computed-column filter was inlined and "
+            f"pushed below the fan-out exchange (serialized duplicate "
+            f"work; filter on the source column instead)")
     return flags, violations
 
 
