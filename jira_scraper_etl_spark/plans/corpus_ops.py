@@ -177,8 +177,13 @@ def span_dedup(d: DataFrame) -> DataFrame:
     # does a sub-MB input where the single-task pass beats the shuffle
     # (0.44 s vs 1.13 s at sf0.1 — the round-3 bench regression).
     toks = H.word_tokens(F.col("text"))
-    t = (fan_out(d.select("doc_id", toks.alias("toks")), LIGHT)
-         .where(F.size("toks") > 0))
+    # the no-empty-docs gate is the CHEAP source predicate (has a
+    # non-whitespace char <=> word_tokens nonempty, nulls drop both
+    # ways): filtering on size(toks) made Catalyst inline the tokenize
+    # HOF into the scan's DataFilters below the fan-out exchange —
+    # duplicate work with one copy serialized (HOF-SCAN-FILTER)
+    t = fan_out(d.where(F.col("text").rlike(r"\S"))
+                .select("doc_id", toks.alias("toks")), LIGHT)
     n_chunks = F.ceil(F.size("toks") / F.lit(float(SPAN))).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -971,8 +976,13 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = H.word_tokens(F.col("text"))
-    t = (fan_out(d.select("doc_id", toks.alias("toks")), LIGHT)
-         .where(F.size("toks") > 0))
+    # the no-empty-docs gate is the CHEAP source predicate (has a
+    # non-whitespace char <=> word_tokens nonempty, nulls drop both
+    # ways): filtering on size(toks) made Catalyst inline the tokenize
+    # HOF into the scan's DataFilters below the fan-out exchange —
+    # duplicate work with one copy serialized (HOF-SCAN-FILTER)
+    t = fan_out(d.where(F.col("text").rlike(r"\S"))
+                .select("doc_id", toks.alias("toks")), LIGHT)
     n_chunks = F.when(
         F.size("toks") <= CHUNK_TOKENS, F.lit(1)
     ).otherwise(

@@ -385,7 +385,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("toks", 2, F.greatest(k - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    bg_counts = (toks.where(k >= 2)
+    # no k >= 2 gate: bigrams is total (slice/greatest makes it empty
+    # below 2 tokens, and explode of an empty array emits nothing), and
+    # the computed-size filter was a HOF-SCAN-FILTER hazard
+    bg_counts = (toks
                  .select("doc_id", F.explode(bigrams).alias("b"))
                  .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c")))
     bstats = bg_counts.groupBy("doc_id").agg(

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
 from ..functions import hashing as H
@@ -444,8 +445,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
         bits = EMB_DIM // bands
     elif bands is None:
         bands = EMB_DIM // bits
+    # persisted seam (the minhash-shingle pattern): three consumers
+    # (band keys, verify side a, verify side b) would re-run the
+    # quantize HOF per consumer — and the n2 join key's inferred
+    # isnotnull would re-inline the HOF into the scan's DataFilters
+    # (plan-audit HOF-SCAN-FILTER class); the cache materializes both
     base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
-            .withColumn("n2", V.qnorm2(F.col("q"))))
+            .withColumn("n2", V.qnorm2(F.col("q")))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    base.count()
     cand = emb_candidates(base, bands, bits)
     a, b = base.alias("a"), base.alias("b")
     cos = (V.qdot(F.col("a.q"), F.col("b.q")).cast("double")
@@ -479,8 +487,12 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic so recall of the banded operator is measurable; at scale
     this form only ever runs inside LSH buckets, never globally."""
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    # persisted seam: both join sides consume q (and the cache keeps
+    # the n2 key's inferred isnotnull off the scan — HOF-SCAN-FILTER)
     q = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
-    q = q.withColumn("n2", V.qnorm2(F.col("q")))
+    q = q.withColumn("n2", V.qnorm2(F.col("q"))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    q.count()
     a, b = q.alias("a"), q.alias("b")
     cos = (V.qdot(F.col("a.q"), F.col("b.q")).cast("double")
            / (F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))))
@@ -779,8 +791,12 @@ def similarity_ann_mllsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     e = load_table(spark, sf_dir, "embeddings")
+    # persisted seam: fit + query side + corpus side all consume vecs
+    # (and it keeps the inferred isnotnull(features) HOF off the scan)
     vecs = e.select("vec_id", array_to_vector(
-        F.transform("embedding", lambda x: x.cast("double"))).alias("features"))
+        F.transform("embedding", lambda x: x.cast("double"))).alias("features")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
     lsh = BucketedRandomProjectionLSH(inputCol="features", outputCol="hashes",
                                       bucketLength=2.0, numHashTables=3, seed=42)
     model = lsh.fit(vecs)
@@ -1330,8 +1346,13 @@ def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
     e = load_table(spark, sf_dir, "embeddings")
     if bits is None:
         _, bits = derive_banding(e.count())
+    # persisted seam: key build + both verify sides consume base (see
+    # dedup_embedding_cosine — also keeps the n2 join key's inferred
+    # isnotnull off the scan's DataFilters)
     base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
-            .withColumn("n2", V.qnorm2(F.col("q"))))
+            .withColumn("n2", V.qnorm2(F.col("q")))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    base.count()
     # The hash-table materialization seam: the packed band keys are
     # checkpointed so the hyperplane arithmetic runs exactly once —
     # this is the LSH "build the tables" step; at warehouse scale it is

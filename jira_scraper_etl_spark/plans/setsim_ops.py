@@ -109,9 +109,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
     # expensive map stage and has two consumers (prefix pipeline,
     # verify arrays) — materialize it once (the text_tfidf_topk
     # pattern; Catalyst won't reuse the subtree across branches).
+    # no size(sh) gate: word_shingles is total — every doc (null and
+    # empty text included) yields >= 1 shingle, so the old
+    # where(size(sh) > 0) was a no-op that Catalyst inlined into the
+    # scan's DataFilters (HOF-SCAN-FILTER class, duplicate serialized
+    # shingling)
     docs = (fan_out(d.select("doc_id", H.word_shingles(F.col("text"), 3)
                              .alias("sh")), LIGHT)
-            .where(F.size("sh") > 0)
             .select("doc_id",
                     F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
             .persist(StorageLevel.MEMORY_AND_DISK))

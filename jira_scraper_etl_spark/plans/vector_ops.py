@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
+from ..operators.fanout import LIGHT, fan_out
 from .registry import register
 
 # Shared oracle CTE: per-dimension calibration + int8 codes. Kept as a
@@ -427,7 +428,15 @@ def _km_assign(q_df: DataFrame, cents: list) -> DataFrame:
       py4j conversion PER ITERATION (measured), pure driver overhead.
 
     The argmin is array_min over (d2, cid) structs = ties to the
-    lowest cluster id."""
+    lowest cluster id.
+
+    This expression path is the ORACLE-PARITY SPEC and the
+    differential twin; the registered operator assigns via
+    _km_assign_arrow (one numpy int64 matmul per Arrow batch) because
+    higher-order functions evaluate INTERPRETED in Spark — k×dim
+    lambda evaluations per row made assignment the whole cost of the
+    operator at the sf10 decade (53 s, ~1.5G interpreted expression
+    evals across 5 passes; the rp_band_key_table lesson again)."""
     arr = "array(" + ",".join(
         "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
         for c in cents) + ")"
@@ -440,6 +449,44 @@ def _km_assign(q_df: DataFrame, cents: list) -> DataFrame:
     return (q_df.withColumn("b", best)
             .withColumn("cluster", F.col("b.cid"))
             .withColumn("d2", F.col("b.d2")).drop("b"))
+
+
+def _km_assign_arrow(q_df: DataFrame, cents: list) -> DataFrame:
+    """Assignment as ONE numpy int64 matmul per Arrow batch —
+    bit-identical to the _km_assign expression spec (all-integer:
+    d2 = ||q||² − 2·q·Cᵀ + ||c||² in int64, argmin's first-minimum
+    rule = ties to the lowest cluster id, exactly array_min's struct
+    order), differential-tested against it.
+
+    Why: Spark evaluates higher-order functions interpreted, so the
+    expression assignment costs k×dim lambda evaluations per row —
+    measured as ~all of the operator's 53 s at the sf10 decade
+    (200k vectors × 8×64 × 5 passes). The BLAS-shaped product is the
+    documented let-numpy-do-the-matmul exception (rp_band_key_table
+    precedent); q rides through the batch so the centroid-update
+    aggregation keeps its map-side-combined JVM path."""
+    import numpy as np
+
+    C = np.array(cents, dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d = (Q * Q).sum(axis=1, keepdims=True) - 2 * (Q @ C.T) + c2
+            cid = d.argmin(axis=1)  # first min = lowest cluster id
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "q": pdf["q"].to_numpy(),
+                "cluster": cid.astype("int32"),
+                "d2": d[np.arange(len(Q)), cid]})
+
+    return q_df.select("vec_id", "q").mapInPandas(
+        gen, "vec_id bigint, q array<bigint>, cluster int, d2 bigint")
 
 
 @register("embedding_kmeans_exact", oracle=_km_oracle(),
@@ -455,19 +502,29 @@ def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine. Deterministic seeding: the first k vectors are the
     initial centroids.
 
-    Scale shape per iteration: assignment is map-only against a k×dim
-    model literal (one referenced ArrayData — no crossJoin row blowup,
-    and an iteration-invariant plan so codegen compiles once, see
-    _km_assign); the update is ONE map-side-combined
-    aggregation to k×(dim+1) longs; the k×64-int model state lives on
-    the driver between iterations (the dedup_cluster_canonical /
-    bpe_learn_merges bounded-driver-state pattern). The oracle replays
-    the same algorithm as chained CTEs with an explicit cross join —
-    fine at oracle scale, deliberately not the engine plan."""
+    Scale shape per iteration: assignment is map-only against the
+    k×dim broadcast-in-closure model — one numpy int64 matmul per
+    Arrow batch (_km_assign_arrow; the interpreted-HOF expression spec
+    _km_assign remains as the differential twin — it cost 53 s at the
+    sf10 decade where the matmul costs ~8 s); the update is ONE
+    map-side-combined aggregation to k×(dim+1) longs; the k×64-int
+    model state lives on the driver between iterations (the
+    dedup_cluster_canonical / bpe_learn_merges bounded-driver-state
+    pattern). The oracle replays the same algorithm as chained CTEs
+    with an explicit cross join — fine at oracle scale, deliberately
+    not the engine plan."""
     from ..functions import vectors as V
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    # fan out BEFORE the persist: the cache inherits its partitioning
+    # from the scan, and the sf10 embeddings file's row-group layout
+    # put ~all rows in 1 of 13 splits — every one of the 5 Lloyd
+    # passes then ran its matmul+agg in a single straggler task
+    # (measured 15.8 s; balanced 5.5 s). One shuffle of the quantized
+    # rows buys 5 balanced cached passes.
+    q = (fan_out(e.select("vec_id",
+                          V.quantize(F.col("embedding")).alias("q")),
+                 LIGHT)
          .persist())
     # the seed collect scans (and therefore fills) the whole cache —
     # no separate count() job needed
@@ -484,7 +541,7 @@ def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return abs(s) // n * (1 if s >= 0 else -1)
 
     for _ in range(KM_ITERS):
-        a = _km_assign(q, cents)
+        a = _km_assign_arrow(q, cents)
         rows = {r.cluster: r
                 for r in a.groupBy("cluster").agg(*agg_cols).collect()}
         cents = [
@@ -492,6 +549,6 @@ def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              for i in range(KM_DIM)] if cid in rows else cents[cid]
             for cid in range(KM_K)
         ]
-    out = _km_assign(q, cents).select("vec_id", "cluster", "d2")
+    out = _km_assign_arrow(q, cents).select("vec_id", "cluster", "d2")
     q.unpersist()
     return out

