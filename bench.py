@@ -66,6 +66,37 @@ HEADLINE = [
 ]
 
 
+def run_suite(spark, sf_dir: str,
+              headline: list[str]) -> tuple[dict, dict]:
+    """Measure each headline query (median-of-3: single measurements
+    swing ~30% run-to-run on a shared machine — BENCH_r02→r03 showed a
+    1.45× driver-to-driver swing on unchanged queries; the median is
+    robust to one outlier without the minimum's bias). An operator
+    REFUSING a regime with ValueError (dedup_jaccard_prefix's
+    candidate-volume guard on low-entropy corpora at the soak decades)
+    is a documented routing decision, not a bench crash — it lands in
+    the returned ``refused`` dict and the rest of the suite still
+    measures."""
+    timings: dict[str, float] = {}
+    refused: dict[str, str] = {}
+    for name in headline:
+        fn = plans.QUERIES[name].fn
+        runs, n = [], 0
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+        except ValueError as e:
+            refused[name] = str(e).split(" — ")[0]
+            print(f"# {name}: refused ({refused[name]})", file=sys.stderr)
+            continue
+        dt = round(sorted(runs)[1], 3)
+        timings[name] = dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    return timings, refused
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -83,37 +114,10 @@ def main() -> int:
         except Exception:
             plans.QUERIES["q1_pricing_summary"].fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    refused: dict[str, str] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = plans.QUERIES[name].fn
-        # median-of-3: single measurements swing ~30% run-to-run on a
-        # shared machine (BENCH_r02→r03 showed a 1.45× driver-to-driver
-        # swing on unchanged queries); the median is robust to one
-        # outlier in either direction without the minimum's bias
-        runs, n = [], 0
-        try:
-            for _ in range(3):
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                runs.append(time.perf_counter() - t0)
-        except ValueError as e:
-            # an operator REFUSING a regime (dedup_jaccard_prefix's
-            # candidate-volume guard on low-entropy corpora at the soak
-            # decades) is a documented routing decision, not a bench
-            # crash — record it and keep the suite comparable
-            refused[name] = str(e).split(" — ")[0]
-            print(f"# {name}: refused ({refused[name]})", file=sys.stderr)
-            continue
-        dt = round(sorted(runs)[1], 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-
+    timings, refused = run_suite(spark, sf_dir, HEADLINE)
     out = {
         "metric": "headline_suite_wall_clock",
-        "value": round(total, 3),
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -28,6 +28,33 @@ def test_bench_emits_single_json_line_on_stdout():
     assert all(v >= 0 for v in payload["queries"].values())
 
 
+def test_run_suite_records_refusals_without_losing_the_rest(spark):
+    """An operator refusing a regime (the jaccard candidate-volume
+    guard at the soak decades) must land in the refused dict while
+    every other headline query still measures — the contract that kept
+    the sf10 bench row recordable."""
+    import bench
+
+    timings, refused = bench.run_suite(
+        spark, "/root/testdata/sf0.001",
+        ["q1_pricing_summary", "dedup_jaccard_prefix"])
+    assert "q1_pricing_summary" in timings and not refused
+
+    from jira_scraper_etl_spark import plans
+    q = plans.QUERIES["dedup_jaccard_prefix"]
+    orig = q.fn
+    try:
+        q.fn = lambda s, d: orig(s, d, max_candidates=1)
+        timings, refused = bench.run_suite(
+            spark, "/root/testdata/sf0.001",
+            ["q1_pricing_summary", "dedup_jaccard_prefix"])
+    finally:
+        q.fn = orig
+    assert "q1_pricing_summary" in timings
+    assert "dedup_jaccard_prefix" in refused
+    assert "candidate volume" in refused["dedup_jaccard_prefix"]
+
+
 def test_every_registry_output_survives_driver_canonicalization(spark, sf_dir):
     """The external correctness harness canonicalizes each query's
     output by pandas-sorting over ALL columns before hashing typed
