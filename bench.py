@@ -63,6 +63,7 @@ HEADLINE = [
     "snapshot_diff_customers",
     "q5_local_supplier_volume",
     "text_winnow_fingerprints",
+    "customer_rfm_segments",
 ]
 
 

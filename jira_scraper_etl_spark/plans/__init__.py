@@ -31,9 +31,10 @@ from . import event_time  # noqa: F401,E402
 _PRIORITY = [
     # -- Entries #1-50: the round-8 correctness window. ------------------
     # New this round (all oracle-backed): the winnowing/MOSS fingerprint
-    # selector and the TPC-H Q5/Q18 join flagships.
+    # selector, the TPC-H Q5/Q18 join flagships, and the RFM customer
+    # segmentation pass.
     "text_winnow_fingerprints", "q5_local_supplier_volume",
-    "q18_large_volume_customers",
+    "q18_large_volume_customers", "customer_rfm_segments",
     # Changed this round: similarity_ann_signlsh rewritten as derived-
     # parameter multi-table RP ANN (RESULTS CHANGED — needs the freshest
     # signal); dedup_jaccard_prefix gained the candidate-volume guard
@@ -67,9 +68,10 @@ _PRIORITY = [
     "mm_decode_meta", "mm_byte_stats", "mm_resize_plan",
     "mm_frame_sample",
     "events_attribution_1h", "dedup_pairs_edit_distance",
-    "text_fingerprint", "text_pii_redact", "text_length_percentiles",
-    "split_train_test",  # entry #50 — last slot inside the window
+    "text_fingerprint", "text_pii_redact",
+    "text_length_percentiles",  # entry #50 — last slot inside the window
     # -- Entries #51+: past the 50-entry window. -------------------------
+    "split_train_test",
     "sample_stratified", "pack_sequences", "sample_mixture_weights",
     # The round-7 window (driver-hashed in r7, the freshest green on
     # record) yields all its slots to the r6-stale families above.

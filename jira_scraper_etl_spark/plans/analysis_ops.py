@@ -885,3 +885,101 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("b").alias("bin_bytes"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+# Deterministic quintile: 1 + 5·(rank−1) div n over a total order with
+# an id tie-break — pure integer arithmetic both engines compute
+# identically (SQL NTILE's remainder distribution differs subtly across
+# engines; this rank formula doesn't).
+_RFM_SEGMENT = """
+    CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+         WHEN f_score >= 4 THEN 'loyal'
+         WHEN m_score >= 4 THEN 'big_spender'
+         WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+         WHEN r_score <= 2 THEN 'hibernating'
+         ELSE 'casual' END
+"""
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH pc AS (
+        SELECT o_custkey AS c_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT CAST(max(o_orderdate) AS DATE)
+                          FROM orders)) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary_dec
+        FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT *, COUNT(*) OVER () AS n,
+               ROW_NUMBER() OVER (ORDER BY recency_days DESC, c_custkey)
+                 AS rn_r,
+               ROW_NUMBER() OVER (ORDER BY frequency, c_custkey) AS rn_f,
+               ROW_NUMBER() OVER (ORDER BY monetary_dec, c_custkey) AS rn_m
+        FROM pc
+    ),
+    sc AS (
+        SELECT c_custkey, recency_days, frequency,
+               CAST(CAST(monetary_dec AS VARCHAR) AS DOUBLE) AS monetary,
+               CAST(1 + (5 * (rn_r - 1)) // n AS INT) AS r_score,
+               CAST(1 + (5 * (rn_f - 1)) // n AS INT) AS f_score,
+               CAST(1 + (5 * (rn_m - 1)) // n AS INT) AS m_score
+        FROM s
+    )
+    SELECT *, {_RFM_SEGMENT} AS segment FROM sc
+    """,
+    tags=("warehouse", "window", "agg"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing-warehouse pass: per
+    customer, recency (days from their last order to the corpus's last
+    order), frequency (order count), monetary (exact-decimal lifetime
+    total), each scored into deterministic quintiles (1 + 5·(rank−1)
+    div n with a custkey tie-break — integer-exact in both engines,
+    unlike NTILE's engine-varying remainder placement), then a
+    rule-based segment label (champion / loyal / big_spender / at_risk
+    / hibernating / casual).
+
+    Scale shape: the fact table collapses to one row per customer in a
+    single map-side-combined aggregation BEFORE anything orders — all
+    three ranking windows run over the customer aggregate (dimension-
+    sized, the documented text_length_percentiles hazard class: at the
+    scale where even the aggregate outgrows a partition, swap the
+    ranks for approx_percentile boundary scoring — the winsorize
+    ``_approx``-twin pattern, clamp unchanged). The corpus max date is
+    a 1-row broadcast (tiny-build, the text_tfidf doc-count pattern);
+    recency/frequency/scores are all integers and monetary stays exact
+    DECIMAL until the final double cast, so the output hashes
+    identically cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    pc = (o.groupBy(F.col("o_custkey").alias("c_custkey"))
+          .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+               F.count(F.lit(1)).alias("frequency"),
+               F.sum(money("o_totalprice")).alias("monetary_dec")))
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+    base = (pc.join(F.broadcast(mx))
+            .select("c_custkey",
+                    F.datediff("mx", "last_order").alias("recency_days"),
+                    "frequency", "monetary_dec"))
+    wn = Window.partitionBy()
+    w_r = Window.orderBy(F.desc("recency_days"), "c_custkey")
+    w_f = Window.orderBy("frequency", "c_custkey")
+    w_m = Window.orderBy("monetary_dec", "c_custkey")
+    n = F.count(F.lit(1)).over(wn)
+    sc = base.select(
+        "c_custkey", "recency_days", "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        (1 + F.floor((5 * (F.row_number().over(w_r) - 1)) / n))
+        .cast("int").alias("r_score"),
+        (1 + F.floor((5 * (F.row_number().over(w_f) - 1)) / n))
+        .cast("int").alias("f_score"),
+        (1 + F.floor((5 * (F.row_number().over(w_m) - 1)) / n))
+        .cast("int").alias("m_score"))
+    return sc.withColumn("segment", F.expr(_RFM_SEGMENT))

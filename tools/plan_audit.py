@@ -56,6 +56,7 @@ ALLOWED_NESTED_LOOP = {
     "text_heavy_hitters_mg": ("tiny-build", 1),    # 1-row E budget
     "text_tfidf_topk": ("tiny-build", 1),          # 1-row doc count
     "dq_referential_integrity": ("tiny-build", 4),  # 4× 1-row n_child
+    "customer_rfm_segments": ("tiny-build", 1),    # 1-row corpus max date
 }
 
 # The UDTF differential twin exists precisely to exercise the Python
