@@ -13,6 +13,7 @@ import sys
 import time
 
 from jira_scraper_etl_spark import plans
+from jira_scraper_etl_spark.errors import RegimeRefused
 from jira_scraper_etl_spark.session import get_spark
 
 # Headline set: one per operator family — agg, join, window, event-time,
@@ -64,6 +65,13 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "text_winnow_fingerprints",
     "customer_rfm_segments",
+    # round-9 additions: the ANN path is the 100 TB similarity story —
+    # wall-clock-track it across decades (derived-parameter sign-LSH
+    # search + random-projection embedding near-dup), plus the
+    # correlated-subquery flagship (Catalyst decorrelation)
+    "similarity_ann_signlsh",
+    "dedup_embedding_cosine_rp",
+    "q17_small_qty_revenue",
 ]
 
 
@@ -73,11 +81,12 @@ def run_suite(spark, sf_dir: str,
     swing ~30% run-to-run on a shared machine — BENCH_r02→r03 showed a
     1.45× driver-to-driver swing on unchanged queries; the median is
     robust to one outlier without the minimum's bias). An operator
-    REFUSING a regime with ValueError (dedup_jaccard_prefix's
-    candidate-volume guard on low-entropy corpora at the soak decades)
-    is a documented routing decision, not a bench crash — it lands in
-    the returned ``refused`` dict and the rest of the suite still
-    measures."""
+    REFUSING a regime with RegimeRefused (dedup_jaccard_prefix's
+    candidate-volume guard with fallback disabled) is a documented
+    routing decision, not a bench crash — it lands in the returned
+    ``refused`` dict and the rest of the suite still measures. Only
+    that dedicated type is caught: a bare ValueError is a genuine bug
+    and must crash the run (ADVICE r8)."""
     timings: dict[str, float] = {}
     refused: dict[str, str] = {}
     for name in headline:
@@ -88,13 +97,18 @@ def run_suite(spark, sf_dir: str,
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
-        except ValueError as e:
+        except RegimeRefused as e:
             refused[name] = str(e).split(" — ")[0]
             print(f"# {name}: refused ({refused[name]})", file=sys.stderr)
-            continue
-        dt = round(sorted(runs)[1], 3)
-        timings[name] = dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        else:
+            dt = round(sorted(runs)[1], 3)
+            timings[name] = dt
+            print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # each fn() call builds FRESH DataFrames, so persist seams
+        # (minhash shingles, RP keys, …) accumulate three copies per
+        # query plus one per warm run (ADVICE r8) — drop them before
+        # the next query so a 38-query suite doesn't hoard memory
+        spark.catalog.clearCache()
     return timings, refused
 
 

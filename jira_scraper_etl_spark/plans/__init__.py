@@ -29,89 +29,87 @@ from . import event_time  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- Entries #1-50: the round-8 correctness window. ------------------
-    # New this round (all oracle-backed): the winnowing/MOSS fingerprint
-    # selector, the TPC-H Q5/Q18 join flagships, and the RFM customer
-    # segmentation pass.
-    "text_winnow_fingerprints", "q5_local_supplier_volume",
-    "q18_large_volume_customers", "customer_rfm_segments",
-    # Changed this round: similarity_ann_signlsh rewritten as derived-
-    # parameter multi-table RP ANN (RESULTS CHANGED — needs the freshest
-    # signal); dedup_jaccard_prefix gained the candidate-volume guard
-    # (results unchanged, code path changed); dedup_embedding_cosine_rp's
-    # oracle refactored onto the shared SQL_RP_KEYS CTEs (results and
-    # plan unchanged, oracle text changed).
-    "similarity_ann_signlsh", "dedup_jaccard_prefix",
-    "dedup_embedding_cosine_rp",
-    # The round-6 window, driver-green exactly once (in r6) and rotated
-    # out since — the stalest external signal in the registry, per the
-    # round-7 verdict's rotation ask. Rows-only entries among them
-    # (hll/mad_approx/heavy-hitters/pca) get the rows-only check by
-    # design; their envelope/differential tests carry exactness.
-    "events_rolling_distinct_hll", "events_anomaly_mad_approx",
-    "text_heavy_hitters_mg", "embedding_pca_project",
-    "dedup_minhash_lsh", "snapshot_diff_customers",
-    "dedup_span_exact", "dedup_cluster_canonical",
-    "dedup_incremental_novel", "dedup_ngram_jaccard",
-    "text_corpus_freq_score",
-    "text_vocab_topk", "text_char_diversity", "text_repetition_stats",
-    "decontaminate_ngram", "decontaminate_hashed",
-    "curate_pretrain_corpus", "curate_corpus_v2", "curate_corpus_v3",
-    "text_bigram_assoc", "text_char_pair_stats",
+    # -- Entries #1-50: the round-9 correctness window. ------------------
+    # New or changed this round, freshest-signal-first: the two
+    # correlated-scalar-subquery flagships (Catalyst decorrelation),
+    # dedup_jaccard_prefix (OUTPUT SCHEMA CHANGED — new `method`
+    # provenance column + graceful degradation replacing the r8
+    # refusal), and similarity_ann_ivf (newly oracle-backed on the
+    # deterministic exact-kmeans centroids).
+    "q17_small_qty_revenue", "q2_min_cost_supplier", "dedup_jaccard_prefix",
+    "similarity_ann_ivf",
+    # The 46 stalest entries: every one of these was last driver-green
+    # in r5 or earlier (most in r2 — the func_*/agg/setop/window/join
+    # families and q1 below last appeared in the r2 driver window),
+    # all judge-exact in the r8 verdict's independent sweep; this
+    # window converts that internal signal back into external rows
+    # (round-8 verdict #1). Rows-only-by-design entries among them
+    # (similarity_ann_mllsh) get the rows-only check as usual.
+    "func_array_ops", "func_classification_rules", "func_date_arithmetic",
+    "func_date_validation", "func_hashing", "func_json_extract",
+    "func_null_handling", "func_question_extraction",
+    "func_summary_composition", "func_text_cleanup", "q1_pricing_summary",
+    "agg_approx_count_distinct", "agg_cube_flag_status",
+    "agg_distinct_segments", "agg_exact_count_distinct", "agg_grouping_sets",
+    "agg_orders_by_priority", "agg_rollup_year_status",
+    "agg_running_max_per_group", "setop_except_never_priority",
+    "setop_intersect_buyers", "setop_union_segments",
+    "window_rank_lag_orders", "window_running_revenue",
+    "window_top3_orders_per_customer", "topk_expensive_orders",
+    "join_anti_customers_without_orders", "join_left_outer_order_counts",
+    "join_range_price_bands", "join_semi_customers_with_big_orders",
+    "join_asof_last_event_before_order", "join_revenue_by_nation",
+    "join_skewed_events_by_type", "filter_project_shipped_window",
+    "dedup_exact", "dedup_embedding_cosine_exact", "similarity_ann_mllsh",
+    "events_funnel_1h", "events_latest_state_per_user", "events_session_30m",
+    "events_sliding_1h_30m", "events_trailing_1h_sum", "events_tumbling_1h",
+    "text_language_id", "text_quality_score", "text_token_stats",
+    # -- Entries #51+: past the 50-entry window. -------------------------
+    # dedup_embedding_cosine (last green r5) is the one stale entry
+    # the 50-slot window cannot fit; it leads the tail so any wider
+    # future window picks it up first. Then the r6-r8 windows (all
+    # externally green within the last three rounds) in prior order.
+    "dedup_embedding_cosine", "text_winnow_fingerprints",
+    "q5_local_supplier_volume", "q18_large_volume_customers",
+    "customer_rfm_segments", "similarity_ann_signlsh",
+    "dedup_embedding_cosine_rp", "events_rolling_distinct_hll",
+    "events_anomaly_mad_approx", "text_heavy_hitters_mg",
+    "embedding_pca_project", "dedup_minhash_lsh", "snapshot_diff_customers",
+    "dedup_span_exact", "dedup_cluster_canonical", "dedup_incremental_novel",
+    "dedup_ngram_jaccard", "text_corpus_freq_score", "text_vocab_topk",
+    "text_char_diversity", "text_repetition_stats", "decontaminate_ngram",
+    "decontaminate_hashed", "curate_pretrain_corpus", "curate_corpus_v2",
+    "curate_corpus_v3", "text_bigram_assoc", "text_char_pair_stats",
     "events_session_concurrency", "events_cohort_retention",
     "join_full_outer_entity_activity", "window_ntile_distribution",
-    "window_first_last_orders",
-    "events_hourly_gapfill", "events_pivot_type_counts",
-    "events_transition_matrix", "similarity_topk_sq8",
-    "curate_dataset_card", "dedup_containment",
-    "curate_multimodal_corpus", "decontaminate_embedding",
-    "mm_decode_meta", "mm_byte_stats", "mm_resize_plan",
-    "mm_frame_sample",
-    "events_attribution_1h", "dedup_pairs_edit_distance",
-    "text_fingerprint", "text_pii_redact",
-    "text_length_percentiles",  # entry #50 — last slot inside the window
-    # -- Entries #51+: past the 50-entry window. -------------------------
-    "split_train_test",
+    "window_first_last_orders", "events_hourly_gapfill",
+    "events_pivot_type_counts", "events_transition_matrix",
+    "similarity_topk_sq8", "curate_dataset_card", "dedup_containment",
+    "curate_multimodal_corpus", "decontaminate_embedding", "mm_decode_meta",
+    "mm_byte_stats", "mm_resize_plan", "mm_frame_sample",
+    "events_attribution_1h", "dedup_pairs_edit_distance", "text_fingerprint",
+    "text_pii_redact", "text_length_percentiles", "split_train_test",
     "sample_stratified", "pack_sequences", "sample_mixture_weights",
-    # The round-7 window (driver-hashed in r7, the freshest green on
-    # record) yields all its slots to the r6-stale families above.
     "layout_compaction_bins", "dq_histogram_totalprice",
-    "text_bigram_novelty", "embedding_kmeans_exact",
-    "jira_source_scan", "jira_corpus_stats", "jira_transform_silver",
-    "jira_qa_pairs_udtf", "similarity_ann_ivf",
-    "text_length_percentiles_approx",
-    "join_skewed_peers_1h", "dedup_simhash_pairs",
-    "join_hotkey_isolated_lang", "corpus_shard_shuffle",
-    "text_dedup_lines", "chunk_documents_overlap",
+    "text_bigram_novelty", "embedding_kmeans_exact", "jira_source_scan",
+    "jira_corpus_stats", "jira_transform_silver", "jira_qa_pairs_udtf",
+    "text_length_percentiles_approx", "join_skewed_peers_1h",
+    "dedup_simhash_pairs", "join_hotkey_isolated_lang",
+    "corpus_shard_shuffle", "text_dedup_lines", "chunk_documents_overlap",
     "text_tfidf_topk", "pareto_revenue_by_brand", "orders_yoy_growth",
     "events_debounce_5m", "mm_dedup_phash", "events_zorder_code",
-    "events_type_cooccurrence", "agg_incremental_merge",
-    "agg_hll_mergeable", "sample_weighted_hash",
-    "events_winsorize_p1_p99", "events_winsorize_approx",
-    "events_scd2_history",
-    "dq_profile_orders", "merge_upsert_customer_balance",
-    "events_merge_intervals", "window_rolling_median",
-    "stats_corr_matrix", "ngram_count_of_counts",
+    "events_type_cooccurrence", "agg_incremental_merge", "agg_hll_mergeable",
+    "sample_weighted_hash", "events_winsorize_p1_p99",
+    "events_winsorize_approx", "events_scd2_history", "dq_profile_orders",
+    "merge_upsert_customer_balance", "events_merge_intervals",
+    "window_rolling_median", "stats_corr_matrix", "ngram_count_of_counts",
     "bpe_learn_merges", "events_trailing_distinct_types",
-    "events_user_journey", "events_anomaly_mad",
-    "dq_referential_integrity",
-    "q3_shipping_priority", "events_volume_cusum",
-    "events_path_mining", "events_markov_eval",
-    "orders_basket_affinity", "events_watermark_audit",
-    "embedding_quantize_int8", "dedup_simhash",
-    "dedup_embedding_cosine", "embedding_label_centroids",
+    "events_user_journey", "events_anomaly_mad", "dq_referential_integrity",
+    "q3_shipping_priority", "events_volume_cusum", "events_path_mining",
+    "events_markov_eval", "orders_basket_affinity", "events_watermark_audit",
+    "embedding_quantize_int8", "dedup_simhash", "embedding_label_centroids",
     "similarity_topk_bruteforce",
-    # Green in two or more rounds; registry tail keeps import order.
-    "similarity_ann_mllsh",
-    "text_language_id", "text_quality_score", "text_token_stats",
-    "dedup_embedding_cosine_exact", "dedup_exact",
-    "join_skewed_events_by_type",
-    "join_revenue_by_nation", "events_tumbling_1h", "events_session_30m",
-    "events_latest_state_per_user", "events_trailing_1h_sum",
-    "join_asof_last_event_before_order", "events_sliding_1h_30m",
-    "filter_project_shipped_window", "q1_pricing_summary",
 ]
-
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"_PRIORITY names not in registry: {_missing}"
 _ordered = {n: QUERIES[n] for n in _PRIORITY}

@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
+from ..errors import RegimeRefused
 from ..functions import hashing as H
+from ..operators import dedup as OD
 from ..operators.fanout import HEAVY, LIGHT, fan_out
 from .llm_ops import SQL_SHINGLES, SQL_TOKS
 from .registry import register
@@ -39,10 +41,22 @@ TAU = 0.5
 # on degenerate low-entropy corpora it goes ~n² — the sf10 soak corpus
 # (500k docs, 31-token vocabulary) projected >4G candidates, shuffled
 # >70 GB and filled the disk. 500M admits every legitimate regime on
-# record (sf1 full corpus ≈ 41M, the 100k-doc soak slice ≈ 165M) while
-# refusing the quadratic one with a routing error instead of an OOM-disk
-# crash hours later.
+# record (sf1 full corpus ≈ 41M, the 100k-doc soak slice ≈ 165M);
+# past it the operator DEGRADES along _TAU_LADDER and finally to the
+# MinHash-banded candidate stage (same exact verify) instead of either
+# an OOM-disk crash hours later (round 7) or a flat refusal (round 8) —
+# a 100 TB engine returns a result with provenance, not an error.
 MAX_PREFIX_CANDIDATES = 500_000_000
+
+# Degradation ladder for the candidate-volume guard, as exact rationals
+# (num, den): the τ=1/2 contract threshold first; each raised τ keeps
+# the join EXACT at that higher threshold with strictly shorter
+# prefixes (fewer, rarer bucket keys → fewer candidates). If no rung
+# fits the budget the operator falls back to MinHash-banded candidates
+# feeding the SAME exact verify at the original τ=1/2 — approximate
+# recall (banding), exact precision (every emitted pair's jaccard is
+# truly ≥ τ).
+_TAU_LADDER = [(1, 2), (2, 3), (4, 5)]
 
 
 @register(
@@ -57,7 +71,8 @@ MAX_PREFIX_CANDIDATES = 500_000_000
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-             AS jaccard
+             AS jaccard,
+           'prefix' AS method
     FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
@@ -66,7 +81,8 @@ MAX_PREFIX_CANDIDATES = 500_000_000
     tags=("dedup", "join"),
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
-                         max_candidates: int | None = None) -> DataFrame:
+                         max_candidates: int | None = None,
+                         fallback: bool = True) -> DataFrame:
     """EXACT Jaccard ≥ 0.5 similarity join over the FULL corpus with no
     all-pairs stage — prefix filtering (AllPairs, WWW'07): order the
     shingle vocabulary globally by (document frequency, shingle), keep
@@ -94,14 +110,23 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
     vocabularies, where prefix tokens are genuinely rare. On
     low-entropy corpora (the sf1 soak's 31-token vocabulary) candidate
     volume degenerates toward density — intrinsic to any EXACT
-    similarity join; the operator-selection rule there is
-    dedup_minhash_lsh or a higher τ, and it is ENFORCED, not advisory:
-    before the self-join launches, the candidate upper bound
-    Σ_tok m·(m−1)/2 over prefix-bucket sizes is checked against
-    ``max_candidates`` (default MAX_PREFIX_CANDIDATES) and a routing
-    ValueError is raised past the budget — the sf10 degenerate corpus
-    now fails in seconds with instructions instead of shuffling >70 GB
-    and filling the disk (BASELINE.md round-7 finding 3)."""
+    similarity join; the guard there is ENFORCED, not advisory: before
+    the self-join launches, the candidate upper bound Σ_tok m·(m−1)/2
+    over prefix-bucket sizes is priced (integer arithmetic, one
+    map-side-combined agg) against ``max_candidates`` (default
+    MAX_PREFIX_CANDIDATES). Past the budget the operator DEGRADES
+    instead of refusing (round-8 verdict): first re-price at the
+    raised thresholds in _TAU_LADDER (each still an EXACT join, at a
+    higher τ), and if no rung fits, generate candidates from the
+    MinHash band keys (operators/dedup.candidate_pairs — bucketed,
+    hot-bucket-capped, never all-pairs) feeding the SAME exact verify
+    at τ=1/2. Every output row carries a ``method`` provenance column
+    ('prefix' | 'prefix_tau=N/D' | 'minhash_lsh'): exact precision
+    always (each emitted jaccard is truly ≥ the stated threshold);
+    recall is total on the prefix rungs at their τ and banding-
+    probabilistic on the minhash rung. ``fallback=False`` restores the
+    round-8 refusal (RegimeRefused) for callers that must not degrade.
+    """
     if max_candidates is None:
         max_candidates = MAX_PREFIX_CANDIDATES
     d = load_table(spark, sf_dir, "documents")
@@ -122,48 +147,76 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
     docs.count()
     flat = docs.select("doc_id", F.explode("sh").alias("tok"))
     dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc tokens sorted by the global (df, hash) order, rarest first
+    # per-doc tokens sorted by the global (df, hash) order, rarest
+    # first. Deliberately NOT persisted: on the common path (τ=1/2
+    # fits the budget) it is consumed once, inside the single prefix
+    # materialization — exactly the round-8 plan; the rare degraded
+    # regimes pay one recompute per extra rung priced.
     srt = (flat.join(dfreq, "tok")
            .groupBy("doc_id")
            .agg(F.array_sort(F.collect_list(F.struct("df", "tok")))
                 .alias("srt"))
            .withColumn("sz", F.size("srt")))
-    # prefix length z − ceil(τ·z) + 1; for τ=1/2: z − (z+1) div 2 + 1
-    p = F.col("sz") - F.expr("(sz + 1) div 2") + F.lit(1)
-    # persisted too: the candidate self-join consumes prefix TWICE and
-    # Catalyst does not reuse the (join ⨝ groupBy) subtree across the
-    # aliased sides; the table is small (≈ half the shingle volume)
-    prefix = (srt.select(
-        "doc_id", "sz",
-        F.posexplode(F.slice(F.transform("srt", lambda x: x["tok"]),
-                             F.lit(1), p)).alias("idx", "tok"))
-        .withColumn("idx", F.col("idx") + 1)  # 1-based prefix position
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    prefix.count()
-    # Candidate-volume guard: the self-join below emits at most
-    # Σ_tok m·(m−1)/2 rows (m = prefix-bucket size) BEFORE filters, and
-    # on low-entropy corpora the filters cannot prune below true
-    # density. One map-side-combined agg over the persisted prefix
-    # table prices the join before paying for it.
-    est = (prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("m"))
-           .select(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("c"))
-           .first().c or 0)
-    if est > max_candidates:
-        docs.unpersist()
+
+    def build_prefix(num: int, den: int) -> DataFrame:
+        # prefix length z − ceil(τ·z) + 1 for τ=num/den; ceil(τ·z) =
+        # (num·z + den − 1) div den, integer-exact (Spark div truncates
+        # toward zero; all operands positive here).
+        p = (F.col("sz")
+             - F.expr(f"(sz * {num} + {den - 1}) div {den}") + F.lit(1))
+        # persisted: the candidate self-join consumes prefix TWICE and
+        # Catalyst does not reuse the (join ⨝ groupBy) subtree across
+        # the aliased sides; the table is small (≤ half the shingles)
+        return (srt.select(
+            "doc_id", "sz",
+            F.posexplode(F.slice(F.transform("srt", lambda x: x["tok"]),
+                                 F.lit(1), p)).alias("idx", "tok"))
+            .withColumn("idx", F.col("idx") + 1)  # 1-based position
+            .persist(StorageLevel.MEMORY_AND_DISK))
+
+    def price(prefix: DataFrame) -> int:
+        # Candidate-volume guard: the self-join emits at most
+        # Σ_tok m·(m−1)/2 rows (m = prefix-bucket size) BEFORE its
+        # filters, and on low-entropy corpora the filters cannot prune
+        # below true density. One map-side-combined agg prices the
+        # join before paying for it. m·(m−1) is even, so the per-
+        # bucket div 2 is exact in int64 (ADVICE r8: the former double
+        # /2 could round near the budget boundary).
+        est = (prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("m"))
+               .select(F.sum(F.expr("m * (m - 1) div 2")).alias("c"))
+               .first().c)
+        return int(est or 0)
+
+    chosen = None
+    rungs = _TAU_LADDER if fallback else _TAU_LADDER[:1]
+    for num, den in rungs:
+        prefix = build_prefix(num, den)
+        est = price(prefix)
+        if est <= max_candidates:
+            chosen = (num, den, prefix)
+            break
         prefix.unpersist()
-        raise ValueError(
-            f"dedup_jaccard_prefix: projected candidate volume "
-            f"{int(est):,} exceeds the {max_candidates:,} budget — the "
-            f"corpus vocabulary is too low-entropy for an exact prefix-"
-            f"filtered join (no rare tokens to prune on). Route this "
-            f"corpus to dedup_minhash_lsh, raise TAU, or pass a larger "
-            f"max_candidates= if the shuffle volume is genuinely "
-            f"affordable (~32 bytes/candidate).")
+    if chosen is None:
+        if not fallback:
+            docs.unpersist()
+            raise RegimeRefused(
+                f"dedup_jaccard_prefix: projected candidate volume "
+                f"{est:,} exceeds the {max_candidates:,} budget — the "
+                f"corpus vocabulary is too low-entropy for an exact "
+                f"prefix-filtered join (no rare tokens to prune on). "
+                f"Route this corpus to dedup_minhash_lsh, raise TAU, "
+                f"re-enable fallback=, or pass a larger max_candidates= "
+                f"if the shuffle volume is genuinely affordable "
+                f"(~32 bytes/candidate).")
+        cand = _minhash_candidates_hashed(docs)
+        return _verify_pairs(cand, docs, TAU, "minhash_lsh")
+    num, den, prefix = chosen
     a, b = prefix.alias("a"), prefix.alias("b")
-    # required overlap α = ceil(τ/(1+τ)·(|a|+|b|)); τ=1/2 → ceil((…)/3)
-    # = (…+2) div 3 for positive ints (Spark div TRUNCATES toward zero,
-    # so the -(x div -3) floor-negation trick does not ceil here)
-    alpha = F.expr("(a.sz + b.sz + 2) div 3")
+    # required overlap α = ceil(τ/(1+τ)·(|a|+|b|)) with τ=num/den:
+    # ceil(num·(|a|+|b|) / (num+den)) — Spark div TRUNCATES toward
+    # zero, so add (num+den−1) for the ceil on positive ints
+    nd = num + den
+    alpha = F.expr(f"((a.sz + b.sz) * {num} + {nd - 1}) div {nd}")
     # positional filter upper bound: tokens at/after the matching
     # positions are all that can still be common
     ubound = (F.lit(1) + F.least(F.col("a.sz") - F.col("a.idx"),
@@ -172,23 +225,66 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                # length filter: τ·|a| ≤ |b| ≤ |a|/τ (integer-exact)
-               & (F.col("b.sz") * 2 >= F.col("a.sz"))
-               & (F.col("a.sz") * 2 >= F.col("b.sz"))
+               & (F.col("b.sz") * den >= F.col("a.sz") * num)
+               & (F.col("a.sz") * den >= F.col("b.sz") * num)
                & (ubound >= alpha))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = docs.select("doc_id", "sh")
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    method = "prefix" if (num, den) == _TAU_LADDER[0] else \
+        f"prefix_tau={num}/{den}"
+    return _verify_pairs(cand, docs, num / den, method)
+
+
+def _minhash_candidates_hashed(docs: DataFrame) -> DataFrame:
+    """MinHash-banded candidate pairs straight from the already-hashed
+    shingle arrays (doc_id, sh: array<long> of xxhash64 keys) — the
+    degraded-regime candidate generator for dedup_jaccard_prefix.
+
+    Reuses the persisted ``docs`` seam instead of re-shingling the
+    corpus (operators/dedup.minhash_near_dup_pairs would run the whole
+    interpreted shingle pipeline a second time and persist a second
+    copy). The Kirsch-Mitzenmacher family needs two 32-bit hashes per
+    shingle; the xxhash64 key's high and low halves serve (same
+    arithmetic as operators/dedup.minhash_signatures, different base
+    hash — band keys are engine-local equivalence classes, never
+    output values, and the exact verify downstream makes any band
+    collision harmless). Banding/capping is the shared
+    operators/dedup machinery: band_keys_df's 8-byte keys,
+    candidate_pairs' hot-bucket chain degradation — bucketed, never
+    all-pairs, O(n·W) even on the degenerate corpora that trip the
+    prefix guard."""
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    hp = ex.select(
+        "doc_id",
+        F.shiftrightunsigned("s", 32).alias("h1"),
+        F.col("s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("h2"))
+    sig = hp.groupBy("doc_id").agg(
+        *[F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(OD.MOD32))
+          .alias(f"mh{i}") for i in range(OD.N_HASHES)])
+    banded = OD.band_keys_df(sig, "doc_id")
+    return (OD.candidate_pairs(banded, "doc_id")
+            .select(F.col("id_a").alias("doc_a"),
+                    F.col("id_b").alias("doc_b")))
+
+
+def _verify_pairs(cand: DataFrame, docs: DataFrame, tau: float,
+                  method: str) -> DataFrame:
+    """Exact-Jaccard verify of (doc_a, doc_b) candidates against the
+    hashed shingle arrays, thresholded at ``tau``, tagged with the
+    ``method`` provenance column. Shared by every dedup_jaccard_prefix
+    regime — the rungs differ only in how candidates were generated."""
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b",
                 (inter.cast("double") / union).alias("jaccard"))
-        .where(F.col("jaccard") >= TAU)
+        .where(F.col("jaccard") >= tau)
+        .withColumn("method", F.lit(method))
     )
 
 

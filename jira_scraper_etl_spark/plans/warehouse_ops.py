@@ -880,6 +880,132 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q17 / Q2 shapes: correlated scalar subqueries (Catalyst
+# decorrelation). The one relational class with zero prior coverage
+# (round-8 verdict #3): real SQL users write WHERE x < (SELECT agg(...)
+# FROM t2 WHERE t2.k = t1.k) constantly, and the engine's job is to
+# decorrelate it into an aggregate + equi-join, never a per-row nested
+# loop. Both entries run the ACTUAL correlated SQL through spark.sql()
+# — the DataFrame API cannot express the correlation, and hand-
+# decorrelating it would test our rewrite, not Catalyst's.
+# ---------------------------------------------------------------------------
+
+
+def _register_tpch_views(spark: SparkSession, sf_dir: str,
+                         tables: tuple[str, ...]) -> None:
+    """Temp views (thq_ prefix — no clash with any other plan's views)
+    backed by the lazily planned catalog scans, so spark.sql text gets
+    the same pushdown/pruning as the DataFrame plans."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"thq_{t}")
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                AS VARCHAR) AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND p_type = 'MEDIUM'
+      AND l_quantity < (
+          SELECT CAST(0.2 AS DOUBLE) * (SUM(l2.l_quantity) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("join", "agg", "subquery", "flagship"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost
+    if small orders (below 20% of the part's average order quantity)
+    were no longer taken, for one brand/type slice — the canonical
+    correlated-AVG-subquery benchmark, adapted to this schema's part
+    columns (no p_container; p_type stands in).
+
+    The scale story IS the decorrelation: Catalyst rewrites the
+    per-row `l_quantity < (SELECT 0.2*avg .. WHERE l2.l_partkey =
+    p_partkey)` into one map-side-combined aggregate of lineitem by
+    l_partkey joined back on the part key — the whole query is two
+    scans of lineitem (one aggregated), a broadcast of the ~0.08%
+    part slice, and equi-joins; a naive engine would re-scan lineitem
+    once per qualifying row. The plan-pin test asserts no
+    BroadcastNestedLoopJoin/CartesianProduct survives. Determinism:
+    quantities are integral doubles (sums exact in IEEE at any
+    partitioning), the avg is expressed as SUM/COUNT in BOTH engines
+    (DuckDB's incremental AVG(double) would drift), and revenue goes
+    through the exact-decimal chain (registry rules)."""
+    _register_tpch_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly
+        FROM thq_lineitem JOIN thq_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND p_type = 'MEDIUM'
+          AND l_quantity < (
+              SELECT CAST(0.2 AS DOUBLE) * (SUM(l2.l_quantity) / COUNT(*))
+              FROM thq_lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """)
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT p_partkey, p_brand, s_name, n_name, s_acctbal,
+           l_extendedprice AS supply_cost
+    FROM part, lineitem, supplier, nation, region
+    WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE' AND p_size < 10
+      AND l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p_partkey AND l2.l_suppkey = s2.s_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "ranking", "flagship"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each small part,
+    the European supplier(s) offering it at the region's minimum
+    observed price — the canonical correlated-MIN-subquery benchmark,
+    adapted to this schema (no partsupp table; lineitem is the
+    part↔supplier price link, l_extendedprice the supply cost).
+
+    Catalyst decorrelates the 4-table correlated MIN into one
+    aggregate of the region-filtered lineitem⨝supplier⨝nation⨝region
+    subtree by l_partkey, equi-joined back on the part key — the
+    region dims broadcast (constant size), supplier stays AQE-sized,
+    and no nested loop appears (plan-pin test). Determinism: the MIN
+    and every output column are raw stored doubles (zero arithmetic,
+    so cross-engine bit-identical), DISTINCT collapses equal-price
+    line duplicates, and the (s_acctbal DESC, n_name, s_name,
+    p_partkey) sort is a total order on the output (s_name is unique
+    per supplier, one row per part×supplier), so the top-100 is
+    reproducible."""
+    _register_tpch_views(spark, sf_dir,
+                         ("part", "lineitem", "supplier", "nation", "region"))
+    return spark.sql("""
+        SELECT DISTINCT p_partkey, p_brand, s_name, n_name, s_acctbal,
+               l_extendedprice AS supply_cost
+        FROM thq_part, thq_lineitem, thq_supplier, thq_nation, thq_region
+        WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE' AND p_size < 10
+          AND l_extendedprice = (
+              SELECT MIN(l2.l_extendedprice)
+              FROM thq_lineitem l2, thq_supplier s2, thq_nation n2,
+                   thq_region r2
+              WHERE l2.l_partkey = p_partkey AND l2.l_suppkey = s2.s_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """)
+
+
+# ---------------------------------------------------------------------------
 # CUSUM change-point detection on event volume
 # ---------------------------------------------------------------------------
 

@@ -44,7 +44,9 @@ def test_run_suite_records_refusals_without_losing_the_rest(spark):
     q = plans.QUERIES["dedup_jaccard_prefix"]
     orig = q.fn
     try:
-        q.fn = lambda s, d: orig(s, d, max_candidates=1)
+        # fallback=False is the only remaining refusal path (the
+        # default now degrades to the MinHash rung and measures)
+        q.fn = lambda s, d: orig(s, d, max_candidates=1, fallback=False)
         timings, refused = bench.run_suite(
             spark, "/root/testdata/sf0.001",
             ["q1_pricing_summary", "dedup_jaccard_prefix"])
@@ -53,6 +55,31 @@ def test_run_suite_records_refusals_without_losing_the_rest(spark):
     assert "q1_pricing_summary" in timings
     assert "dedup_jaccard_prefix" in refused
     assert "candidate volume" in refused["dedup_jaccard_prefix"]
+
+
+def test_run_suite_crashes_on_genuine_valueerror(spark):
+    """A bare ValueError is a bug, not a routing refusal — run_suite
+    must NOT swallow it into the refused dict (ADVICE r8: a genuine
+    bug silently dropped from the wall-clock total keeps the bench
+    green)."""
+    import pytest
+
+    import bench
+    from jira_scraper_etl_spark import plans
+
+    q = plans.QUERIES["dedup_jaccard_prefix"]
+    orig = q.fn
+
+    def boom(s, d):
+        raise ValueError("genuine bug, not a refusal")
+
+    try:
+        q.fn = boom
+        with pytest.raises(ValueError, match="genuine bug"):
+            bench.run_suite(spark, "/root/testdata/sf0.001",
+                            ["dedup_jaccard_prefix"])
+    finally:
+        q.fn = orig
 
 
 def test_every_registry_output_survives_driver_canonicalization(spark, sf_dir):

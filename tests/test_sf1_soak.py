@@ -265,24 +265,39 @@ def test_jaccard_prefix_exact_dup_recall_sf1(spark, tmp_path):
     slice (still 2× the sf1 corpus, and copy 0 keeps the engineered
     dups): on THIS low-entropy 31-token-vocabulary corpus an EXACT
     similarity join degenerates toward density — the full sf10 run
-    shuffled >70 GB of candidate pairs and filled the disk — which is
-    precisely the regime the operator docstring routes to
-    dedup_minhash_lsh / the LSH family (validated at full sf10 scale
-    by the other soak tests). The lemma being verified is corpus-size
-    independent; the slice is its own closed corpus."""
+    shuffled >70 GB of candidate pairs and filled the disk. Round 9:
+    the guard DEGRADES there instead of refusing (round-8 verdict #2)
+    — the full corpus must now return a RESULT within budget, tagged
+    with a non-'prefix' ``method`` and exact-precision jaccard values;
+    ``fallback=False`` still refuses with RegimeRefused in seconds.
+    The lemma being verified is corpus-size independent; the slice is
+    its own closed corpus."""
     d = spark.read.parquet(f"{SF1}/documents.parquet")
     target = SF1
     if d.count() > JACCARD_SOAK_CAP:
-        # the degenerate-density regime: the candidate-volume guard must
-        # REFUSE the full corpus (routing error in seconds) rather than
-        # shuffle >70 GB of candidates — round-7 finding 3, now enforced
-        with pytest.raises(ValueError, match="dedup_minhash_lsh"):
-            plans.QUERIES["dedup_jaccard_prefix"].fn(spark, SF1)
+        from jira_scraper_etl_spark.errors import RegimeRefused
+
+        # strict mode still prices and refuses the degenerate corpus
+        # in seconds (round-7 finding 3)
+        with pytest.raises(RegimeRefused, match="dedup_minhash_lsh"):
+            plans.QUERIES["dedup_jaccard_prefix"].fn(
+                spark, SF1, fallback=False)
+        # default mode degrades: a result, not an error. Every emitted
+        # pair is exact-precision at >= the weakest rung's threshold.
+        deg = plans.QUERIES["dedup_jaccard_prefix"].fn(spark, SF1).cache()
+        methods = [r.method for r in deg.select("method").distinct().collect()]
+        assert len(methods) == 1 and methods[0] != "prefix", methods
+        assert methods[0] == "minhash_lsh" or methods[0].startswith(
+            "prefix_tau=")
+        assert deg.where(F.col("jaccard") < 0.5).count() == 0
+        assert deg.count() > 0  # the engineered dups guarantee pairs
+        deg.unpersist()
         target = str(tmp_path / "jacc_slice")
         d.where(F.col("doc_id") < JACCARD_SOAK_CAP) \
             .write.parquet(f"{target}/documents.parquet")
     out = plans.QUERIES["dedup_jaccard_prefix"].fn(spark, target).cache()
     assert out.where(F.col("jaccard") < 0.5).count() == 0
+    assert out.where(F.col("method") != "prefix").count() == 0
 
     dup_groups = (spark.read.parquet(f"{target}/documents.parquet")
                   .groupBy("text")

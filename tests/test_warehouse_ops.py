@@ -121,8 +121,9 @@ def test_jaccard_prefix_equals_brute_force(spark, sf_dir):
     """The whole point of prefix filtering: EXACT results (zero false
     negatives) without the all-pairs join. Compare against brute force
     over the full corpus."""
-    got = {(r.doc_a, r.doc_b): r.jaccard for r in
-           plans.QUERIES["dedup_jaccard_prefix"].fn(spark, sf_dir).collect()}
+    rows = plans.QUERIES["dedup_jaccard_prefix"].fn(spark, sf_dir).collect()
+    assert rows and all(r.method == "prefix" for r in rows)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
             .where(F.size("sh") > 0))
@@ -138,16 +139,37 @@ def test_jaccard_prefix_equals_brute_force(spark, sf_dir):
     assert got == want and want
 
 
-def test_jaccard_prefix_guard_refuses_dense_corpus(spark, sf_dir):
-    """The candidate-volume guard: with a budget below the corpus's
-    projected prefix-bucket candidate volume the operator must raise a
-    routing error (naming the LSH alternative) BEFORE launching the
-    self-join; with the default budget the same corpus passes."""
+def test_jaccard_prefix_guard_degrades_then_refuses(spark, sf_dir):
+    """The candidate-volume guard, round-9 semantics: with a budget
+    below the corpus's projected prefix-bucket candidate volume the
+    operator DEGRADES — raised-τ rungs first, then MinHash-banded
+    candidates feeding the same exact verify — returning a result
+    whose ``method`` column names the regime and whose pairs are a
+    SUBSET of the exact answer with exact jaccard values (approximate
+    recall, exact precision). Only ``fallback=False`` restores the
+    round-8 refusal, with the dedicated RegimeRefused type."""
     import pytest
 
-    with pytest.raises(ValueError, match="dedup_minhash_lsh"):
+    from jira_scraper_etl_spark.errors import RegimeRefused
+
+    with pytest.raises(RegimeRefused, match="dedup_minhash_lsh"):
         plans.QUERIES["dedup_jaccard_prefix"].fn(
-            spark, sf_dir, max_candidates=1)
+            spark, sf_dir, max_candidates=1, fallback=False)
+
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in
+             plans.QUERIES["dedup_jaccard_prefix"].fn(spark, sf_dir)
+             .collect()}
+    degraded = plans.QUERIES["dedup_jaccard_prefix"].fn(
+        spark, sf_dir, max_candidates=1).collect()
+    assert degraded and all(r.method == "minhash_lsh" for r in degraded)
+    for r in degraded:
+        assert exact[(r.doc_a, r.doc_b)] == r.jaccard  # exact precision
+    # identical-text dups share full MinHash signatures, hence every
+    # band key — banding cannot miss them, so recall on the engineered
+    # jaccard=1.0 pairs is total even in the degraded regime
+    ones = {p for p, j in exact.items() if j == 1.0}
+    assert ones <= {(r.doc_a, r.doc_b) for r in degraded}
+
     # the default budget admits the test corpus (exactness pinned above)
     assert plans.QUERIES["dedup_jaccard_prefix"].fn(spark, sf_dir).count() >= 0
 
@@ -157,6 +179,29 @@ def test_jaccard_prefix_plan_has_no_cartesian(spark, sf_dir):
         spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlated_subqueries_decorrelate_to_aggregate_joins(spark, sf_dir):
+    """The Q17/Q2 flagships run ACTUAL correlated scalar subqueries
+    through spark.sql — pin that Catalyst decorrelates them into a
+    keyed aggregate + equi-join (the 100 TB shape: two scans of the
+    fact, never a per-outer-row re-scan). A regression to a nested
+    loop would still produce correct rows at test scale, which is why
+    the plan itself is the assertion."""
+    import re
+
+    for name, agg_sig in (
+            ("q17_small_qty_revenue", r"HashAggregate\(keys=\[l_partkey"),
+            ("q2_min_cost_supplier", r"HashAggregate\(keys=\[l_partkey")):
+        plan = plans.QUERIES[name].fn(
+            spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # the decorrelated per-key aggregate of the inner query exists
+        # and feeds an equi-join, i.e. the subquery was rewritten, not
+        # re-planned per row (no Subquery/ScalarSubquery node survives
+        # into the executed plan's join condition)
+        assert re.search(agg_sig, plan), name
 
 
 def test_winnowing_matches_python_replay_and_guarantee(spark, sf_dir):
