@@ -449,7 +449,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
     # (band keys, verify side a, verify side b) would re-run the
     # quantize HOF per consumer — and the n2 join key's inferred
     # isnotnull would re-inline the HOF into the scan's DataFilters
-    # (plan-audit HOF-SCAN-FILTER class); the cache materializes both
+    # (plan-audit HOF-SCAN-FILTER class); the cache materializes both.
+    # DELIBERATE LEAK (the jaccard-prefix precedent, ADVICE r8): the
+    # returned DataFrame depends on this cache, so the function cannot
+    # unpersist it; repeated invocations in one session accumulate
+    # entries — long-lived callers should spark.catalog.clearCache()
+    # between runs (bench.run_suite does, per query).
     base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
             .withColumn("n2", V.qnorm2(F.col("q")))
             .persist(StorageLevel.MEMORY_AND_DISK))
@@ -969,68 +974,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ann_ivf", oracle=None, tags=("similarity", "ml"))
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN with multi-probe: seeded KMeans partitions the
-    corpus into 8 inverted lists; each query probes its 2 nearest cells
-    (nprobe=2), then exact quantized-cosine top-5 within the probed
-    cells.
-
-    This is the production shape for embedding search at 100 TB: the
-    coarse quantizer is trained on a sample (here: the corpus — it is
-    tiny at test SF), cell assignment is a broadcast-model map pass,
-    and candidate generation is an equi-join on cell id — shuffle keyed
-    on 1 byte, never all-pairs. Multi-probe explodes each query into
-    its nprobe nearest cells (centroid table is k rows — driver-side by
-    construction, k ≪ corpus) so recall climbs without changing the
-    join shape. No oracle: KMeans centroids are Spark-internal
-    (rows-only check + recall floor vs brute force in
-    tests/test_queries.py); similarity_ann_signlsh is the
-    oracle-checked bucketed variant."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    NPROBE = 2
-    e = load_table(spark, sf_dir, "embeddings")
-    emb_d = F.transform("embedding", lambda x: x.cast("double"))
-    base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"),
-                     emb_d.alias("emb"),
-                     array_to_vector(emb_d).alias("features"))
-            .withColumn("n2", V.qnorm2(F.col("q"))))
-    km = KMeans(k=8, seed=42, featuresCol="cfeat", predictionCol="cell")
-    model = km.fit(base.select(F.col("features").alias("cfeat")))
-    assigned = (model.transform(base.withColumn("cfeat", F.col("features")))
-                .drop("features", "cfeat"))
-    # centroid table: k rows, driver-side by construction
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, center array<double>")
-    # nprobe nearest cells per query: tiny cross product (queries × k)
-    d2 = F.aggregate(
-        F.zip_with("emb", "center", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
-    probes = (
-        assigned.where(F.col("vec_id") < 20)
-        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"),
-                F.col("n2").alias("qn2"), "emb")
-        .crossJoin(F.broadcast(centers))
-        .withColumn("d2", d2)
-        .withColumn("prk", F.row_number().over(wq))
-        .where(F.col("prk") <= NPROBE)
-        .select("query_id", "qq", "qn2", F.col("cell").alias("qcell"))
-    )
-    cos = (V.qdot(F.col("qq"), F.col("q")).cast("double")
-           / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double"))))
-    scored = (
-        assigned.join(F.broadcast(probes),
-                      (F.col("cell") == F.col("qcell"))
-                      & (F.col("vec_id") != F.col("query_id")))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= 5))
+# similarity_ann_ivf moved to plans/vector_ops.py in round 9: rebuilt
+# on the deterministic exact-kmeans coarse quantizer so the whole
+# pipeline is DuckDB-replayable (oracle-backed, no longer rows-only).
 
 
 @register(

@@ -409,6 +409,15 @@ def _km_oracle() -> str:
     """
 
 
+def _cents_sql_literal(cents: list) -> str:
+    """The k×dim centroid model as one SQL array-of-arrays literal —
+    constant folding collapses it to a single complex-typed Literal
+    (see _km_assign's codegen-cache note)."""
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+        for c in cents) + ")"
+
+
 def _km_assign(q_df: DataFrame, cents: list) -> DataFrame:
     """Assignment under a k×dim centroid model, shaped for plan reuse
     AND cheap plan construction:
@@ -437,9 +446,7 @@ def _km_assign(q_df: DataFrame, cents: list) -> DataFrame:
     lambda evaluations per row made assignment the whole cost of the
     operator at the sf10 decade (53 s, ~1.5G interpreted expression
     evals across 5 passes; the rp_band_key_table lesson again)."""
-    arr = "array(" + ",".join(
-        "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
-        for c in cents) + ")"
+    arr = _cents_sql_literal(cents)
     best = F.expr(
         f"array_min(zip_with("
         f"transform({arr}, c -> aggregate(zip_with(q, c, "
@@ -513,6 +520,18 @@ def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern). The oracle replays the same algorithm as chained CTEs
     with an explicit cross join — fine at oracle scale, deliberately
     not the engine plan."""
+    q, cents = _km_train(spark, sf_dir)
+    out = _km_assign_arrow(q, cents).select("vec_id", "cluster", "d2")
+    q.unpersist()
+    return out
+
+
+def _km_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+    """The deterministic integer Lloyd loop shared by
+    embedding_kmeans_exact and similarity_ann_ivf (the IVF coarse
+    quantizer IS this model — training it identically is what makes
+    the IVF DuckDB-replayable). Returns the PERSISTED quantized table
+    and the final k×dim centroid list; the caller owns the unpersist."""
     from ..functions import vectors as V
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -549,6 +568,134 @@ def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              for i in range(KM_DIM)] if cid in rows else cents[cid]
             for cid in range(KM_K)
         ]
-    out = _km_assign_arrow(q, cents).select("vec_id", "cluster", "d2")
+    return q, cents
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN on the exact-kmeans coarse quantizer (oracle-backed)
+# ---------------------------------------------------------------------------
+
+IVF_NPROBE, IVF_TOPK, IVF_NQ = 2, 5, 20
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replay of the full IVF pipeline: the SAME Lloyd CTE
+    chain as _km_oracle trains the coarse quantizer, then list
+    assignment (argmin of exact integer distances), nprobe-nearest-
+    cell probing for the query set, and exact quantized-cosine top-k
+    within the probed lists — possible only because
+    embedding_kmeans_exact is deterministic (fixed seeding, truncating
+    division), which was the point of building it that way."""
+    from .llm_ops import SQL_QDOT_AB, SQL_QUANT
+
+    its = ",".join(_km_iteration_sql(i) for i in range(1, KM_ITERS + 1))
+    fin = KM_ITERS + 1
+    return f"""
+    WITH vecs AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, q AS c
+           FROM vecs WHERE vec_id < {KM_K}),
+    {its},
+    d{fin} AS (
+        SELECT v.vec_id, c.cluster,
+               list_sum(list_transform(generate_series(1, {KM_DIM}),
+                    k -> (v.q[k] - c.c[k]) * (v.q[k] - c.c[k]))) AS d2
+        FROM vecs v CROSS JOIN c{KM_ITERS} c
+    ),
+    asg AS (
+        SELECT vec_id, cluster
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cluster) AS rk
+              FROM d{fin})
+        WHERE rk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cluster AS qcell
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cluster) AS rk
+              FROM d{fin} WHERE vec_id < {IVF_NQ})
+        WHERE rk <= {IVF_NPROBE}
+    ),
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2
+          FROM vecs),
+    cand AS (
+        SELECT p.query_id, g.vec_id AS neighbor_id
+        FROM probes p JOIN asg g ON g.cluster = p.qcell
+        WHERE g.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST({SQL_QDOT_AB} AS DOUBLE)
+                 / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
+                 AS cos_sim
+        FROM cand JOIN n a ON cand.query_id = a.vec_id
+                  JOIN n b ON cand.neighbor_id = b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id)
+                      AS rk
+          FROM scored)
+    WHERE rk <= {IVF_TOPK}
+    """
+
+
+@register("similarity_ann_ivf", oracle=_ivf_oracle(),
+          tags=("similarity", "ml", "iterative"))
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with multi-probe: the exact-kmeans coarse
+    quantizer (k=8, deterministic — _km_train) partitions the corpus
+    into 8 inverted lists; each query probes its nprobe=2 nearest
+    cells by exact integer distance, then exact quantized-cosine top-5
+    within the probed cells.
+
+    Rewritten from Spark-ML KMeans in round 9 so the WHOLE pipeline is
+    DuckDB-replayable (round-8 verdict #6): deterministic centroids →
+    integer argmin assignment → (d2, cluster)-ordered probes → the
+    oracle-proven cosine chain — the entry moves from rows-only to
+    oracle-backed, and the recall-vs-bruteforce floor keeps holding
+    (tests/test_queries.py).
+
+    This is the production shape for embedding search at 100 TB: the
+    coarse quantizer trains on a bounded sample (here the corpus — k×65
+    longs of driver state per iteration), list assignment is a map-only
+    numpy-matmul pass against the broadcast-in-closure model, and
+    candidate generation is an equi-join on the 1-byte cell id — never
+    all-pairs. Multi-probe explodes each query into its nprobe nearest
+    cells (a k-element interpreted HOF per QUERY row only), so recall
+    climbs without changing the join shape."""
+    from ..functions import vectors as V
+
+    q, cents = _km_train(spark, sf_dir)
+    assigned = (_km_assign_arrow(q, cents).select("vec_id", "q", "cluster")
+                .withColumn("n2", V.qnorm2(F.col("q"))))
+    # nprobe nearest cells per query: exact integer distances to the
+    # k-centroid literal, (d2, cid) struct sort = ties to lowest cell
+    arr = _cents_sql_literal(cents)
+    probe_cells = F.expr(
+        f"slice(array_sort(zip_with("
+        f"transform({arr}, c -> aggregate(zip_with(q, c, "
+        f"(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)), "
+        f"sequence(0, {KM_K - 1}), "
+        f"(d, i) -> named_struct('d2', d, 'cid', cast(i as int)))), "
+        f"1, {IVF_NPROBE})")
+    probes = (assigned.where(F.col("vec_id") < IVF_NQ)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("q").alias("qq"), F.col("n2").alias("qn2"),
+                      F.explode(probe_cells).alias("pc"))
+              .select("query_id", "qq", "qn2",
+                      F.col("pc.cid").alias("qcell")))
+    cos = (V.qdot(F.col("qq"), F.col("q")).cast("double")
+           / (F.sqrt(F.col("qn2").cast("double"))
+              * F.sqrt(F.col("n2").cast("double"))))
+    scored = (assigned.join(F.broadcast(probes),
+                            (F.col("cluster") == F.col("qcell"))
+                            & (F.col("vec_id") != F.col("query_id")))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      cos.alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    out = (scored.withColumn("rk", F.row_number().over(w))
+           .where(F.col("rk") <= IVF_TOPK)
+           .select("query_id", "neighbor_id", "cos_sim", "rk"))
     q.unpersist()
     return out

@@ -45,6 +45,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # by construction — it only skips already-empty generator inputs).
     # Plan-audit's HOF-SCAN-FILTER rule keeps the class out; this conf
     # removes the optimizer-injected instances the rule would flag.
+    # Known trade (ADVICE r8): the exclusion is session-global, so a
+    # future plan exploding a STORED (non-computed) array column loses
+    # the legitimate size()>0 scan pruning too — perf only, never
+    # results; if such a plan appears, the HOF-SCAN-FILTER audit run is
+    # the signal to revisit (scope the exclusion or pre-filter the scan
+    # with a cheap source-column predicate, the winnowing pattern).
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }

@@ -91,6 +91,40 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Watermarked session-window aggregation — the streaming twin of
+    events_session_30m (plans/event_time.py): same ``F.session_window``
+    operator, same output columns. Sessions are merging state: the
+    engine unions overlapping [ts, ts+gap) intervals per user across
+    micro-batches, and the watermark both bounds that state (a session
+    older than the watermark can no longer grow) and gates emission in
+    append mode (a session row is final only once the watermark passes
+    its end — so emitted rows are complete sessions, never partial
+    merges). State is O(open sessions per user), not O(events):
+    events inside a session fold into (n, total_value) partials.
+
+    The differential test drains a 3-file time-range replay and checks
+    the emitted set equals EXACTLY the batch sessions the final
+    watermark closed — subset would hide a session the engine split in
+    two (both halves below threshold)."""
+    from ..plans.registry import dsum
+
+    # Watermarks require TIMESTAMP (not NTZ); the session TZ is pinned
+    # UTC (session.py), so the cast is value-preserving, and bounds are
+    # cast back to NTZ to match the batch twin's schema.
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select("user_id",
+                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+                "n", "total_value")
+    )
+
+
 # Output/state schemas for the stateful per-user aggregate. last_ts is
 # int64 microseconds (not a timestamp column) so state round-trips
 # through Arrow without tz coercion.

@@ -32,7 +32,6 @@ def test_oracle_coverage():
         "events_winsorize_approx",
         "events_anomaly_mad_approx",
         "similarity_ann_mllsh",
-        "similarity_ann_ivf",
         "jira_transform_silver",
         "jira_corpus_stats",
         "jira_qa_pairs_udtf",
@@ -107,11 +106,12 @@ def test_embedding_dedup_wide_bands_sound(spark, sf_dir):
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
-    """similarity_ann_ivf is rows-only (seeded KMeans is Spark-internal),
-    so pin its QUALITY instead: every reported neighbor must carry the
-    true cosine, and mean recall@5 against the exact top-5 (restricted
-    to queries both report) must clear a floor — single-probe IVF with 8
-    cells can miss cross-cell neighbors, but not most of them."""
+    """similarity_ann_ivf is oracle-backed since round 9 (deterministic
+    exact-kmeans coarse quantizer), but the oracle only proves the
+    pipeline is computed as specified — this pins its QUALITY: mean
+    recall@5 against the exact top-5 (restricted to queries both
+    report) must clear a floor — nprobe=2 of 8 cells can miss
+    cross-cell neighbors, but not most of them."""
     import pyspark.sql.functions as F
 
     ivf = plans.QUERIES["similarity_ann_ivf"].fn(spark, sf_dir)

