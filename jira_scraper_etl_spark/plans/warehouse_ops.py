@@ -1005,6 +1005,48 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register(
+    "lateral_topk_customers_per_nation",
+    oracle="""
+    SELECT n_name AS nation, t.c_custkey, t.c_name, t.c_acctbal
+    FROM nation,
+    LATERAL (SELECT c_custkey, c_name, c_acctbal
+             FROM customer
+             WHERE c_nationkey = n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+             LIMIT 3) t
+    """,
+    tags=("join", "subquery", "ranking"),
+)
+def lateral_topk_customers_per_nation(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (the third subquery class after the
+    Q17 scalar-agg and Q2 scalar-min shapes): per nation, the top-3
+    account-balance customers, written as the SQL user writes it —
+    `FROM nation, LATERAL (SELECT ... WHERE c_nationkey = n_nationkey
+    ORDER BY ... LIMIT 3)`.
+
+    The plan is the point: Catalyst decorrelates the per-row LIMIT
+    into `WindowGroupLimit` (partial BEFORE the shuffle — each map
+    task forwards at most 3 rows per nation, the top-k analog of
+    map-side combine) + row_number ≤ 3 + one broadcast join of the
+    constant-size dim; a naive engine re-sorts customer once per
+    nation. Deterministic: raw stored doubles, (acctbal DESC, custkey)
+    is a total order per group, and the 75-row output is fully
+    determined with no outer sort needed (the driver compare is
+    order-insensitive)."""
+    _register_tpch_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql("""
+        SELECT n_name AS nation, t.c_custkey, t.c_name, t.c_acctbal
+        FROM thq_nation,
+        LATERAL (SELECT c_custkey, c_name, c_acctbal
+                 FROM thq_customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 3) t
+    """)
+
+
 # ---------------------------------------------------------------------------
 # CUSUM change-point detection on event volume
 # ---------------------------------------------------------------------------

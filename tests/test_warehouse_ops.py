@@ -204,6 +204,19 @@ def test_correlated_subqueries_decorrelate_to_aggregate_joins(spark, sf_dir):
         assert re.search(agg_sig, plan), name
 
 
+def test_lateral_limit_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The LATERAL (ORDER BY ... LIMIT 3) subquery must plan as
+    WindowGroupLimit — each map task forwards at most k rows per group
+    BEFORE the shuffle (the top-k analog of map-side combine) — plus a
+    row_number filter and an equi-join, never a per-nation re-sort or
+    nested loop."""
+    plan = plans.QUERIES["lateral_topk_customers_per_nation"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_winnowing_matches_python_replay_and_guarantee(spark, sf_dir):
     """Winnowing vs a plain-Python replay of the paper's algorithm
     (hash every k-gram, per window of w keep the minimal hash with

@@ -139,11 +139,18 @@ def scale_embeddings(con, out: str, k: int, seed: int = 43) -> None:
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else f".scratch/sf{k / 10:g}"
+    # optional table filter, e.g. "documents,embeddings" — the sf30
+    # linear-heavies probe (round-8 verdict #8) only needs the corpus
+    # tables, and a full sf30 lineitem (~4 GB) would not fit the box
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    scale_relational(con, out, k)
-    scale_documents(con, out, k)
-    scale_embeddings(con, out, k)
+    if only is None or only - {"documents", "embeddings"}:
+        scale_relational(con, out, k)
+    if only is None or "documents" in only:
+        scale_documents(con, out, k)
+    if only is None or "embeddings" in only:
+        scale_embeddings(con, out, k)
     print(f"wrote {out}")
     return 0
 
