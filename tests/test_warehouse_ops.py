@@ -117,6 +117,23 @@ def test_corr_matrix_agrees_with_builtin_corr(spark, sf_dir):
     assert again == {(r.col_x, r.col_y): r.corr for r in rows}
 
 
+def _jaccard_brute_force(spark, sf_dir, tau):
+    """All-pairs exact Jaccard ≥ tau over the full corpus (the ground
+    truth every dedup_jaccard_prefix regime is measured against)."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
+            .where(F.size("sh") > 0))
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return {(r.doc_a, r.doc_b): r.jaccard for r in (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                (inter.cast("double") / union).alias("jaccard"))
+        .where(F.col("jaccard") >= tau).collect())}
+
+
 def test_jaccard_prefix_equals_brute_force(spark, sf_dir):
     """The whole point of prefix filtering: EXACT results (zero false
     negatives) without the all-pairs join. Compare against brute force
@@ -124,18 +141,24 @@ def test_jaccard_prefix_equals_brute_force(spark, sf_dir):
     rows = plans.QUERIES["dedup_jaccard_prefix"].fn(spark, sf_dir).collect()
     assert rows and all(r.method == "prefix" for r in rows)
     got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
-            .where(F.size("sh") > 0))
-    a, b = docs.alias("a"), docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    want = {(r.doc_a, r.doc_b): r.jaccard for r in (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                (inter.cast("double") / union).alias("jaccard"))
-        .where(F.col("jaccard") >= 0.5).collect())}
+    want = _jaccard_brute_force(spark, sf_dir, 0.5)
+    assert got == want and want
+
+
+def test_jaccard_prefix_tau_escalation_rung_is_exact(spark, sf_dir):
+    """With a budget that admits the raised-τ rung but not the τ=1/2
+    contract rung (sf0.001 pricing: 1926 / 561 / 315 projected
+    candidates at τ = 1/2, 2/3, 4/5 — deterministic, fixed testdata +
+    xxhash64 keys), the operator must degrade to the EXACT join at
+    τ=2/3: the method column says so, and the output equals the
+    brute-force all-pairs join thresholded at 2/3 — the prefix lemma's
+    zero-false-negative property holds at the escalated threshold, not
+    just the contract one."""
+    rows = plans.QUERIES["dedup_jaccard_prefix"].fn(
+        spark, sf_dir, max_candidates=600).collect()
+    assert rows and all(r.method == "prefix_tau=2/3" for r in rows)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    want = _jaccard_brute_force(spark, sf_dir, 2 / 3)
     assert got == want and want
 
 
