@@ -370,6 +370,68 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REACH_FANOUT = 2   # top-k outgoing edges kept per node
+REACH_MAX_HOPS = 6
+
+_REACH_SQL = f"""
+WITH RECURSIVE seq AS (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM {{events}}
+),
+tc AS (
+    SELECT src, dst, COUNT(*) AS n
+    FROM seq WHERE dst IS NOT NULL AND dst <> src
+    GROUP BY src, dst
+),
+edges AS (
+    SELECT src, dst
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                       ORDER BY n DESC, dst) AS rk
+          FROM tc)
+    WHERE rk <= {REACH_FANOUT}
+),
+reach AS (
+    SELECT src, dst, 1 AS hops FROM edges
+    UNION ALL
+    SELECT r.src, e.dst, r.hops + 1
+    FROM reach r JOIN edges e ON r.dst = e.src
+    WHERE r.hops < {REACH_MAX_HOPS}
+)
+SELECT src, dst, CAST(MIN(hops) AS INTEGER) AS min_hops
+FROM reach GROUP BY src, dst
+"""
+
+
+@register(
+    "events_reachability_hops",
+    oracle=_REACH_SQL.format(events="events"),
+    tags=("events", "graph", "recursive"),
+)
+def events_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — new in Spark 4): minimum-hop
+    reachability over the event-type transition graph, sparsified to
+    each type's top-REACH_FANOUT outgoing transitions (count-ranked,
+    dst tie-break — deterministic). The graph-traversal relational
+    class — BOM explosions, org charts, path closures — that plain
+    joins cannot express without a fixed join count.
+
+    Scale shape: the recursion runs on the CONTRACTED graph, never the
+    corpus — ONE window shuffle keyed on user_id builds the transition
+    counts (map-side-combined, ≤ |types|² rows out), the top-k prune
+    leaves ≤ REACH_FANOUT·|types| edges, and each recursive step is
+    a join over that bounded edge table (the
+    dedup_cluster_canonical / bpe contraction pattern: corpus-sized
+    work once, model-sized iteration). Depth is bounded by the hop
+    cap; the final MIN collapses the path enumeration into the
+    order-insensitive distance table, which is what makes UNION ALL
+    recursion (both engines' semantics) deterministic to compare.
+    Identical SQL text runs on both engines."""
+    load_events(spark, sf_dir).createOrReplaceTempView("thq_events")
+    return spark.sql(_REACH_SQL.format(events="thq_events"))
+
+
 @register(
     "events_cohort_retention",
     oracle="""
