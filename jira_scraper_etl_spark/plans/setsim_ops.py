@@ -147,62 +147,63 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
     docs.count()
     flat = docs.select("doc_id", F.explode("sh").alias("tok"))
     dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc tokens sorted by the global (df, hash) order, rarest
-    # first. Deliberately NOT persisted: on the common path (τ=1/2
-    # fits the budget) it is consumed once, inside the single prefix
-    # materialization — exactly the round-8 plan; the rare degraded
-    # regimes pay one recompute per extra rung priced.
+    # per-doc tokens sorted by the global (df, hash) order, rarest first
     srt = (flat.join(dfreq, "tok")
            .groupBy("doc_id")
            .agg(F.array_sort(F.collect_list(F.struct("df", "tok")))
                 .alias("srt"))
            .withColumn("sz", F.size("srt")))
 
-    def build_prefix(num: int, den: int) -> DataFrame:
+    def rung_len(num: int, den: int):
         # prefix length z − ceil(τ·z) + 1 for τ=num/den; ceil(τ·z) =
         # (num·z + den − 1) div den, integer-exact (Spark div truncates
         # toward zero; all operands positive here).
-        p = (F.col("sz")
-             - F.expr(f"(sz * {num} + {den - 1}) div {den}") + F.lit(1))
-        # persisted: the candidate self-join consumes prefix TWICE and
-        # Catalyst does not reuse the (join ⨝ groupBy) subtree across
-        # the aliased sides; the table is small (≤ half the shingles)
-        return (srt.select(
-            "doc_id", "sz",
-            F.posexplode(F.slice(F.transform("srt", lambda x: x["tok"]),
-                                 F.lit(1), p)).alias("idx", "tok"))
-            .withColumn("idx", F.col("idx") + 1)  # 1-based position
-            .persist(StorageLevel.MEMORY_AND_DISK))
+        return (F.col("sz")
+                - F.expr(f"(sz * {num} + {den - 1}) div {den}") + F.lit(1))
 
-    def price(prefix: DataFrame) -> int:
-        # Candidate-volume guard: the self-join emits at most
-        # Σ_tok m·(m−1)/2 rows (m = prefix-bucket size) BEFORE its
-        # filters, and on low-entropy corpora the filters cannot prune
-        # below true density. One map-side-combined agg prices the
-        # join before paying for it. m·(m−1) is even, so the per-
-        # bucket div 2 is exact in int64 (ADVICE r8: the former double
-        # /2 could round near the budget boundary).
-        est = (prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("m"))
-               .select(F.sum(F.expr("m * (m - 1) div 2")).alias("c"))
-               .first().c)
-        return int(est or 0)
+    # ONE prefix table serves every rung: under a raised τ the prefix
+    # for a doc of size z is strictly shorter, and the global token
+    # order is shared — so each rung's prefix is exactly the rows of
+    # the τ=1/2 table with idx ≤ that rung's length. Build (and
+    # persist: the candidate self-join consumes it TWICE and Catalyst
+    # does not reuse the join⨝groupBy subtree across the aliased
+    # sides) only the longest rung's table.
+    num0, den0 = _TAU_LADDER[0]
+    prefix = (srt.select(
+        "doc_id", "sz",
+        F.posexplode(F.slice(F.transform("srt", lambda x: x["tok"]),
+                             F.lit(1), rung_len(num0, den0)))
+        .alias("idx", "tok"))
+        .withColumn("idx", F.col("idx") + 1)  # 1-based prefix position
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
-    chosen = None
+    # Candidate-volume guard, ALL rungs priced in one map-side-combined
+    # agg: the self-join emits at most Σ_tok m·(m−1)/2 rows (m = the
+    # rung's prefix-bucket size, a conditional count on the shared
+    # table) BEFORE its filters, and on low-entropy corpora the
+    # filters cannot prune below true density — so the join is priced
+    # before it is paid for, and degrading to a shorter rung costs a
+    # FILTER of the cached table, never a corpus re-pass. m·(m−1) is
+    # even, so the per-bucket div 2 is exact in int64 (ADVICE r8: the
+    # former double /2 could round near the budget boundary).
     rungs = _TAU_LADDER if fallback else _TAU_LADDER[:1]
-    for num, den in rungs:
-        prefix = build_prefix(num, den)
-        est = price(prefix)
-        if est <= max_candidates:
-            chosen = (num, den, prefix)
-            break
-        prefix.unpersist()
+    stats = prefix.groupBy("tok").agg(
+        *[F.count(F.when(F.col("idx") <= rung_len(n, d), 1))
+          .alias(f"m{j}") for j, (n, d) in enumerate(rungs)])
+    totals = stats.select(
+        *[F.sum(F.expr(f"m{j} * (m{j} - 1) div 2")).alias(f"c{j}")
+          for j in range(len(rungs))]).first()
+    ests = [int(totals[f"c{j}"] or 0) for j in range(len(rungs))]
+    chosen = next((j for j, e in enumerate(ests)
+                   if e <= max_candidates), None)
     if chosen is None:
+        prefix.unpersist()
         if not fallback:
             docs.unpersist()
             raise RegimeRefused(
                 f"dedup_jaccard_prefix: projected candidate volume "
-                f"{est:,} exceeds the {max_candidates:,} budget — the "
-                f"corpus vocabulary is too low-entropy for an exact "
+                f"{ests[0]:,} exceeds the {max_candidates:,} budget — "
+                f"the corpus vocabulary is too low-entropy for an exact "
                 f"prefix-filtered join (no rare tokens to prune on). "
                 f"Route this corpus to dedup_minhash_lsh, raise TAU, "
                 f"re-enable fallback=, or pass a larger max_candidates= "
@@ -210,7 +211,9 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str,
                 f"(~32 bytes/candidate).")
         cand = _minhash_candidates_hashed(docs)
         return _verify_pairs(cand, docs, TAU, "minhash_lsh")
-    num, den, prefix = chosen
+    num, den = rungs[chosen]
+    if chosen > 0:
+        prefix = prefix.where(F.col("idx") <= rung_len(num, den))
     a, b = prefix.alias("a"), prefix.alias("b")
     # required overlap α = ceil(τ/(1+τ)·(|a|+|b|)) with τ=num/den:
     # ceil(num·(|a|+|b|) / (num+den)) — Spark div TRUNCATES toward
