@@ -333,6 +333,47 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_unpivot_type_counts",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               """ + ",\n               ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n_{t}" for t in _EVENT_TYPES) + """
+        FROM events GROUP BY user_id
+    )
+    """ + "\n    UNION ALL\n    ".join(
+        f"SELECT user_id, '{t}' AS event_type, n_{t} AS n FROM m"
+        for t in _EVENT_TYPES),
+    tags=("events", "pivot"),
+)
+def events_unpivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 unpivot (wide → long, the inverse reshaping operator of
+    events_pivot_type_counts): the per-user type-count matrix melted
+    back to (user_id, event_type, n) rows via ``DataFrame.unpivot`` —
+    zero cells INCLUDED (that is what distinguishes a faithful unpivot
+    of the matrix from a plain groupBy over the raw events, which has
+    no row for absent combinations).
+
+    Plan shape: unpivot is an Expand node — a map-only row generator
+    (|types| output rows per input row) sitting ABOVE the two
+    map-side-combined pivot aggregations, so the melt adds zero
+    shuffles; output is |users|×|types| rows by construction. The
+    oracle spells the same semantics as a UNION ALL over the
+    conditional-count matrix."""
+    e = load_events(spark, sf_dir)
+    wide = (e.groupBy("user_id")
+            .pivot("event_type", list(_EVENT_TYPES))
+            .agg(F.count(F.lit(1))))
+    wide = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+          for t in _EVENT_TYPES])
+    return wide.unpivot(["user_id"], list(_EVENT_TYPES),
+                        "event_type", "n")
+
+
+@register(
     "events_transition_matrix",
     oracle="""
     WITH seq AS (
@@ -367,6 +408,44 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("from_type"),
                  F.col("next_type").alias("to_type"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "events_enriched_segment_hourly",
+    oracle="""
+    SELECT c_mktsegment AS segment, date_trunc('hour', ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n, {v}
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """.format(v=o_dsum("value", "total_value")),
+    tags=("events", "join", "enrichment"),
+)
+def events_enriched_segment_hourly(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Dimension-enriched event rollup: events joined to the customer
+    profile on user_id, aggregated per (market segment, hour) — the
+    canonical enrichment shape every telemetry pipeline runs, and the
+    batch twin of the STREAM-STATIC join in
+    streaming/events.enriched_segment_counts (same join, same window
+    operator, differential-tested).
+
+    Plan shape at 100 TB: the dim side projects two columns
+    (c_custkey, c_mktsegment) — column pruning reaches the scan — and
+    broadcasts (AQE below threshold; at a 1.5B-customer dim the join
+    key rides the events partitioning instead), then one
+    map-side-combined aggregation whose output is |segments|×|hours|
+    rows regardless of event volume."""
+    from ..catalog import load_table
+
+    e = load_events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    return (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"),
+                 F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
     )
 
 

@@ -125,6 +125,34 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def enriched_segment_counts(events: DataFrame, dim: DataFrame,
+                            window: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """STREAM-STATIC join + windowed aggregation — the streaming twin
+    of events_enriched_segment_hourly (plans/event_time.py): the event
+    stream enriches against a static customer dimension (broadcast per
+    micro-batch; stateless — the engine keeps no join state because the
+    static side is re-readable), then the watermarked tumbling
+    aggregation rolls up per (segment, hour). This is the remaining
+    Structured Streaming join class next to the stream-stream
+    attribution join: dimension enrichment, the shape every production
+    event pipeline runs against its profile store."""
+    from ..plans.registry import dsum
+
+    d = F.broadcast(dim.select("c_custkey", "c_mktsegment"))
+    joined = events.join(d, events.user_id == d.c_custkey)
+    return (
+        joined.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"),
+                 F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select("segment",
+                F.col("w.start").cast("timestamp_ntz").alias("hr"),
+                "n", "total_value")
+    )
+
+
 # Output/state schemas for the stateful per-user aggregate. last_ts is
 # int64 microseconds (not a timestamp column) so state round-trips
 # through Arrow without tz coercion.

@@ -109,6 +109,31 @@ def test_streaming_session_window_equals_closed_batch_sessions(
     assert got and got < want_all  # some sessions stay open past wm
 
 
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, events_dir,
+                                               tmp_path):
+    """Stream-static join twin: the event stream enriched against the
+    static customer dim and rolled up per (segment, hour), drained in
+    complete mode, must equal the oracle-checked batch plan exactly —
+    the static side re-broadcasts per micro-batch, so every cross-batch
+    event still finds its dimension row."""
+    from jira_scraper_etl_spark.catalog import load_table
+
+    stream = SE.stream_events(spark, events_dir, glob="*.parquet",
+                              max_files_per_trigger=1)
+    dim = load_table(spark, sf_dir, "customer")
+    agg = SE.enriched_segment_counts(stream, dim)
+    SE.drain_query(lambda: (
+        agg.writeStream.format("memory").queryName("enriched_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()))
+    got = {tuple(r) for r in spark.table("enriched_sink").collect()}
+    want = {tuple(r) for r in
+            plans.QUERIES["events_enriched_segment_hourly"]
+            .fn(spark, sf_dir).collect()}
+    assert got == want and want
+
+
 def test_streaming_dedup_within_watermark(spark, sf_dir, events_dir, tmp_path):
     """At-least-once delivery (every chunk delivered twice, duplicates
     in a later batch) must come out exactly-once: the drained sink holds
