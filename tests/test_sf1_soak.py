@@ -471,3 +471,32 @@ def test_streaming_session_drain_at_scale(spark, soak_stream_dir, tmp_path):
     want_closed = {t for t in want_all if t[2] <= wm}  # session_end
     assert got == want_closed and got
     spark.catalog.dropTempView("session_soak_sink")
+
+
+def test_stream_static_enrichment_drain_at_scale(spark, soak_stream_dir,
+                                                 tmp_path):
+    """Stream-static enrichment at soak scale: the full soak event log
+    drained against the soak customer dimension (complete mode) must
+    equal the batch events_enriched_segment_hourly exactly — the
+    static side re-broadcasts per micro-batch across the 3-batch
+    replay, and the windowed rollup output stays |segments|×|hours|
+    regardless of event volume."""
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.streaming import events as SE
+
+    stream = SE.stream_events(spark, soak_stream_dir, glob="*.parquet",
+                              max_files_per_trigger=1)
+    dim = load_table(spark, SF1, "customer")
+    agg = SE.enriched_segment_counts(stream, dim)
+    SE.drain_query(lambda: (
+        agg.writeStream.format("memory").queryName("enriched_soak_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_enr"))
+        .trigger(availableNow=True).start()),
+        timeout_seconds=1800.0)
+    got = {tuple(r) for r in spark.table("enriched_soak_sink").collect()}
+    want = {tuple(r) for r in
+            plans.QUERIES["events_enriched_segment_hourly"]
+            .fn(spark, SF1).collect()}
+    assert got == want and want
+    spark.catalog.dropTempView("enriched_soak_sink")
