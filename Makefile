@@ -3,7 +3,8 @@
 # scale-independent invariant suite (tests/test_sf1_soak.py) runs
 # against it via SPARK_GRAFT_SOAK_DIR.
 
-.PHONY: test oracle bench bench-sf1 bench-sf10 soak-sf1 soak-sf10 plan-audit
+.PHONY: test oracle bench bench-sf1 bench-sf10 soak-sf1 soak-sf10 \
+        plan-audit probe-sf30
 
 test:
 	python -m pytest tests/ -x -q
@@ -35,3 +36,11 @@ bench-sf10: .scratch/sf10
 
 plan-audit:
 	python tools/plan_audit.py
+
+# corpus tables only — a full sf30 lineitem (~4 GB) won't fit the box
+.scratch/sf30:
+	python tools/make_sf.py 300 .scratch/sf30 documents,embeddings
+
+# the two linear heavies one decade past the comfort zone (BASELINE.md)
+probe-sf30: .scratch/sf30
+	python tools/probe_sf30.py
