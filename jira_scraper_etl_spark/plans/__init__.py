@@ -39,6 +39,7 @@ _PRIORITY = [
     "q17_small_qty_revenue", "q2_min_cost_supplier",
     "lateral_topk_customers_per_nation", "events_reachability_hops",
     "events_unpivot_type_counts", "events_enriched_segment_hourly",
+    "text_winnow_overlap",
     "dedup_jaccard_prefix", "similarity_ann_ivf",
     # The 46 stalest entries: every one of these was last driver-green
     # in r5 or earlier (most in r2 — the func_*/agg/setop/window/join
@@ -64,14 +65,15 @@ _PRIORITY = [
     "join_skewed_events_by_type", "filter_project_shipped_window",
     "dedup_exact", "dedup_embedding_cosine_exact", "similarity_ann_mllsh",
     "events_funnel_1h", "events_latest_state_per_user", "events_session_30m",
-    "events_sliding_1h_30m", "events_trailing_1h_sum",
+    "events_sliding_1h_30m",
     # -- Entries #51+: past the 50-entry window. -------------------------
-    # events_tumbling_1h / text_language_id / text_quality_score /
-    # text_token_stats (stale, r3) yield their slots to the round-9
-    # additions (lateral, recursive, unpivot, enrichment); they and
-    # dedup_embedding_cosine (r5) lead the tail so any wider future
-    # window picks them up first.
-    "events_tumbling_1h", "text_language_id",
+    # events_trailing_1h_sum / events_tumbling_1h / text_language_id /
+    # text_quality_score / text_token_stats (stale, r3) yield their
+    # slots to the round-9 additions (lateral, recursive, unpivot,
+    # enrichment, winnow-overlap); they and dedup_embedding_cosine
+    # (r5) lead the tail so any wider future window picks them up
+    # first.
+    "events_trailing_1h_sum", "events_tumbling_1h", "text_language_id",
     "text_quality_score", "text_token_stats",
     # dedup_embedding_cosine (last green r5) is the one stale entry
     # the 50-slot window cannot fit; it leads the tail so any wider

@@ -305,10 +305,9 @@ WINNOW_W = 4   # window: one fingerprint selected per W consecutive grams
 _POS_BASE = 1_000_000_000
 
 
-@register(
-    "text_winnow_fingerprints",
-    oracle=f"""
-    WITH g AS (
+# The winnow pipeline's oracle CTEs + final select, shared verbatim by
+# text_winnow_fingerprints and the overlap join built on it.
+_WINNOW_CTES = f"""g AS (
         SELECT doc_id, t.i AS pos,
                md5(substring(text, t.i, {WINNOW_K}))
                  || lpad(CAST({_POS_BASE} - t.i AS VARCHAR), 10, '0') AS key,
@@ -322,12 +321,20 @@ _POS_BASE = 1_000_000_000
                               ROWS BETWEEN CURRENT ROW
                               AND {WINNOW_W - 1} FOLLOWING) AS sk
         FROM g
-    )
-    SELECT DISTINCT doc_id,
+    )"""
+
+_WINNOW_SELECT = f"""SELECT DISTINCT doc_id,
            CAST({_POS_BASE} - CAST(substring(sk, 33, 10) AS BIGINT) AS BIGINT)
              AS pos,
            substring(sk, 1, 16) AS fp
-    FROM wins WHERE pos <= n - {WINNOW_W} + 1
+    FROM wins WHERE pos <= n - {WINNOW_W} + 1"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_CTES}
+    {_WINNOW_SELECT}
     """,
     tags=("textstats", "dedup", "fingerprint"),
 )
@@ -394,6 +401,69 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_POS_BASE)
              - F.substring("sk", 33, 10).cast("long")).alias("pos"),
             F.substring("sk", 1, 16).alias("fp"))
+    )
+
+
+# MOSS overlap-join dials: fingerprints appearing in more than
+# WINNOW_MAX_DF documents are boilerplate (ubiquitous substrings) and
+# are dropped before pairing — the paper's own noise rule, and the
+# guarantee that bucket sizes (hence candidate volume per fingerprint)
+# are bounded by construction; pairs must share at least
+# WINNOW_MIN_SHARED distinct fingerprints to be reported.
+WINNOW_MAX_DF = 10
+WINNOW_MIN_SHARED = 3
+
+
+@register(
+    "text_winnow_overlap",
+    oracle=f"""
+    WITH {_WINNOW_CTES},
+    W AS ({_WINNOW_SELECT}),
+    docfp AS (SELECT DISTINCT doc_id, fp FROM W),
+    rare AS (SELECT fp FROM docfp GROUP BY fp
+             HAVING COUNT(*) <= {WINNOW_MAX_DF}),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM docfp a JOIN rare USING (fp) JOIN docfp b USING (fp)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY doc_a, doc_b
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+    tags=("dedup", "join", "fingerprint"),
+)
+def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS overlap join — what winnowing fingerprints are FOR:
+    document pairs sharing ≥ WINNOW_MIN_SHARED distinct selected
+    fingerprints, i.e. pairs with at least that many (near-)guaranteed
+    common substrings of length ≥ k+w−1 — the plagiarism/boilerplate
+    detector, completing the story text_winnow_fingerprints starts.
+
+    Scale shape: pairs come from a bucket join keyed on the
+    fingerprint, and the WINNOW_MAX_DF prune (the paper's own
+    ubiquitous-substring noise rule) bounds every bucket at ≤ max_df
+    docs BEFORE the join — candidate volume is Σ_fp m·(m−1)/2 ≤
+    |fps|·max_df²/2, linear in corpus size by construction, so unlike
+    the Jaccard prefix join this needs no runtime pricing guard. One
+    distinct (map-side combined), one df-count agg reused as the
+    prune, one equi-join, one pair count — every stage keyed, nothing
+    all-pairs. The shared-count threshold is the MOSS report rule."""
+    fps = text_winnow_fingerprints(spark, sf_dir)
+    docfp = fps.select("doc_id", "fp").distinct() \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    docfp.count()  # the fingerprint pass runs once, both join sides hit cache
+    rare = (docfp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= WINNOW_MAX_DF)
+            .select("fp"))
+    a = docfp.join(rare, "fp").select("fp", F.col("doc_id").alias("doc_a"))
+    b = docfp.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
 
 
