@@ -14,6 +14,7 @@ import time
 
 from jira_scraper_etl_spark import plans
 from jira_scraper_etl_spark.errors import RegimeRefused
+from jira_scraper_etl_spark.seams import release_seams
 from jira_scraper_etl_spark.session import get_spark
 
 # Headline set: one per operator family — agg, join, window, event-time,
@@ -72,6 +73,10 @@ HEADLINE = [
     "similarity_ann_signlsh",
     "dedup_embedding_cosine_rp",
     "q17_small_qty_revenue",
+    # round-10 addition: the xxhash64 winnowing twin is the named
+    # 100 TB fingerprinting path — trend-line it alongside the md5
+    # oracle anchor (32.9 s vs 55.8 s at the sf10 decade)
+    "text_winnow_fingerprints_fast",
 ]
 
 
@@ -86,7 +91,13 @@ def run_suite(spark, sf_dir: str,
     routing decision, not a bench crash — it lands in the returned
     ``refused`` dict and the rest of the suite still measures. Only
     that dedicated type is caught: a bare ValueError is a genuine bug
-    and must crash the run (ADVICE r8)."""
+    and must crash the run (ADVICE r8).
+
+    Between queries, persist seams are reclaimed via
+    ``seams.release_seams()`` — targeted to the frames the operators
+    registered, so (unlike the ``spark.catalog.clearCache()`` this
+    replaces, ADVICE r9) embedding run_suite in a larger session does
+    NOT drop caller-owned caches or warm fixtures."""
     timings: dict[str, float] = {}
     refused: dict[str, str] = {}
     for name in headline:
@@ -108,7 +119,7 @@ def run_suite(spark, sf_dir: str,
         # (minhash shingles, RP keys, …) accumulate three copies per
         # query plus one per warm run (ADVICE r8) — drop them before
         # the next query so a 38-query suite doesn't hoard memory
-        spark.catalog.clearCache()
+        release_seams()
     return timings, refused
 
 
@@ -128,6 +139,7 @@ def main() -> int:
             plans.QUERIES[name].fn(spark, warm_dir).count()
         except Exception:
             plans.QUERIES["q1_pricing_summary"].fn(spark, sf_dir).collect()
+        release_seams()
 
     timings, refused = run_suite(spark, sf_dir, HEADLINE)
     out = {

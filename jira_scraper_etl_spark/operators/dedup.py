@@ -170,18 +170,18 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     bucket-join → exact-Jaccard verify ≥ threshold.
     Output: (doc_a, doc_b, jaccard)."""
-    from pyspark import StorageLevel
+    from ..seams import persist_seam
 
     # shingling is the expensive map stage and is needed by BOTH the
     # signature path and the verify path — persist so it runs once
-    # (at 100 TB: materialize the shingled corpus to parquet instead).
-    # The count() fills the cache EAGERLY: the downstream DAG fans out
-    # into several concurrent shuffle-map stages (signature, verify-a,
-    # verify-b) and concurrent first readers of a lazy persist each
-    # recompute the full shingle pipeline (measured 4× duplicate 1.6s
-    # stages at sf0.1).
-    docs = shingled_docs(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    docs.count()
+    # (at 100 TB: materialize the shingled corpus to parquet instead;
+    # caller releases via seams.release_seams). persist_seam fills the
+    # cache EAGERLY: the downstream DAG fans out into several
+    # concurrent shuffle-map stages (signature, verify-a, verify-b)
+    # and concurrent first readers of a lazy persist each recompute
+    # the full shingle pipeline (measured 4× duplicate 1.6s stages
+    # at sf0.1).
+    docs = persist_seam(shingled_docs(df, id_col, text_col))
     sig = minhash_signatures(docs, id_col)
     banded = band_keys_df(sig, id_col)
     cand = candidate_pairs(banded, id_col)

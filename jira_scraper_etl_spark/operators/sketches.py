@@ -98,14 +98,13 @@ def mg_topk(tokens: DataFrame, col: str = "tok", k: int = 64,
     full candidate table — the deliverable flag here is the simpler
     sound statement lb > E ⇒ the item's true count strictly exceeds
     every absent item's possible count (an absent item's true ≤ E)."""
-    from pyspark.storagelevel import StorageLevel
+    from ..seams import persist_seam
 
-    # persisted seam: merged counts and the error budget both consume
-    # the partials — without it the Python sketch fold over the whole
-    # token stream runs twice (Catalyst won't reuse the subtree)
-    partials = mg_partials(tokens, col, k).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    partials.count()
+    # persisted seam (caller releases via seams.release_seams): merged
+    # counts and the error budget both consume the partials — without
+    # it the Python sketch fold over the whole token stream runs twice
+    # (Catalyst won't reuse the subtree)
+    partials = persist_seam(mg_partials(tokens, col, k))
     merged = (partials.where(F.col("tok").isNotNull())
               .groupBy("tok").agg(F.sum("c").alias("lb")))
     err = (partials.groupBy("pid").agg(F.first("d").alias("d"))

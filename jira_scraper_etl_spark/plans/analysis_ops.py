@@ -23,6 +23,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.storagelevel import StorageLevel
 
+from ..seams import persist_seam
+
 from ..catalog import load_table
 from ..functions import hashing as H
 from ..operators import multimodal as MM
@@ -84,10 +86,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = H.word_tokens(F.col("text"))
     t = (fan_out(d.select("doc_id", "lang", toks.alias("toks")), LIGHT)
          .select("doc_id", "lang", F.explode("toks").alias("tok")))
-    tf = (t.groupBy("doc_id", "lang", "tok")
-          .agg(F.count(F.lit(1)).alias("tf"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-    tf.count()
+    tf = persist_seam(t.groupBy("doc_id", "lang", "tok")
+                      .agg(F.count(F.lit(1)).alias("tf")))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row broadcast
     scored = (

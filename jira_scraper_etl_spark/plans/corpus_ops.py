@@ -36,6 +36,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
+from ..seams import persist_seam
+
 from ..catalog import load_table
 from ..functions import hashing as H
 from ..operators.fanout import HEAVY, LIGHT, fan_out
@@ -257,9 +259,8 @@ def text_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (0.83 s vs 0.80 s — cache write ≈ duplicate compute at 5k docs)
     # but the duplicate pipeline dominates at scale. At 100 TB this
     # seam is a parquet materialization instead of a cache.
-    tf = (t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-    tf.count()
+    tf = persist_seam(
+        t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
     vocab = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("ctf"))
     return (
         tf.join(vocab, "tok")
@@ -456,9 +457,7 @@ def text_bigram_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = H.word_tokens(F.col("text"))
     # fan the cached token arrays across cores: three consumer stages
     # read this cache, so 1-2 cache partitions would serialize them all
-    t = (fan_out(d.select(toks.alias("toks")), HEAVY)
-         .persist(StorageLevel.MEMORY_AND_DISK))
-    t.count()
+    t = persist_seam(fan_out(d.select(toks.alias("toks")), HEAVY))
     uni = t.select(F.explode("toks").alias("tok"))
     uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = uni.agg(F.count(F.lit(1)).alias("n"))
@@ -1066,9 +1065,8 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.arrays_zip(pl.alias("l"), pr.alias("r"))).alias("p"))
         .select("doc_id", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    per_doc.count()
+        .distinct())
+    per_doc = persist_seam(per_doc)
     df = (per_doc.groupBy("l", "r")
           .agg(F.count(F.lit(1)).cast("long").alias("n_docs_with")))
     scored = (per_doc.join(df, ["l", "r"])

@@ -28,6 +28,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.storagelevel import StorageLevel
 
+from ..seams import persist_seam
+
 from ..catalog import load_table
 from ..functions import hashing as H
 from ..functions import textstats as TS
@@ -450,15 +452,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
     # quantize HOF per consumer — and the n2 join key's inferred
     # isnotnull would re-inline the HOF into the scan's DataFilters
     # (plan-audit HOF-SCAN-FILTER class); the cache materializes both.
-    # DELIBERATE LEAK (the jaccard-prefix precedent, ADVICE r8): the
-    # returned DataFrame depends on this cache, so the function cannot
-    # unpersist it; repeated invocations in one session accumulate
-    # entries — long-lived callers should spark.catalog.clearCache()
-    # between runs (bench.run_suite does, per query).
-    base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
-            .withColumn("n2", V.qnorm2(F.col("q")))
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    base.count()
+    # The returned DataFrame depends on this cache, so the function
+    # cannot unpersist it — registered via persist_seam; the caller
+    # releases with seams.release_seams() (bench.run_suite does, per
+    # query; see seams.py for the session-wide contract).
+    base = persist_seam(
+        e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+        .withColumn("n2", V.qnorm2(F.col("q"))))
     cand = emb_candidates(base, bands, bits)
     a, b = base.alias("a"), base.alias("b")
     cos = (V.qdot(F.col("a.q"), F.col("b.q")).cast("double")
@@ -495,9 +495,7 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted seam: both join sides consume q (and the cache keeps
     # the n2 key's inferred isnotnull off the scan — HOF-SCAN-FILTER)
     q = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
-    q = q.withColumn("n2", V.qnorm2(F.col("q"))) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    q.count()
+    q = persist_seam(q.withColumn("n2", V.qnorm2(F.col("q"))))
     a, b = q.alias("a"), q.alias("b")
     cos = (V.qdot(F.col("a.q"), F.col("b.q")).cast("double")
            / (F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))))
@@ -798,10 +796,9 @@ def similarity_ann_mllsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # persisted seam: fit + query side + corpus side all consume vecs
     # (and it keeps the inferred isnotnull(features) HOF off the scan)
-    vecs = e.select("vec_id", array_to_vector(
-        F.transform("embedding", lambda x: x.cast("double"))).alias("features")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    vecs.count()
+    vecs = persist_seam(e.select("vec_id", array_to_vector(
+        F.transform("embedding", lambda x: x.cast("double")))
+        .alias("features")))
     lsh = BucketedRandomProjectionLSH(inputCol="features", outputCol="hashes",
                                       bucketLength=2.0, numHashTables=3, seed=42)
     model = lsh.fit(vecs)
@@ -1295,10 +1292,9 @@ def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
     # persisted seam: key build + both verify sides consume base (see
     # dedup_embedding_cosine — also keeps the n2 join key's inferred
     # isnotnull off the scan's DataFilters)
-    base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
-            .withColumn("n2", V.qnorm2(F.col("q")))
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    base.count()
+    base = persist_seam(
+        e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+        .withColumn("n2", V.qnorm2(F.col("q"))))
     # The hash-table materialization seam: the packed band keys are
     # checkpointed so the hyperplane arithmetic runs exactly once —
     # this is the LSH "build the tables" step; at warehouse scale it is

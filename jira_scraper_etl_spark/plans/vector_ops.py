@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from ..operators.fanout import LIGHT, fan_out
+from ..seams import persist_seam
 from .registry import register
 
 # Shared oracle CTE: per-dimension calibration + int8 codes. Kept as a
@@ -521,9 +522,7 @@ def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an explicit cross join — fine at oracle scale, deliberately
     not the engine plan."""
     q, cents = _km_train(spark, sf_dir)
-    out = _km_assign_arrow(q, cents).select("vec_id", "cluster", "d2")
-    q.unpersist()
-    return out
+    return _km_assign_arrow(q, cents).select("vec_id", "cluster", "d2")
 
 
 def _km_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
@@ -531,7 +530,8 @@ def _km_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
     embedding_kmeans_exact and similarity_ann_ivf (the IVF coarse
     quantizer IS this model — training it identically is what makes
     the IVF DuckDB-replayable). Returns the PERSISTED quantized table
-    and the final k×dim centroid list; the caller owns the unpersist."""
+    (a registered seam — seams.release_seams() reclaims it) and the
+    final k×dim centroid list."""
     from ..functions import vectors as V
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -541,10 +541,11 @@ def _km_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
     # passes then ran its matmul+agg in a single straggler task
     # (measured 15.8 s; balanced 5.5 s). One shuffle of the quantized
     # rows buys 5 balanced cached passes.
-    q = (fan_out(e.select("vec_id",
-                          V.quantize(F.col("embedding")).alias("q")),
-                 LIGHT)
-         .persist())
+    q = persist_seam(
+        fan_out(e.select("vec_id",
+                         V.quantize(F.col("embedding")).alias("q")),
+                LIGHT),
+        materialize=False)
     # the seed collect scans (and therefore fills) the whole cache —
     # no separate count() job needed
     init = {r.vec_id: list(r.q)
@@ -666,8 +667,12 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
 
     q, cents = _km_train(spark, sf_dir)
-    assigned = (_km_assign_arrow(q, cents).select("vec_id", "q", "cluster")
-                .withColumn("n2", V.qnorm2(F.col("q"))))
+    # persisted seam (ADVICE r9): assigned feeds BOTH the broadcast
+    # probe build and the scored corpus join — uncached, every
+    # downstream action re-ran the quantize+assignment pipeline twice
+    assigned = persist_seam(
+        _km_assign_arrow(q, cents).select("vec_id", "q", "cluster")
+        .withColumn("n2", V.qnorm2(F.col("q"))))
     # nprobe nearest cells per query: exact integer distances to the
     # k-centroid literal, (d2, cid) struct sort = ties to lowest cell
     arr = _cents_sql_literal(cents)
@@ -697,5 +702,4 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (scored.withColumn("rk", F.row_number().over(w))
            .where(F.col("rk") <= IVF_TOPK)
            .select("query_id", "neighbor_id", "cos_sim", "rk"))
-    q.unpersist()
     return out

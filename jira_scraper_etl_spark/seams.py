@@ -1,0 +1,67 @@
+"""Persist-seam caller contract (round-9 verdict watch item 2).
+
+Several operators materialize an expensive intermediate exactly once —
+the MinHash shingle table, the embedding quantize pipeline, the Jaccard
+prefix table, the TF-IDF term-frequency exchange — because two or more
+downstream consumers would otherwise re-run it (Catalyst does not reuse
+a subtree across branches, and a cache also keeps join-key-inferred
+``isnotnull`` HOFs out of the scan's DataFilters). The RETURNED
+DataFrame depends on that cache, so the operator itself cannot
+unpersist it without forcing the recompute it exists to prevent.
+
+The uniform contract: operators persist through :func:`persist_seam`,
+which records the frame in this module-level registry; the CALLER
+releases every outstanding seam with :func:`release_seams` once it has
+fully consumed the result. ``bench.run_suite`` does this after each
+query; long-lived sessions that invoke registry queries repeatedly
+should do the same between invocations — otherwise MEMORY_AND_DISK
+entries accumulate one per seam per invocation. ``release_seams`` only
+touches frames registered here, never caller-owned caches (unlike
+``spark.catalog.clearCache()``, which drops everything session-wide).
+
+Releasing is idempotent: a seam an operator already unpersisted on an
+early-exit path (``dedup_jaccard_prefix``'s refusal) is skipped
+harmlessly — Spark's ``unpersist`` on a non-persisted frame is a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_OUTSTANDING: list[DataFrame] = []
+
+
+def persist_seam(df: DataFrame, *, materialize: bool = True) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) and register it for caller
+    release. ``materialize=True`` fills the cache eagerly with a
+    ``count()``: concurrent first readers of a LAZY persist each
+    recompute the full upstream pipeline (measured 4× duplicate 1.6 s
+    shingle stages at sf0.1), so seams with fan-out consumers always
+    materialize before returning."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _OUTSTANDING.append(df)
+    if materialize:
+        df.count()
+    return df
+
+
+def release_seams() -> int:
+    """Unpersist every outstanding seam; returns how many were
+    released. Safe at any point — a seam whose result the caller has
+    already materialized releases without recompute, and blocking is
+    not requested so executors drop blocks asynchronously."""
+    n = 0
+    while _OUTSTANDING:
+        df = _OUTSTANDING.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
+def outstanding() -> int:
+    """How many seams are currently registered (test hook)."""
+    return len(_OUTSTANDING)

@@ -104,8 +104,15 @@ def test_streaming_session_window_equals_closed_batch_sessions(
     wm = (load_events(spark, sf_dir).agg(F.max("ts")).first()[0]
           - timedelta(hours=2))
     want_all = {tuple(r) for r in batch.collect()}
-    want_closed = {t for t in want_all if t[2] <= wm}  # session_end
-    assert got == want_closed
+    # Whether Spark's append-mode eviction predicate closes a session
+    # ending EXACTLY at the watermark is a boundary this test must not
+    # depend on (ADVICE r9: a session ending at max(ts)−2h would flake
+    # it): the emitted set must contain every strictly-closed session
+    # and nothing beyond the inclusive closure — equal to both when no
+    # session lands on the boundary, which is the usual dataset shape.
+    want_strict = {t for t in want_all if t[2] < wm}  # session_end
+    want_incl = {t for t in want_all if t[2] <= wm}
+    assert want_strict <= got <= want_incl
     assert got and got < want_all  # some sessions stay open past wm
 
 

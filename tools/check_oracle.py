@@ -20,6 +20,7 @@ sys.path.insert(0, "/root/repo")
 
 from jira_scraper_etl_spark import plans  # noqa: E402
 from jira_scraper_etl_spark.catalog import TABLES  # noqa: E402
+from jira_scraper_etl_spark.seams import release_seams  # noqa: E402
 from jira_scraper_etl_spark.session import get_spark  # noqa: E402
 
 
@@ -122,6 +123,7 @@ def main() -> int:
     for name, q in plans.QUERIES.items():
         if only and name not in only:
             continue
+        release_seams()  # reclaim the previous query's persist seams
         t0 = time.perf_counter()
         try:
             sdf = q.fn(spark, sf_dir)

@@ -143,6 +143,14 @@ def main() -> int:
     # linear-heavies probe (round-8 verdict #8) only needs the corpus
     # tables, and a full sf30 lineitem (~4 GB) would not fit the box
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    known = {"region", "nation", "customer", "supplier", "part",
+             "orders", "lineitem", "events", "documents", "embeddings"}
+    if only is not None and only - known:
+        # a typo like 'document' would otherwise silently fall into the
+        # relational bucket and produce a wrong dataset mix (ADVICE r9)
+        print(f"unknown table(s) {sorted(only - known)}; "
+              f"known: {sorted(known)}", file=sys.stderr)
+        return 2
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     if only is None or only - {"documents", "embeddings"}:
