@@ -29,25 +29,34 @@ from . import event_time  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- Entries #1-50: the round-9 correctness window. ------------------
-    # New or changed this round, freshest-signal-first: the two
-    # correlated-scalar-subquery flagships (Catalyst decorrelation),
-    # dedup_jaccard_prefix (OUTPUT SCHEMA CHANGED — new `method`
-    # provenance column + graceful degradation replacing the r8
-    # refusal), and similarity_ann_ivf (newly oracle-backed on the
-    # deterministic exact-kmeans centroids).
+    # -- Entries #1-50: the round-10 correctness window. ------------------
+    # New this round, freshest-signal-first: the ordered-set aggregate
+    # family (round-9 verdict #4), the real payload-decode entries
+    # (verdict #9), and the xxhash64 winnowing scale twin (verdict #7,
+    # rows-only by design — pinned in tests/test_setsim_guarantees.py).
+    "agg_listagg_rich_customers", "agg_mode_priority_by_status",
+    "agg_percentile_disc_price", "mm_pixel_stats", "mm_wav_sample_stats",
+    "text_winnow_fingerprints_fast",
+    # The 6 stale entries the round-9 verdict named (watch item 3 /
+    # next-round #2): last driver-green r3–r5, judge-exact in the r9
+    # sweep — convert that internal signal back into external rows.
+    "events_tumbling_1h", "text_language_id", "text_quality_score",
+    "text_token_stats", "events_trailing_1h_sum", "dedup_embedding_cosine",
+    # Changed this round (persist-seam registry rewire — same plans,
+    # re-prove externally): the ivf double-recompute fix and the seam
+    # conversions with the heaviest cache interplay.
+    "similarity_ann_ivf", "dedup_jaccard_prefix", "dedup_minhash_lsh",
+    "text_tfidf_topk", "dedup_embedding_cosine_rp", "embedding_kmeans_exact",
+    "text_winnow_overlap", "text_bigram_novelty", "text_heavy_hitters_mg",
+    "text_bigram_assoc", "dedup_embedding_cosine_exact",
+    "similarity_ann_mllsh", "text_corpus_freq_score",
+    # r9 window entries still fresh enough to keep external continuity.
     "q17_small_qty_revenue", "q2_min_cost_supplier",
     "lateral_topk_customers_per_nation", "events_reachability_hops",
     "events_unpivot_type_counts", "events_enriched_segment_hourly",
-    "text_winnow_overlap",
-    "dedup_jaccard_prefix", "similarity_ann_ivf",
-    # The 46 stalest entries: every one of these was last driver-green
-    # in r5 or earlier (most in r2 — the func_*/agg/setop/window/join
-    # families and q1 below last appeared in the r2 driver window),
-    # all judge-exact in the r8 verdict's independent sweep; this
-    # window converts that internal signal back into external rows
-    # (round-8 verdict #1). Rows-only-by-design entries among them
-    # (similarity_ann_mllsh) get the rows-only check as usual.
+    # Next-stalest band (last green r6): the func_* family rotated out
+    # of the r9 window head now ages least gracefully — keep the rest
+    # of the 50-slot window on it plus the core relational families.
     "func_array_ops", "func_classification_rules", "func_date_arithmetic",
     "func_date_validation", "func_hashing", "func_json_extract",
     "func_null_handling", "func_question_extraction",
@@ -57,29 +66,17 @@ _PRIORITY = [
     "agg_orders_by_priority", "agg_rollup_year_status",
     "agg_running_max_per_group", "setop_except_never_priority",
     "setop_intersect_buyers", "setop_union_segments",
+    # -- Entries #51+: past the 50-entry window. -------------------------
     "window_rank_lag_orders", "window_running_revenue",
     "window_top3_orders_per_customer", "topk_expensive_orders",
     "join_anti_customers_without_orders", "join_left_outer_order_counts",
     "join_range_price_bands", "join_semi_customers_with_big_orders",
     "join_asof_last_event_before_order", "join_revenue_by_nation",
     "join_skewed_events_by_type", "filter_project_shipped_window",
-    "dedup_exact", "dedup_embedding_cosine_exact", "similarity_ann_mllsh",
+    "dedup_exact",
     "events_funnel_1h", "events_latest_state_per_user", "events_session_30m",
     "events_sliding_1h_30m",
-    # -- Entries #51+: past the 50-entry window. -------------------------
-    # events_trailing_1h_sum / events_tumbling_1h / text_language_id /
-    # text_quality_score / text_token_stats (stale, r3) yield their
-    # slots to the round-9 additions (lateral, recursive, unpivot,
-    # enrichment, winnow-overlap); they and dedup_embedding_cosine
-    # (r5) lead the tail so any wider future window picks them up
-    # first.
-    "events_trailing_1h_sum", "events_tumbling_1h", "text_language_id",
-    "text_quality_score", "text_token_stats",
-    # dedup_embedding_cosine (last green r5) is the one stale entry
-    # the 50-slot window cannot fit; it leads the tail so any wider
-    # future window picks it up first. Then the r6-r8 windows (all
-    # externally green within the last three rounds) in prior order.
-    "dedup_embedding_cosine", "text_winnow_fingerprints",
+    "text_winnow_fingerprints",
     "q5_local_supplier_volume", "q18_large_volume_customers",
     "customer_rfm_segments", "similarity_ann_signlsh",
     "dedup_embedding_cosine_rp", "events_rolling_distinct_hll",
