@@ -39,6 +39,7 @@ def test_oracle_coverage():
         "text_heavy_hitters_mg",
         "embedding_pca_project",
         "events_rolling_distinct_hll",
+        "text_winnow_fingerprints_fast",
     }
 
 
@@ -350,3 +351,28 @@ def test_rp_band_key_table_matches_expression_path(spark, sf_dir):
            rp_band_key_table(base, RP_BANDS, bits)
            .select("vec_id", F.explode("bks").alias("bk")).collect()}
     assert got == want
+
+
+def test_mllsh_recall_vs_bruteforce(spark, sf_dir):
+    """similarity_ann_mllsh stays rows-only (the projections are
+    Spark-ML-internal, no cross-engine oracle possible) — round-9
+    verdict #8 pins it instead with a deterministic-seed recall floor:
+    seed=42 makes the hash tables reproducible, so mean recall@5 vs
+    the exact cosine top-5 is a FIXED number at this SF (0.96
+    measured); 0.8 is the regression tripwire. Euclidean-vs-cosine
+    ranking differences on the near-unit-norm corpus are inside that
+    slack."""
+    import pyspark.sql.functions as F
+
+    ann = plans.QUERIES["similarity_ann_mllsh"].fn(spark, sf_dir)
+    got = {}
+    for r in ann.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exact = plans.QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir)
+    want = {}
+    for r in exact.where(F.col("rk") <= 5).collect():
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    common = set(got) & set(want)
+    assert common == {0, 1, 2, 3, 4}
+    recall = sum(len(got[q] & want[q]) / len(want[q]) for q in common) / len(common)
+    assert recall >= 0.8, recall
