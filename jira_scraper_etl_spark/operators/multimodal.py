@@ -16,9 +16,15 @@ precision/dims/components, SOS→EOI payload size), **MP4**
 payload size), and **AVI** (RIFF LIST walk: avih frame count/interval/
 dims/streams, movi payload size) are decoded for real with stdlib
 ``struct``/``zlib`` — no codec library needed for header-level
-metadata. Only pixel/sample *payload* decoding (JPEG entropy scans,
-codec bitstreams) genuinely needs codec libraries absent from this
-container; no query depends on it.
+metadata. Payload decode is real too for the UNCOMPRESSED formats:
+binary-PPM and 24-bit BMP rasters (``decode_ppm_pixels`` /
+``decode_bmp_pixels``) and PCM-16 WAV sample streams
+(``decode_wav_samples``), each with exact-integer statistics and an
+oracle-backed registry entry (mm_pixel_stats / mm_wav_sample_stats).
+Only COMPRESSED payload decoding (JPEG entropy scans, codec bitstreams
+inside mp4 mdat / avi movi, PNG IDAT inflate-and-unfilter) genuinely
+needs codec libraries absent from this container; no query depends
+on it.
 Everything Spark-side is real and tested: the binary schema,
 the container headers, Arrow batch shapes, partitioning behavior, and
 the row-multiplying frame-sample pass.
@@ -351,10 +357,11 @@ def decode_one(buf: bytes) -> dict:
     """Decode one binary payload's header metadata, dispatching on magic.
 
     FAKE / PNG / WAV / JPEG / MP4 / AVI container headers all parse for
-    real (stdlib struct/zlib). Only pixel/sample *payload* decoding
-    (JPEG entropy scans, codec bitstreams inside mp4 mdat / avi movi)
-    needs codec libraries this container doesn't ship — no query here
-    depends on it.
+    real (stdlib struct/zlib); uncompressed payloads decode for real
+    too (decode_ppm_pixels / decode_bmp_pixels / decode_wav_samples
+    below). Only COMPRESSED payload decoding (JPEG entropy scans, codec
+    bitstreams inside mp4 mdat / avi movi) needs codec libraries this
+    container doesn't ship — no query here depends on it.
     """
     fmt = sniff_format(buf)
     if fmt == "fake":
@@ -565,3 +572,227 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA.fields])
 
     return df.select("doc_id", "content").mapInPandas(run, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Pixel / sample PAYLOAD decode (uncompressed formats — round-9 verdict #9)
+# ---------------------------------------------------------------------------
+# The "payload decode out of scope" caveat now covers COMPRESSED codecs
+# only: uncompressed rasters (binary PPM P6, 24-bit BI_RGB BMP) and
+# PCM-16 WAV sample streams decode for real below, stdlib struct only,
+# with exact-integer statistics a DuckDB oracle can replay byte-for-byte.
+
+
+def decode_ppm_pixels(buf: bytes) -> dict:
+    """Real binary-PPM (P6) payload decode: header token scan (magic,
+    width, height, maxval — '#' comments and arbitrary whitespace per
+    the Netpbm spec), then the w·h·3 raw RGB bytes. Exact integer
+    stats: per-channel sums, global min/max."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = tokens
+    need = w * h * 3
+    px = buf[pos:pos + need]
+    if len(px) != need:
+        raise ValueError("truncated PPM raster")
+    return _pixel_stats_dict("ppm", w, h, maxval,
+                             [px[0::3], px[1::3], px[2::3]])
+
+
+def decode_bmp_pixels(buf: bytes) -> dict:
+    """Real BMP payload decode (uncompressed 24-bit BI_RGB): file
+    header → pixel-array offset, BITMAPINFOHEADER → dims (negative
+    height = top-down), rows padded to 4-byte boundaries, pixels
+    stored BGR. Same exact-integer stats as the PPM path."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", buf[10:14])
+    hdr_size, w, h_raw = struct.unpack("<Iii", buf[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", buf[26:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BI_RGB supported")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rs, gs, bs = bytearray(), bytearray(), bytearray()
+    for r in range(h):
+        row = buf[offset + r * stride: offset + r * stride + w * 3]
+        if len(row) != w * 3:
+            raise ValueError("truncated BMP pixel array")
+        bs += row[0::3]
+        gs += row[1::3]
+        rs += row[2::3]  # BGR order on disk
+    return _pixel_stats_dict("bmp", w, h, 255, [bytes(rs), bytes(gs), bytes(bs)])
+
+
+def _pixel_stats_dict(fmt: str, w: int, h: int, maxval: int,
+                      rgb: list[bytes]) -> dict:
+    n = w * h
+    allpx = b"".join(rgb)
+    return {
+        "format": fmt, "width": w, "height": h, "maxval": maxval,
+        "n_pixels": n,
+        "r_sum": sum(rgb[0]), "g_sum": sum(rgb[1]), "b_sum": sum(rgb[2]),
+        "px_min": min(allpx), "px_max": max(allpx),
+        "mean_px": sum(allpx) / len(allpx),
+    }
+
+
+def decode_wav_samples(buf: bytes) -> dict:
+    """Real PCM-16 WAV payload decode: RIFF walk to fmt (must be
+    PCM/16-bit) and data, then the int16-LE sample stream. Exact
+    integer stats (sum, sum of squares, min, max) — loudness/DC-offset
+    features with zero float drift."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    fmt_body = data = None
+    for cid, b, e in _riff_chunks(buf, 12, len(buf)):
+        if cid == b"fmt ":
+            fmt_body = buf[b:e]
+        elif cid == b"data":
+            data = buf[b:e]
+    if fmt_body is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt_body[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only PCM-16 payload decode supported")
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[:2 * n])
+    return {
+        "format": "wav", "sample_rate": rate, "n_channels": n_ch,
+        "n_samples": n,
+        "sample_sum": sum(samples),
+        "sample_sqsum": sum(s * s for s in samples),
+        "sample_min": min(samples), "sample_max": max(samples),
+    }
+
+
+def attach_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL binary-PPM (P6) image column, built columnar the
+    attach_media way: ASCII header via encode(), raster bytes from
+    md5('px:{doc_id}:{j}') digests truncated to w·h·3 — every byte
+    DuckDB-reproducible from the hex digest string. Dims vary per doc
+    (w = 4 + id%5, h = 3 + id%4) so stride arithmetic is exercised."""
+    doc_id = F.col(id_col)
+    w = (doc_id % 5 + 4).cast("int")
+    h = (doc_id % 4 + 3).cast("int")
+    need = w * h * 3
+    header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                      h.cast("string"), F.lit("\n255\n"))
+    raster_hex = F.substring(
+        F.array_join(F.transform(
+            F.sequence(F.lit(0), F.ceil(need / 16).cast("int") - 1),
+            lambda j: F.md5(F.concat(F.lit("px:"), doc_id.cast("string"),
+                                     F.lit(":"), j.cast("string")))), ""),
+        1, need * 2)
+    return df.withColumn(
+        "content", F.concat(F.encode(header, "UTF-8"), F.unhex(raster_hex)))
+
+
+def attach_pcm_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL PCM-16 mono WAV column: the canonical 44-byte
+    RIFF/fmt/data header built with little-endian hex arithmetic, then
+    n = 8 + id%9 int16-LE samples whose bytes come from
+    md5('au:{doc_id}:{j}') digests — DuckDB-reproducible."""
+    doc_id = F.col(id_col)
+    n = (doc_id % 9 + 8).cast("int")
+    data_len = n * 2
+
+    def le_hex(col: Column, nbytes: int) -> Column:
+        """Hex of an int as ``nbytes`` little-endian bytes."""
+        return F.concat(*[
+            F.lpad(F.hex(F.shiftright(col.cast("int"), 8 * i)
+                         .bitwiseAND(F.lit(255))), 2, "0")
+            for i in range(nbytes)])
+
+    header_hex = F.concat(
+        F.lit(b"RIFF".hex().upper()), le_hex(data_len + F.lit(36), 4),
+        F.lit(b"WAVEfmt ".hex().upper()), le_hex(F.lit(16), 4),
+        le_hex(F.lit(1), 2),            # PCM
+        le_hex(F.lit(1), 2),            # mono
+        le_hex(F.lit(16000), 4),        # sample rate
+        le_hex(F.lit(32000), 4),        # byte rate
+        le_hex(F.lit(2), 2),            # block align
+        le_hex(F.lit(16), 2),           # bit depth
+        F.lit(b"data".hex().upper()), le_hex(data_len, 4))
+    payload_hex = F.substring(
+        F.array_join(F.transform(
+            F.sequence(F.lit(0), F.ceil(data_len / 16).cast("int") - 1),
+            lambda j: F.md5(F.concat(F.lit("au:"), doc_id.cast("string"),
+                                     F.lit(":"), j.cast("string")))), ""),
+        1, data_len * 2)
+    return df.withColumn("content", F.unhex(F.concat(header_hex, payload_hex)))
+
+
+PIXEL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_pixels", T.IntegerType()),
+    T.StructField("r_sum", T.LongType()),
+    T.StructField("g_sum", T.LongType()),
+    T.StructField("b_sum", T.LongType()),
+    T.StructField("px_min", T.IntegerType()),
+    T.StructField("px_max", T.IntegerType()),
+    T.StructField("mean_px", T.DoubleType()),
+])
+
+
+def pixel_stats(df: DataFrame) -> DataFrame:
+    """Decode uncompressed raster payloads (PPM or BMP, dispatched on
+    magic) → exact per-channel pixel statistics. Map-only mapInPandas,
+    the media_features shape."""
+    cols = [f.name for f in PIXEL_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                buf = bytes(buf)
+                d = (decode_bmp_pixels(buf) if buf[:2] == b"BM"
+                     else decode_ppm_pixels(buf))
+                d["doc_id"] = int(doc_id)
+                rows.append([d.get(c) for c in cols])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "content").mapInPandas(run, PIXEL_SCHEMA)
+
+
+SAMPLES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("sample_sum", T.LongType()),
+    T.StructField("sample_sqsum", T.LongType()),
+    T.StructField("sample_min", T.IntegerType()),
+    T.StructField("sample_max", T.IntegerType()),
+])
+
+
+def wav_sample_stats(df: DataFrame) -> DataFrame:
+    """Decode PCM-16 WAV payloads → exact integer sample statistics."""
+    cols = [f.name for f in SAMPLES_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                d = decode_wav_samples(bytes(buf))
+                d["doc_id"] = int(doc_id)
+                rows.append([d.get(c) for c in cols])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", "content").mapInPandas(run, SAMPLES_SCHEMA)

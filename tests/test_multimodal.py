@@ -313,3 +313,76 @@ def test_decode_jpeg_truncated_in_padding_raises_valueerror():
     module's ValueError contract, not a raw struct.error."""
     with pytest.raises(ValueError, match="truncated JPEG"):
         MM.decode_one(b"\xff\xd8\xff\xff\xff\xfe\x00")
+
+
+# ---------------------------------------------------------------------------
+# Payload decode (round-9 verdict #9): PPM/BMP pixel + PCM-WAV sample paths
+# ---------------------------------------------------------------------------
+
+def _make_bmp(w, h, pixels_rgb, top_down=False):
+    """Build a real 24-bit BI_RGB BMP: pixels_rgb is row-major
+    top-to-bottom [(r,g,b)...]; storage is BGR, rows padded to 4
+    bytes, bottom-up unless top_down."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    rows = [pixels_rgb[r * w:(r + 1) * w] for r in range(h)]
+    order = rows if top_down else rows[::-1]
+    raster = b"".join(
+        b"".join(bytes((b, g, r)) for r, g, b in row)
+        + b"\x00" * (stride - w * 3) for row in order)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                            1, 24, 0, len(raster), 2835, 2835, 0, 0))
+    return header + raster
+
+
+def test_bmp_pixel_decode_exact():
+    pix = [(10, 20, 30), (40, 50, 60), (70, 80, 90),
+           (1, 2, 3), (4, 5, 6), (250, 0, 128)]
+    for top_down in (False, True):
+        d = MM.decode_bmp_pixels(_make_bmp(3, 2, pix, top_down))
+        assert (d["width"], d["height"], d["n_pixels"]) == (3, 2, 6)
+        assert d["r_sum"] == sum(p[0] for p in pix)
+        assert d["g_sum"] == sum(p[1] for p in pix)
+        assert d["b_sum"] == sum(p[2] for p in pix)
+        assert d["px_min"] == 0 and d["px_max"] == 250
+
+
+def test_bmp_rejects_compressed():
+    import struct
+
+    buf = (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 1, 0,
+                         0, 0, 0, 0))
+    with pytest.raises(ValueError):
+        MM.decode_bmp_pixels(buf)
+
+
+def test_pixel_stats_dispatches_bmp_and_ppm(spark):
+    """The mapInPandas pass sniffs magic per row: a mixed BMP/PPM
+    frame decodes both, with identical stats schema."""
+    pix = [(9, 8, 7), (6, 5, 4)]
+    ppm = b"P6\n# c\n2 1\n255\n" + bytes((9, 8, 7, 6, 5, 4))
+    rows = [(1, _make_bmp(2, 1, pix)), (2, ppm)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in MM.pixel_stats(df).collect()}
+    assert got[1].format == "bmp" and got[2].format == "ppm"
+    for r in got.values():
+        assert (r.r_sum, r.g_sum, r.b_sum) == (15, 13, 11)
+        assert (r.px_min, r.px_max, r.n_pixels) == (4, 9, 2)
+
+
+def test_wav_sample_decode_exact():
+    import struct
+
+    samples = [0, -1, 32767, -32768, 1234, -4321]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    d = MM.decode_wav_samples(wav)
+    assert d["n_samples"] == 6
+    assert d["sample_sum"] == sum(samples)
+    assert d["sample_sqsum"] == sum(s * s for s in samples)
+    assert (d["sample_min"], d["sample_max"]) == (-32768, 32767)
