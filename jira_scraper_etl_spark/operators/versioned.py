@@ -48,10 +48,13 @@ def latest_version(table_dir: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def write_version(df: DataFrame, table_dir: str) -> int:
+def write_version(df: DataFrame, table_dir: str,
+                  extra: dict | None = None) -> int:
     """Commit ``df`` as the next version. Data first, manifest last
     (atomic rename), so a crash at any point leaves either the previous
-    latest version or the new one — never a torn table."""
+    latest version or the new one — never a torn table. ``extra``
+    merges caller metadata into the manifest (the streaming MERGE sink
+    records the micro-batch id there for idempotent replay)."""
     prev = latest_version(table_dir)
     # allocate past EVERY existing v= dir, committed or torn — a
     # crashed attempt's directory is invisible to readers but its slot
@@ -72,6 +75,7 @@ def write_version(df: DataFrame, table_dir: str) -> int:
         "n_rows": n_rows,
         "schema": df.schema.jsonValue(),
         "files": files,
+        **(extra or {}),
     }
     tmp = os.path.join(vdir, "_manifest.tmp")
     with open(tmp, "w") as f:

@@ -500,3 +500,53 @@ def test_stream_static_enrichment_drain_at_scale(spark, soak_stream_dir,
             .fn(spark, SF1).collect()}
     assert got == want and want
     spark.catalog.dropTempView("enriched_soak_sink")
+
+
+def test_streaming_merge_crash_resume_soak(spark, tmp_path):
+    """Round-9 verdict #5 at soak scale: the order backlog (1.5M rows
+    at sf1) drained as 5 micro-batch files through the foreachBatch
+    MERGE sink with an injected crash after batch 1's version commit
+    (the at-least-once window), resumed, must converge EXACTLY to the
+    one-shot batch MERGE — 165k keys compared value-for-value (exact
+    DECIMAL balances, so convergence is bit-identical, not
+    approximate)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Window
+
+    from jira_scraper_etl_spark.operators import versioned as V
+    from jira_scraper_etl_spark.streaming import merge_sink as MS
+
+    d = str(tmp_path / "orders_stream")
+    raw = spark.read.parquet(f"{SF1}/orders.parquet")
+    nt = F.ntile(5).over(Window.orderBy("o_orderdate", "o_orderkey"))
+    chunked = raw.withColumn("nt", nt)
+    for i in range(1, 6):
+        tmp = f"{d}/_stage{i}"
+        chunked.where(F.col("nt") == i).drop("nt").coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{d}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+
+    table, ck = str(tmp_path / "balances"), str(tmp_path / "ck")
+    seed = MS.seed_from_customers(
+        spark.read.parquet(f"{SF1}/customer.parquet"))
+
+    def crash_once(phase, batch_id):
+        if batch_id == 1:
+            raise RuntimeError("injected crash after commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        MS.run_merge_stream(spark, d, table, ck, seed=seed,
+                            crash_hook=crash_once, timeout_seconds=600)
+    assert MS.latest_merged_batch(table) == 1
+    final = MS.run_merge_stream(spark, d, table, ck, timeout_seconds=600)
+    want = MS.merge_balances(seed, MS.order_deltas(raw))
+    got_c, want_c = final.count(), want.count()
+    assert got_c == want_c
+    # exact anti-join both ways instead of a driver-side set compare
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
+    assert len(V.committed_versions(table)) == 6  # seed + 5, no dupes
