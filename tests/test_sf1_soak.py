@@ -550,3 +550,66 @@ def test_streaming_merge_crash_resume_soak(spark, tmp_path):
     assert final.exceptAll(want).count() == 0
     assert want.exceptAll(final).count() == 0
     assert len(V.committed_versions(table)) == 6  # seed + 5, no dupes
+
+
+def test_cluster_canonical_sampled_bfs_equality(spark):
+    """Round-9 verdict #6 — exact SAMPLED VALUES at soak scale, not
+    just invariants (the DuckDB recursive-CTE oracle is impractical
+    past sf0.1): recompute ~200 sampled docs' clusters by an
+    INDEPENDENT Python BFS over the collected contracted fingerprint
+    graph (≤2^16 nodes by construction — affordable at any corpus
+    size) and assert (cluster_id, cluster_size) equality with the
+    distributed operator."""
+    from collections import deque
+
+    from jira_scraper_etl_spark.operators import dedup as D
+    from jira_scraper_etl_spark.operators.fanout import HEAVY, fan_out
+
+    d = spark.read.parquet(f"{SF1}/documents.parquet")
+    fp = D.simhash_fingerprints(
+        fan_out(d.select("doc_id", "text"), HEAVY)).localCheckpoint()
+    nodes = {r.simhash: (r.fp_min, r.n_docs) for r in
+             fp.groupBy("simhash")
+             .agg(F.min("doc_id").alias("fp_min"),
+                  F.count(F.lit(1)).alias("n_docs")).collect()}
+    edges = [(r.fa, r.fb) for r in D.simhash_fp_pairs(
+        spark.createDataFrame([(s,) for s in nodes], "simhash int"))
+        .collect()]
+
+    # member fingerprints: any edge endpoint, or >= 2 docs (hamming-0
+    # internal pair) — the operator's own node rule
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    members = set(adj) | {s for s, (_, n) in nodes.items() if n >= 2}
+
+    label: dict[int, tuple[int, int]] = {}  # fp -> (cluster_id, size)
+    seen: set[int] = set()
+    for start in members:
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        seen.add(start)
+        while q:
+            u = q.popleft()
+            comp.append(u)
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        cid = min(nodes[u][0] for u in comp)
+        size = sum(nodes[u][1] for u in comp)
+        for u in comp:
+            label[u] = (cid, size)
+
+    n_docs = d.count()
+    stride = max(1, n_docs // 200)
+    sampled = {r.doc_id: r.simhash
+               for r in fp.where(F.col("doc_id") % stride == 0).collect()}
+    out = plans.QUERIES["dedup_cluster_canonical"].fn(spark, SF1)
+    got = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in out.where(F.col("doc_id") % stride == 0).collect()}
+    want = {doc: label[s] for doc, s in sampled.items() if s in label}
+    assert len(want) >= 150  # the sample genuinely exercises clusters
+    assert got == want

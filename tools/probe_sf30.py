@@ -1,7 +1,8 @@
-"""sf30 probe of the two linear heavies (round-8 verdict #8): measure
-text_winnow_fingerprints and embedding_kmeans_exact one decade past the
-128 GiB comfort zone to confirm the linear extrapolation recorded in
-BASELINE.md. Bench protocol (codegen warm at sf0.001, median-of-3 via
+"""sf30 probe of the heavy corpus family (round-9 verdict #3 widened
+it from the original two linear heavies): measure every
+documents/embeddings-only heavy one decade past the 128 GiB comfort
+zone to confirm the linear extrapolations recorded in BASELINE.md.
+Bench protocol (codegen warm at sf0.001, median-of-3 via
 bench.run_suite). Prints one JSON line.
 
 Usage: python tools/probe_sf30.py [sf_dir]   (default .scratch/sf30 —
@@ -20,7 +21,16 @@ import bench  # noqa: E402
 from jira_scraper_etl_spark import plans  # noqa: E402
 from jira_scraper_etl_spark.session import get_spark  # noqa: E402
 
-PROBE = ["text_winnow_fingerprints", "embedding_kmeans_exact"]
+PROBE = [
+    # the two original linear heavies (round-8 verdict #8)
+    "text_winnow_fingerprints", "embedding_kmeans_exact",
+    # round-10 widening (round-9 verdict #3): the rest of the heavy
+    # corpus family, every one documents/embeddings-only
+    "text_winnow_fingerprints_fast",
+    "dedup_embedding_cosine_rp", "similarity_ann_signlsh",
+    "dedup_minhash_lsh", "dedup_cluster_canonical",
+    "dedup_span_exact", "curate_corpus_v2",
+]
 
 
 def main() -> int:
