@@ -41,6 +41,6 @@ plan-audit:
 .scratch/sf30:
 	python tools/make_sf.py 300 .scratch/sf30 documents,embeddings
 
-# the two linear heavies one decade past the comfort zone (BASELINE.md)
+# the heavy corpus family one decade past the comfort zone (BASELINE.md)
 probe-sf30: .scratch/sf30
 	python tools/probe_sf30.py

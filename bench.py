@@ -80,8 +80,8 @@ HEADLINE = [
 ]
 
 
-def run_suite(spark, sf_dir: str,
-              headline: list[str]) -> tuple[dict, dict]:
+def run_suite(spark, sf_dir: str, headline: list[str],
+              clear_seams: bool = True) -> tuple[dict, dict]:
     """Measure each headline query (median-of-3: single measurements
     swing ~30% run-to-run on a shared machine — BENCH_r02→r03 showed a
     1.45× driver-to-driver swing on unchanged queries; the median is
@@ -118,8 +118,12 @@ def run_suite(spark, sf_dir: str,
         # each fn() call builds FRESH DataFrames, so persist seams
         # (minhash shingles, RP keys, …) accumulate three copies per
         # query plus one per warm run (ADVICE r8) — drop them before
-        # the next query so a 38-query suite doesn't hoard memory
-        release_seams()
+        # the next query so a 39-query suite doesn't hoard memory.
+        # clear_seams=False exists for the noise-floor protocol
+        # (BASELINE.md): one run with accumulation priced the
+        # methodology change in isolation.
+        if clear_seams:
+            release_seams()
     return timings, refused
 
 
