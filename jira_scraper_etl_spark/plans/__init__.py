@@ -37,6 +37,11 @@ _PRIORITY = [
     "agg_listagg_rich_customers", "agg_mode_priority_by_status",
     "agg_percentile_disc_price", "mm_pixel_stats", "mm_wav_sample_stats",
     "text_winnow_fingerprints_fast",
+    # TPC-H Q4/Q19/Q22 shapes: EXISTS semi-join with a non-equi
+    # conjunct, cross-table disjunctive predicates, scalar subquery +
+    # NOT EXISTS anti join
+    "q4_order_priority_checking", "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
     # The 6 stale entries the round-9 verdict named (watch item 3 /
     # next-round #2): last driver-green r3–r5, judge-exact in the r9
     # sweep — convert that internal signal back into external rows.

