@@ -327,11 +327,31 @@ EMB_DIM = 64
 
 def derive_banding(n: int, dim: int = EMB_DIM) -> tuple[int, int]:
     """(bands, bits) for a corpus of ``n`` vectors — see the dial
-    comment above. Mirrored digit-for-digit by SQL_EMB_PARAMS."""
+    comment above. Mirrored digit-for-digit by SQL_EMB_PARAMS. The
+    16-bit cap is the SLICE variant's constraint (bands = dim//bits
+    needs bits ≤ dim/4 to keep ≥4 tables); the RP multi-table family
+    has its own uncapped-in-practice dial (derive_rp_bits)."""
     import math
 
     bits = max(4, min(16, math.ceil(math.log2(max(n, 2))) - 2))
     return dim // bits, bits
+
+
+def derive_rp_bits(n: int) -> int:
+    """bits for the RP multi-table family — same log2(n)−2 occupancy
+    rule WITHOUT the slice variant's 16-bit cap: RP hyperplanes are
+    unbounded by the dimension (each table hashes the FULL vector), so
+    bits keeps growing with the corpus and per-bucket occupancy stays
+    ~4 at any n. The 16 cap inherited from derive_banding made the
+    bucket join quadratic past n ≈ 2^18 — measured at the sf30 decade
+    as 13.6× runtime for 3× rows (600k vectors at load λ≈9.2);
+    re-derived 18 bits restores λ≈2.3 and the linear trend. Capped at
+    24 so band-offset keys (band << bits | key) stay far inside int64
+    and bucket count never exceeds 16M/table. Mirrored digit-for-digit
+    by SQL_RP_KEYS."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(n, 2))) - 2))
 
 
 SQL_EMB_PARAMS = """
@@ -614,7 +634,7 @@ def rp_band_keys(bands: int, bits: int):
 # (digit-for-digit derive_banding), the md5-parity Rademacher
 # hyperplane matrix, per-(vector, table) sign bits, packed keys.
 SQL_RP_KEYS = f"""
-    p AS (SELECT LEAST(16, GREATEST(4,
+    p AS (SELECT LEAST(24, GREATEST(4,
               CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT) - 2)) AS bits
           FROM embeddings),
     mat AS (
@@ -625,7 +645,7 @@ SQL_RP_KEYS = f"""
                               CAST(gj.j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
                     THEN 1 ELSE -1 END AS s
         FROM generate_series(0, {RP_BANDS - 1}) AS gb(b), p,
-             generate_series(0, 15) AS gi(i),
+             generate_series(0, 23) AS gi(i),
              generate_series(0, 63) AS gj(j)
         WHERE gi.i < p.bits
     ),
@@ -752,7 +772,7 @@ def similarity_ann_signlsh(spark: SparkSession, sf_dir: str,
     """
     e = load_table(spark, sf_dir, "embeddings")
     if bits is None:
-        _, bits = derive_banding(e.count())
+        bits = derive_rp_bits(e.count())
     base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
             .withColumn("n2", V.qnorm2(F.col("q"))))
     keys = rp_band_key_table(base, bands, bits)
@@ -1288,7 +1308,7 @@ def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
     """
     e = load_table(spark, sf_dir, "embeddings")
     if bits is None:
-        _, bits = derive_banding(e.count())
+        bits = derive_rp_bits(e.count())
     # persisted seam: key build + both verify sides consume base (see
     # dedup_embedding_cosine — also keeps the n2 join key's inferred
     # isnotnull off the scan's DataFilters)

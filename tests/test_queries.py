@@ -259,7 +259,7 @@ def test_embedding_dedup_rp_sound_and_higher_recall(spark, sf_dir):
     from jira_scraper_etl_spark.catalog import load_table
     from jira_scraper_etl_spark.functions import vectors as V
     from jira_scraper_etl_spark.plans.llm_ops import (EMB_DIM, RP_BANDS,
-                                                      derive_banding,
+                                                      derive_rp_bits,
                                                       rp_band_keys,
                                                       rp_hyperplane_dots)
 
@@ -277,7 +277,7 @@ def test_embedding_dedup_rp_sound_and_higher_recall(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
-    _, bits = derive_banding(n)
+    bits = derive_rp_bits(n)
     base = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
     wide = base.select(
         "vec_id",
@@ -332,13 +332,13 @@ def test_rp_band_key_table_matches_expression_path(spark, sf_dir):
     from jira_scraper_etl_spark.catalog import load_table
     from jira_scraper_etl_spark.functions import vectors as V
     from jira_scraper_etl_spark.plans.llm_ops import (EMB_DIM, RP_BANDS,
-                                                      derive_banding,
+                                                      derive_rp_bits,
                                                       rp_band_key_table,
                                                       rp_band_keys,
                                                       rp_hyperplane_dots)
 
     e = load_table(spark, sf_dir, "embeddings")
-    _, bits = derive_banding(e.count())
+    bits = derive_rp_bits(e.count())
     base = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
     wide = base.select(
         "vec_id",

@@ -13,9 +13,17 @@ documents,embeddings`; only the corpus tables fit the box at sf30).
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+# Scale-appropriate heap for the decade probe: the bench default (8g,
+# a sf0.1-dataset setting) gives 32 local-mode task threads ~250 MB
+# each — the rp band-key stage's ~128 MB/task transient allocations
+# OOM'd the shared JVM at sf30. 1 GiB/task mirrors a real cluster's
+# per-core memory; the box has 128 GiB.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 
 import bench  # noqa: E402
 from jira_scraper_etl_spark import plans  # noqa: E402
