@@ -850,3 +850,41 @@ def agg_percentile_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min(F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"),
                           F.col("o_totalprice"))).alias("p75"))
     )
+
+
+@register(
+    "window_relative_rank_stats",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_relative_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 relative-rank analytics: percent_rank, cume_dist and
+    nth_value per customer — the remaining ranking-family trio.
+    Determinism: the window order is (totalprice, orderkey), a total
+    order, so ranks are unique; percent_rank = (rank−1)/(n−1) and
+    cume_dist = rank/n are single IEEE divisions of exact small
+    integers, bit-identical cross-engine. nth_value needs the full
+    unbounded frame in BOTH engines (its default frame differs between
+    them — Spark's ends at CURRENT ROW, which nulls the second value
+    for the first row of every partition). One window sort serves all
+    three functions (same partition + order), so the plan is one
+    exchange + one sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )
