@@ -25,8 +25,13 @@ bench:
 soak-sf1: .scratch/sf1
 	SPARK_GRAFT_SOAK_DIR=.scratch/sf1 python -m pytest tests/test_sf1_soak.py -q
 
+# 16g heap: the sf10 soak's differential compares are 9.5M-row
+# exceptAll joins — the 8g default GC-thrashes the shared local-mode
+# JVM (one run lost a collect block, another materialized 200 surplus
+# rows in a deterministic batch plan — see BASELINE.md round 10)
 soak-sf10: .scratch/sf10
-	SPARK_GRAFT_SOAK_DIR=.scratch/sf10 python -m pytest tests/test_sf1_soak.py -q
+	SPARK_GRAFT_SOAK_DIR=.scratch/sf10 SPARK_GRAFT_DRIVER_MEM=16g \
+	python -m pytest tests/test_sf1_soak.py -q
 
 bench-sf1: .scratch/sf1
 	SPARK_GRAFT_SF_DIR=.scratch/sf1 python bench.py

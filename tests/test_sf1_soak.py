@@ -463,13 +463,25 @@ def test_streaming_session_drain_at_scale(spark, soak_stream_dir, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ck_sess"))
         .trigger(availableNow=True).start()),
         timeout_seconds=1800.0)
-    got = {tuple(r) for r in spark.table("session_soak_sink").collect()}
+    # DISTRIBUTED compare (round 10): the old driver-side set compare
+    # collected both the drained output and the batch sessions —
+    # millions of rows twice, alongside the memory sink's own copy —
+    # and a run lost an in-flight collect block to block-manager
+    # pressure (TaskResultLost). exceptAll counts check the same
+    # row-exact equality with only scalars reaching the driver, and
+    # bound got between the strict and inclusive watermark closures
+    # (the ADVICE-r9 boundary rule from the fixture-scale twin).
+    got = spark.table("session_soak_sink")
     wm = (load_events(spark, SF1).agg(F.max("ts")).first()[0]
           - timedelta(hours=2))
-    want_all = {tuple(r) for r in
-                plans.QUERIES["events_session_30m"].fn(spark, SF1).collect()}
-    want_closed = {t for t in want_all if t[2] <= wm}  # session_end
-    assert got == want_closed and got
+    batch = plans.QUERIES["events_session_30m"].fn(spark, SF1)
+    end_col = batch.columns[2]  # session_end
+    strict = batch.where(F.col(end_col) < wm)
+    incl = batch.where(F.col(end_col) <= wm)
+    assert strict.exceptAll(got).count() == 0  # every closed session emitted
+    assert got.exceptAll(incl).count() == 0    # nothing past the closure
+    n_got = got.count()
+    assert 0 < n_got < batch.count()  # some sessions stay open past wm
     spark.catalog.dropTempView("session_soak_sink")
 
 
