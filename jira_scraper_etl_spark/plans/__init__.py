@@ -42,6 +42,7 @@ _PRIORITY = [
     # NOT EXISTS anti join
     "q4_order_priority_checking", "q19_disjunctive_revenue",
     "q22_global_sales_opportunity", "window_relative_rank_stats",
+    "agg_boolean_aggregates", "func_regex_extract",
     # The 6 stale entries the round-9 verdict named (watch item 3 /
     # next-round #2): last driver-green r3–r5, judge-exact in the r9
     # sweep — convert that internal signal back into external rows.

@@ -888,3 +888,30 @@ def window_relative_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
     )
+
+
+@register(
+    "agg_boolean_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+           BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 300000) AS BIGINT)
+             AS n_big,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 boolean aggregates: BOOL_AND / BOOL_OR (every/any) per
+    group plus a filtered count — the predicate-summary surface every
+    data-quality query leans on. All map-side combined (booleans fold
+    to one byte of partial state per group)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
+        F.count(F.lit(1)).alias("n"),
+    )

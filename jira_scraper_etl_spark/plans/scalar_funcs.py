@@ -300,3 +300,39 @@ def func_classification_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = F.array_sort(F.array_distinct(
         F.filter(rules, lambda x: x.isNotNull())))
     return d.select("doc_id", F.array_join(classes, ",").alias("classes"))
+
+
+@register(
+    "func_regex_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT)
+             AS n_long_words,
+           CASE WHEN len(regexp_extract_all(text, '[a-z]{5,}')) > 0
+                THEN regexp_extract_all(text, '[a-z]{5,}')[1] END
+             AS first_long,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+             AS len_no_vowels
+    FROM documents
+    """,
+    tags=("functions", "text"),
+)
+def func_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface (F16-adjacent): extract-all with count and first
+    match, plus a global regexp_replace — the everyday string-mining
+    trio. The pattern sticks to character classes + bounded repetition,
+    the dialect intersection where Java regex (Spark) and RE2 (DuckDB)
+    agree exactly. Map-only; regex compiles once per task, not per
+    row."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"[a-z]{5,}"
+    # idx=0 = the whole match (Spark defaults to capture group 1,
+    # which a group-free pattern doesn't have)
+    hits = F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+    return d.select(
+        "doc_id",
+        F.size(hits).cast("long").alias("n_long_words"),
+        F.when(F.size(hits) > 0, F.element_at(hits, 1)).alias("first_long"),
+        F.length(F.regexp_replace(F.col("text"), "[aeiou]", ""))
+        .cast("long").alias("len_no_vowels"),
+    )
