@@ -98,17 +98,27 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.session_window`` is Spark's native sessionizer (merging
     [ts, ts+gap) intervals); the oracle reproduces it with the classic
     gaps-and-islands LAG + running-sum construction.
-    """
+
+    SESSION BOUNDS ARE EXPOSED AS AGGREGATES (min(ts) / max(ts)+gap —
+    value-identical to w.start / w.end), NOT as the window struct's
+    fields, deliberately: Catalyst pushes filters on grouping
+    expressions below the aggregation, which is sound for tumbling
+    windows but UNSOUND for session windows — the pre-merge window
+    column is [ts, ts+gap) per EVENT, so a pushed ``session_end < X``
+    cuts individual events out of sessions that straddle X−gap and
+    fabricates split sessions (found at the sf10 soak: 200 phantom
+    1-event sessions, minimal repro in
+    tests/test_catalog_events.py::test_session_filter_pushdown_immunity).
+    Filters on aggregate results can never push below the aggregation,
+    so this spelling is immune at zero cost."""
     e = load_events(spark, sf_dir)
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n", "total_value",
-        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select("user_id", "session_start", "session_end", "n", "total_value")
     )
 
 
@@ -158,11 +168,14 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak load doesn't concentrate on one reducer.
     """
     e = load_events(spark, sf_dir)
+    # bounds as aggregates, not w.start/w.end — the session-window
+    # filter-pushdown immunity rule (see events_session_30m)
     sess = (e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-            .agg(F.count(F.lit(1)).alias("n")))
+            .agg(F.min("ts").alias("s_start"),
+                 (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end")))
     hours = sess.select(F.explode(F.sequence(
-        F.date_trunc("hour", F.col("w.start")),
-        F.date_trunc("hour", F.col("w.end") - F.expr("INTERVAL 1 MICROSECOND")),
+        F.date_trunc("hour", F.col("s_start")),
+        F.date_trunc("hour", F.col("s_end") - F.expr("INTERVAL 1 MICROSECOND")),
         F.expr("INTERVAL 1 HOUR"),
     )).alias("hour"))
     return hours.groupBy("hour").agg(

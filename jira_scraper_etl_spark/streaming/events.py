@@ -113,14 +113,20 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
     # Watermarks require TIMESTAMP (not NTZ); the session TZ is pinned
     # UTC (session.py), so the cast is value-preserving, and bounds are
     # cast back to NTZ to match the batch twin's schema.
+    # Session bounds exposed as AGGREGATES (min/max+gap — identical
+    # values to w.start/w.end), never the window struct's fields: a
+    # filter on a grouping expression pushes below the aggregation,
+    # which splits sessions straddling the cut (the session-window
+    # pushdown hazard — see events_session_30m's docstring).
     return (
         events.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
-        .select("user_id",
-                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
-                F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+        .agg(F.min("ts").cast("timestamp_ntz").alias("session_start"),
+             (F.max("ts") + F.expr(f"INTERVAL {gap}"))
+             .cast("timestamp_ntz").alias("session_end"),
+             F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select("user_id", "session_start", "session_end",
                 "n", "total_value")
     )
 
