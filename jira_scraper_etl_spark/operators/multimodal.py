@@ -604,6 +604,10 @@ def decode_ppm_pixels(buf: bytes) -> dict:
         tokens.append(int(buf[start:pos]))
     pos += 1  # single whitespace byte after maxval, then raster
     w, h, maxval = tokens
+    if maxval > 255:
+        # maxval 256..65535 means 2-byte big-endian samples; decoding
+        # them as 1-byte would silently halve the raster.
+        raise ValueError("only maxval<=255 PPM supported")
     need = w * h * 3
     px = buf[pos:pos + need]
     if len(px) != need:

@@ -29,28 +29,23 @@ from . import event_time  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- Entries #1-50: the round-10 correctness window. ------------------
-    # New this round, freshest-signal-first: the ordered-set aggregate
-    # family (round-9 verdict #4), the real payload-decode entries
-    # (verdict #9), and the xxhash64 winnowing scale twin (verdict #7,
-    # rows-only by design — pinned in tests/test_setsim_guarantees.py).
+    # -- Entries #1-50: the round-11 correctness window. ------------------
+    # The 6 stale entries the round-10 verdict named (next-round #5):
+    # last driver-green r6, covered since only by the builder/judge
+    # oracle sweeps — convert that internal signal back into external
+    # rows first.
+    "similarity_topk_bruteforce", "split_train_test", "sample_stratified",
+    "pack_sequences", "sample_mixture_weights", "embedding_label_centroids",
+    # Round-10 window entries (new last round — keep one more round of
+    # external continuity on the freshest surface).
     "agg_listagg_rich_customers", "agg_mode_priority_by_status",
     "agg_percentile_disc_price", "mm_pixel_stats", "mm_wav_sample_stats",
     "text_winnow_fingerprints_fast",
-    # TPC-H Q4/Q19/Q22 shapes: EXISTS semi-join with a non-equi
-    # conjunct, cross-table disjunctive predicates, scalar subquery +
-    # NOT EXISTS anti join
     "q4_order_priority_checking", "q19_disjunctive_revenue",
     "q22_global_sales_opportunity", "window_relative_rank_stats",
     "agg_boolean_aggregates", "func_regex_extract",
-    # The 6 stale entries the round-9 verdict named (watch item 3 /
-    # next-round #2): last driver-green r3–r5, judge-exact in the r9
-    # sweep — convert that internal signal back into external rows.
     "events_tumbling_1h", "text_language_id", "text_quality_score",
     "text_token_stats", "events_trailing_1h_sum", "dedup_embedding_cosine",
-    # Changed this round (persist-seam registry rewire — same plans,
-    # re-prove externally): the ivf double-recompute fix and the seam
-    # conversions with the heaviest cache interplay.
     "similarity_ann_ivf", "dedup_jaccard_prefix", "dedup_minhash_lsh",
     "text_tfidf_topk", "dedup_embedding_cosine_rp", "embedding_kmeans_exact",
     "text_winnow_overlap", "text_bigram_novelty", "text_heavy_hitters_mg",
@@ -60,9 +55,8 @@ _PRIORITY = [
     "q17_small_qty_revenue", "q2_min_cost_supplier",
     "lateral_topk_customers_per_nation", "events_reachability_hops",
     "events_unpivot_type_counts", "events_enriched_segment_hourly",
-    # Next-stalest band (last green r6): the func_* family rotated out
-    # of the r9 window head now ages least gracefully — keep the rest
-    # of the 50-slot window on it plus the core relational families.
+    # Rest of the 50-slot window: the func_* family plus the core
+    # relational families.
     "func_array_ops", "func_classification_rules", "func_date_arithmetic",
     "func_date_validation", "func_hashing", "func_json_extract",
     "func_null_handling", "func_question_extraction",
@@ -85,14 +79,14 @@ _PRIORITY = [
     "text_winnow_fingerprints",
     "q5_local_supplier_volume", "q18_large_volume_customers",
     "customer_rfm_segments", "similarity_ann_signlsh",
-    "dedup_embedding_cosine_rp", "events_rolling_distinct_hll",
-    "events_anomaly_mad_approx", "text_heavy_hitters_mg",
-    "embedding_pca_project", "dedup_minhash_lsh", "snapshot_diff_customers",
+    "events_rolling_distinct_hll",
+    "events_anomaly_mad_approx",
+    "embedding_pca_project", "snapshot_diff_customers",
     "dedup_span_exact", "dedup_cluster_canonical", "dedup_incremental_novel",
-    "dedup_ngram_jaccard", "text_corpus_freq_score", "text_vocab_topk",
+    "dedup_ngram_jaccard", "text_vocab_topk",
     "text_char_diversity", "text_repetition_stats", "decontaminate_ngram",
     "decontaminate_hashed", "curate_pretrain_corpus", "curate_corpus_v2",
-    "curate_corpus_v3", "text_bigram_assoc", "text_char_pair_stats",
+    "curate_corpus_v3", "text_char_pair_stats",
     "events_session_concurrency", "events_cohort_retention",
     "join_full_outer_entity_activity", "window_ntile_distribution",
     "window_first_last_orders", "events_hourly_gapfill",
@@ -101,15 +95,14 @@ _PRIORITY = [
     "curate_multimodal_corpus", "decontaminate_embedding", "mm_decode_meta",
     "mm_byte_stats", "mm_resize_plan", "mm_frame_sample",
     "events_attribution_1h", "dedup_pairs_edit_distance", "text_fingerprint",
-    "text_pii_redact", "text_length_percentiles", "split_train_test",
-    "sample_stratified", "pack_sequences", "sample_mixture_weights",
+    "text_pii_redact", "text_length_percentiles",
     "layout_compaction_bins", "dq_histogram_totalprice",
-    "text_bigram_novelty", "embedding_kmeans_exact", "jira_source_scan",
+    "jira_source_scan",
     "jira_corpus_stats", "jira_transform_silver", "jira_qa_pairs_udtf",
     "text_length_percentiles_approx", "join_skewed_peers_1h",
     "dedup_simhash_pairs", "join_hotkey_isolated_lang",
     "corpus_shard_shuffle", "text_dedup_lines", "chunk_documents_overlap",
-    "text_tfidf_topk", "pareto_revenue_by_brand", "orders_yoy_growth",
+    "pareto_revenue_by_brand", "orders_yoy_growth",
     "events_debounce_5m", "mm_dedup_phash", "events_zorder_code",
     "events_type_cooccurrence", "agg_incremental_merge", "agg_hll_mergeable",
     "sample_weighted_hash", "events_winsorize_p1_p99",
@@ -120,11 +113,12 @@ _PRIORITY = [
     "events_user_journey", "events_anomaly_mad", "dq_referential_integrity",
     "q3_shipping_priority", "events_volume_cusum", "events_path_mining",
     "events_markov_eval", "orders_basket_affinity", "events_watermark_audit",
-    "embedding_quantize_int8", "dedup_simhash", "embedding_label_centroids",
-    "similarity_topk_bruteforce",
+    "embedding_quantize_int8", "dedup_simhash",
 ]
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"_PRIORITY names not in registry: {_missing}"
+_dupes = len(_PRIORITY) - len(set(_PRIORITY))
+assert not _dupes, f"_PRIORITY contains {_dupes} duplicate names"
 _ordered = {n: QUERIES[n] for n in _PRIORITY}
 _ordered.update((n, q) for n, q in QUERIES.items() if n not in _ordered)
 QUERIES.clear()

@@ -26,10 +26,18 @@ harmlessly — Spark's ``unpersist`` on a non-persisted frame is a no-op.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-_OUTSTANDING: list[DataFrame] = []
+# Keyed per SparkSession (id) so concurrent callers on DIFFERENT
+# sessions cannot release each other's seams; a lock guards the
+# registry itself. Callers sharing ONE session remain subject to the
+# single-caller contract documented above — release_seams() drops every
+# seam registered on that session, including a concurrent caller's.
+_LOCK = threading.Lock()
+_OUTSTANDING: dict[int, list[DataFrame]] = {}
 
 
 def persist_seam(df: DataFrame, *, materialize: bool = True) -> DataFrame:
@@ -40,20 +48,31 @@ def persist_seam(df: DataFrame, *, materialize: bool = True) -> DataFrame:
     shingle stages at sf0.1), so seams with fan-out consumers always
     materialize before returning."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _OUTSTANDING.append(df)
+    with _LOCK:
+        _OUTSTANDING.setdefault(id(df.sparkSession), []).append(df)
     if materialize:
         df.count()
     return df
 
 
-def release_seams() -> int:
+def release_seams(session=None) -> int:
     """Unpersist every outstanding seam; returns how many were
     released. Safe at any point — a seam whose result the caller has
     already materialized releases without recompute, and blocking is
-    not requested so executors drop blocks asynchronously."""
+    not requested so executors drop blocks asynchronously.
+
+    With ``session`` given, only that session's seams are released —
+    concurrent callers on other sessions are untouched. With ``session``
+    omitted, every registered seam is released (the legacy single-caller
+    behavior ``bench``/``check_oracle`` rely on)."""
+    with _LOCK:
+        if session is not None:
+            frames = _OUTSTANDING.pop(id(session), [])
+        else:
+            frames = [df for lst in _OUTSTANDING.values() for df in lst]
+            _OUTSTANDING.clear()
     n = 0
-    while _OUTSTANDING:
-        df = _OUTSTANDING.pop()
+    for df in frames:
         try:
             df.unpersist()
             n += 1
@@ -64,4 +83,5 @@ def release_seams() -> int:
 
 def outstanding() -> int:
     """How many seams are currently registered (test hook)."""
-    return len(_OUTSTANDING)
+    with _LOCK:
+        return sum(len(lst) for lst in _OUTSTANDING.values())

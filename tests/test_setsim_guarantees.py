@@ -84,4 +84,4 @@ def test_fast_winnow_shared_substring_guarantee(spark):
     for r in winnow_fast_frame(d).collect():
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps[1] & fps[2], "shared substring produced no shared fingerprint"
-    assert not (fps[1] & fps[3] and fps[2] & fps[3])
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
