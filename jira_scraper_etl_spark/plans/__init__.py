@@ -30,6 +30,12 @@ from . import event_time  # noqa: F401,E402
 
 _PRIORITY = [
     # -- Entries #1-50: the round-11 correctness window. ------------------
+    # New this round (round-10 verdict #3): the four remaining TPC-H
+    # decorrelation classes — double-correlated EXISTS/NOT EXISTS
+    # (Q21), nested IN chain + correlated scalar agg (Q20), ON-clause
+    # outer-join filter distribution (Q13), max-over-view (Q15).
+    "q21_suppliers_kept_waiting", "q20_potential_part_promotion",
+    "q13_customer_order_distribution", "q15_top_supplier",
     # The 6 stale entries the round-10 verdict named (next-round #5):
     # last driver-green r6, covered since only by the builder/judge
     # oracle sweeps — convert that internal signal back into external

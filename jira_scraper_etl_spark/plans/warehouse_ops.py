@@ -1416,3 +1416,230 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment
     """)
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND n_name IN ('NATION_3', 'NATION_7')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished
+    orders, suppliers whose line shipped late (>90%-quantile lateness
+    proxy: >60 days after the order date) on a MULTI-supplier order
+    where NO other supplier shipped late — the hardest TPC-H
+    decorrelation class, because EXISTS and NOT EXISTS are BOTH
+    correlated on the same fact table (lineitem), and the NOT EXISTS
+    carries a non-equi conjunct referencing a SECOND outer table
+    (o_orderdate). Adapted to this schema: no l_commitdate/
+    l_receiptdate, so "late" = shipped >60 days after order date; the
+    self-join structure — same-order other-supplier existence both
+    positive and negative — is Q21's point and is preserved intact.
+
+    Plan shape Catalyst owes us: lineitem scanned THREE times (l1
+    fact, l2 semi, l3 anti) but each as one shuffle-keyed pass on
+    l_orderkey — the EXISTS becomes a LEFT SEMI join with the
+    suppkey-inequality as a join conjunct, the NOT EXISTS a LEFT ANTI
+    join carrying both the inequality and the shipdate>orderdate+60d
+    non-equi conjunct (o_orderdate travels with the outer row, so the
+    anti join stays a hash join on l_orderkey). Never a per-row
+    re-probe; the plan test pins the semi+anti pair and the absence of
+    any nested loop. Ordering (numwait DESC, s_name) is total — s_name
+    is the grouping key — so LIMIT 100 is deterministic."""
+    _register_tpch_views(spark, sf_dir,
+                         ("supplier", "lineitem", "orders", "nation"))
+    return spark.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM thq_supplier JOIN thq_lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN thq_orders ON o_orderkey = l1.l_orderkey
+          JOIN thq_nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND n_name IN ('NATION_3', 'NATION_7')
+          AND EXISTS (SELECT 1 FROM thq_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM thq_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """)
+
+
+@register(
+    "q20_potential_part_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+      AND s_suppkey IN (
+        SELECT l1.l_suppkey FROM lineitem l1
+        WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'red%')
+          AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l1.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l1.l_suppkey, l1.l_partkey
+        HAVING SUM(l1.l_quantity) > (
+            SELECT 0.2 * SUM(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l2.l_shipdate <  TIMESTAMP '1997-01-01'))
+    ORDER BY s_name
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in a nation set
+    who shipped >20% of a "red" part's total windowed volume — the
+    nested-IN-chain class: IN(part names) inside IN(supplier keys),
+    with a CORRELATED scalar aggregate (per-part total) gating the
+    inner group. Adapted to this schema: no partsupp table, so the
+    supplier↔part relation is lineitem itself and ps_availqty's "half
+    of shipped quantity" threshold becomes "20% of the part's total
+    shipped quantity in the window" — the decorrelation shape (IN
+    chain + correlated scalar agg on the same fact) is unchanged.
+
+    Plan shape: the part-name IN becomes a broadcast semi join into
+    the lineitem scan (257 of 2000 parts); the correlated per-part
+    total decorrelates into ONE aggregate over the same filtered
+    window joined back on l_partkey (never a per-group re-scan); the
+    outer IN becomes a semi join into the 100-row supplier dim.
+    Quantities are integral doubles — sums exact, and the 0.2×
+    threshold is the identical IEEE multiply in both engines."""
+    _register_tpch_views(spark, sf_dir,
+                         ("supplier", "lineitem", "part", "nation"))
+    return spark.sql("""
+        SELECT s_name, s_acctbal
+        FROM thq_supplier JOIN thq_nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+          AND s_suppkey IN (
+            SELECT l1.l_suppkey FROM thq_lineitem l1
+            WHERE l1.l_partkey IN (SELECT p_partkey FROM thq_part
+                                   WHERE p_name LIKE 'red%')
+              AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l1.l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l1.l_suppkey, l1.l_partkey
+            HAVING SUM(l1.l_quantity) > (
+                SELECT 0.2 * SUM(l2.l_quantity) FROM thq_lineitem l2
+                WHERE l2.l_partkey = l1.l_partkey
+                  AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l2.l_shipdate <  TIMESTAMP '1997-01-01'))
+        ORDER BY s_name
+    """)
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "agg"),
+)
+def q13_customer_order_distribution(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of per-customer
+    order counts where the order filter lives in the OUTER JOIN's ON
+    clause — the class Q13 exists to test, because hoisting the
+    predicate into WHERE silently turns the left-outer into an inner
+    join and drops the zero-order customers the histogram's head is
+    made of. Adapted: o_comment doesn't exist, so the non-trivial ON
+    predicate is o_orderpriority NOT LIKE '1-%' (same shape — a
+    pattern filter that must stay in the join condition).
+
+    Plan shape: one shuffle-keyed LEFT OUTER hash join (customer ⟕
+    filtered orders), COUNT(o_orderkey) counting only matched rows
+    (NULL-skipping count is exactly the outer-join-aware semantics),
+    then a second small aggregate over 1 row per customer. Both
+    aggregates are map-side combined; nothing here is per-row."""
+    _register_tpch_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM thq_customer LEFT OUTER JOIN thq_orders
+            ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+          GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """)
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                  AS VARCHAR) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the max-over-view class — a revenue
+    view (per-supplier quarterly revenue) consumed TWICE, once as the
+    join input and once under MAX() in the filter. Verbatim Q15
+    semantics; only the date window is adapted to this corpus's span.
+
+    Plan shape: the revenue aggregate is ONE map-side-combined
+    groupBy over the quarter's lineitem sliver (shipdate filter pushed
+    to the scan); the MAX-of-view scalar subquery reduces that same
+    100-row aggregate — the view is 1-row-per-supplier small, so
+    recomputing it under the scalar is bounded by the dim size, never
+    a second fact scan of consequence (Spark plans a ReusedExchange /
+    reused scan for the shared subtree where eligible). Equality on
+    total_revenue is safe cross-engine because both sides surface the
+    identical exact-DECIMAL sum as a correctly-rounded double
+    (registry money rule) — ties, if any, return all tied suppliers
+    in both engines identically."""
+    _register_tpch_views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2))
+                         - CAST(l_discount AS DECIMAL(3,2))))
+                      AS DOUBLE) AS total_revenue
+          FROM thq_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM thq_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """)

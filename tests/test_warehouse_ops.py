@@ -814,3 +814,62 @@ def test_scalar_subquery_plus_not_exists_plans_once(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_double_correlated_exists_plans_as_semi_plus_anti(spark, sf_dir):
+    """Q21's EXISTS and NOT EXISTS — both correlated on lineitem, the
+    anti side carrying a non-equi conjunct on a second outer table's
+    column (o_orderdate) — must decorrelate into ONE LeftSemi and ONE
+    LeftAnti hash join on l_orderkey, with the suppkey inequality and
+    the shipdate comparison as join conjuncts. Never a per-row
+    re-probe of lineitem."""
+    plan = plans.QUERIES["q21_suppliers_kept_waiting"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_nested_in_chain_decorrelates_to_semi_joins(spark, sf_dir):
+    """Q20's IN(part-name) → IN(suppkey) chain with a correlated
+    per-part scalar aggregate must plan as semi joins plus ONE
+    decorrelated aggregate joined back on l_partkey with the 20%%
+    threshold as a join conjunct — the per-part total is computed in
+    one pass, never re-scanned per group."""
+    plan = plans.QUERIES["q20_potential_part_promotion"].fn(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 2  # part-name IN + suppkey IN
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q13_on_clause_filter_stays_left_outer(spark, sf_dir):
+    """Q13's defining hazard: the priority filter lives in the OUTER
+    join's ON clause; hoisting it to WHERE would silently make the
+    join inner and drop zero-order customers. Pin the LeftOuter join
+    and verify the histogram still contains a c_count=0 bucket at
+    this SF (every customer has *some* order, but not every customer
+    has a non-URGENT one is corpus-dependent — so pin the join type,
+    and row-total conservation instead)."""
+    df = plans.QUERIES["q13_customer_order_distribution"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    n_customers = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.custdist for r in rows) == n_customers  # partition of customers
+
+
+def test_q15_max_over_view_plans_one_scalar_subquery(spark, sf_dir):
+    """Q15's MAX-over-view filter must plan as a scalar Subquery above
+    the (dim-sized) revenue aggregate — evaluated once — and the
+    result must equal the max row(s) of the view computed directly."""
+    df = plans.QUERIES["q15_top_supplier"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert len({r.total_revenue for r in rows}) == 1  # all tied at the max
