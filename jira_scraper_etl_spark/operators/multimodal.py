@@ -16,15 +16,18 @@ precision/dims/components, SOS→EOI payload size), **MP4**
 payload size), and **AVI** (RIFF LIST walk: avih frame count/interval/
 dims/streams, movi payload size) are decoded for real with stdlib
 ``struct``/``zlib`` — no codec library needed for header-level
-metadata. Payload decode is real too for the UNCOMPRESSED formats:
+metadata. Payload decode is real too for the uncompressed formats —
 binary-PPM and 24-bit BMP rasters (``decode_ppm_pixels`` /
 ``decode_bmp_pixels``) and PCM-16 WAV sample streams
-(``decode_wav_samples``), each with exact-integer statistics and an
-oracle-backed registry entry (mm_pixel_stats / mm_wav_sample_stats).
-Only COMPRESSED payload decoding (JPEG entropy scans, codec bitstreams
-inside mp4 mdat / avi movi, PNG IDAT inflate-and-unfilter) genuinely
-needs codec libraries absent from this container; no query depends
-on it.
+(``decode_wav_samples``) — AND for DEFLATE-compressed PNG rasters:
+``decode_png_pixels`` inflates IDAT with stdlib ``zlib`` and reverses
+all five PNG scanline filters with exact integer arithmetic, with
+``encode_png`` as its tested inverse. Each has exact-integer
+statistics and an oracle-backed registry entry (mm_pixel_stats /
+mm_wav_sample_stats / mm_png_pixel_stats).
+Only ENTROPY-CODED payload decoding (JPEG scans, codec bitstreams
+inside mp4 mdat / avi movi) genuinely needs codec libraries absent
+from this container; no query depends on it.
 Everything Spark-side is real and tested: the binary schema,
 the container headers, Arrow batch shapes, partitioning behavior, and
 the row-multiplying frame-sample pass.
@@ -641,6 +644,78 @@ def decode_bmp_pixels(buf: bytes) -> dict:
     return _pixel_stats_dict("bmp", w, h, 255, [bytes(rs), bytes(gs), bytes(bs)])
 
 
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): pick the neighbor — left a,
+    above b, upper-left c — closest to a + b - c, ties resolved in
+    a, b, c order. Exact integer arithmetic."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(buf: bytes) -> dict:
+    """Real PNG payload decode, stdlib only: CRC-verified chunk walk
+    (shared with decode_png), IDAT concatenation + ``zlib`` inflate,
+    then per-scanline reversal of all five PNG filters — None, Sub,
+    Up, Average (floor of the exact integer mean), Paeth — per spec
+    §9. Supports the 8-bit truecolor non-interlaced profile
+    (color type 2); anything else raises rather than mis-decoding,
+    matching the BMP/WAV guards. Closes the payload-decode caveat for
+    DEFLATE-compressed rasters: after this, "out of scope" means only
+    entropy-coded codecs (JPEG/MP4), which genuinely need third-party
+    libs. Unfiltering is sequential within a row by construction
+    (Sub/Average/Paeth depend on the just-reconstructed left pixel) —
+    the parallelism axis at scale is rows×docs via Arrow batches, not
+    within one image."""
+    import zlib
+
+    ihdr = idat = None
+    for ctype, data in _png_chunks(buf):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat = data if idat is None else idat + data
+    if ihdr is None or len(ihdr) != 13 or idat is None:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if (bit_depth, color_type, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError("only 8-bit truecolor non-interlaced PNG supported")
+    raw = zlib.decompress(idat)
+    stride, bpp = w * 3, 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    prev = bytearray(stride)  # row above row 0 is all zero (spec §9.2)
+    out = bytearray()
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1: (r + 1) * (stride + 1)])
+        if ftype == 1:    # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _png_paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += line
+        prev = line
+    px = bytes(out)
+    return _pixel_stats_dict("png", w, h, 255,
+                             [px[0::3], px[1::3], px[2::3]])
+
+
 def _pixel_stats_dict(fmt: str, w: int, h: int, maxval: int,
                       rgb: list[bytes]) -> dict:
     n = w * h
@@ -740,6 +815,91 @@ def attach_pcm_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("content", F.unhex(F.concat(header_hex, payload_hex)))
 
 
+def encode_png(w: int, h: int, raster: bytes,
+               filter_of_row=lambda r: r % 5) -> bytes:
+    """Assemble a REAL 8-bit truecolor PNG from a raw RGB raster:
+    per-row forward filtering (filter type chosen by ``filter_of_row``
+    so fixtures can exercise every type incl. mixed sequences), zlib
+    DEFLATE, CRC'd IHDR/IDAT/IEND chunks. The exact inverse of
+    decode_png_pixels — used by attach_png and the mixed-filter
+    fixture tests."""
+    import zlib
+
+    stride, bpp = w * 3, 3
+    assert len(raster) == h * stride
+    prev = bytes(stride)
+    filtered = bytearray()
+    for r in range(h):
+        line = raster[r * stride:(r + 1) * stride]
+        ftype = filter_of_row(r)
+        filtered.append(ftype)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up, ul = prev[i], (prev[i - bpp] if i >= bpp else 0)
+            if ftype == 0:
+                v = line[i]
+            elif ftype == 1:
+                v = line[i] - left
+            elif ftype == 2:
+                v = line[i] - up
+            elif ftype == 3:
+                v = line[i] - (left + up) // 2
+            else:
+                v = line[i] - _png_paeth(left, up, ul)
+            filtered.append(v & 0xFF)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+            + chunk(b"IEND", b""))
+
+
+def _digest_raster(seed: str, doc_id: int, nbytes: int) -> bytes:
+    """The md5('{seed}:{doc_id}:{j}') digest byte stream truncated to
+    ``nbytes`` — the Python twin of the columnar attach_ppm generator,
+    byte-identical to DuckDB's replay of the same hex digests."""
+    import hashlib
+
+    out = bytearray()
+    for j in range((nbytes + 15) // 16):
+        out += hashlib.md5(f"{seed}:{doc_id}:{j}".encode()).digest()
+    return bytes(out[:nbytes])
+
+
+def attach_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL compressed PNG column: raster bytes from
+    md5('pg:{doc_id}:{j}') digests (DuckDB-reproducible, distinct seed
+    from the PPM stream), per-row filter type cycling (doc_id + r) % 5
+    so every PNG filter — incl. Average's floor and Paeth's
+    tie-breaks — appears across the corpus, then DEFLATE. Generation
+    needs Python zlib, so this fixture-attach step is mapInPandas
+    (map-only, no shuffle); the judged surface is decode_png_pixels,
+    whose output the oracle checks against the UNCOMPRESSED generating
+    digests — a filter or inflate bug cannot hash-match."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("content", T.BinaryType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                w, h = doc_id % 5 + 4, doc_id % 4 + 3
+                raster = _digest_raster("pg", doc_id, w * h * 3)
+                content.append(encode_png(
+                    w, h, raster, lambda r, d=doc_id: (d + r) % 5))
+            pdf = pdf.copy()
+            pdf["content"] = content
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 PIXEL_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("format", T.StringType()),
@@ -756,9 +916,9 @@ PIXEL_SCHEMA = T.StructType([
 
 
 def pixel_stats(df: DataFrame) -> DataFrame:
-    """Decode uncompressed raster payloads (PPM or BMP, dispatched on
-    magic) → exact per-channel pixel statistics. Map-only mapInPandas,
-    the media_features shape."""
+    """Decode raster payloads (PPM, BMP, or DEFLATE-compressed PNG,
+    dispatched on magic) → exact per-channel pixel statistics.
+    Map-only mapInPandas, the media_features shape."""
     cols = [f.name for f in PIXEL_SCHEMA.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -767,6 +927,8 @@ def pixel_stats(df: DataFrame) -> DataFrame:
             for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
                 buf = bytes(buf)
                 d = (decode_bmp_pixels(buf) if buf[:2] == b"BM"
+                     else decode_png_pixels(buf)
+                     if buf[:8] == PNG_SIGNATURE
                      else decode_ppm_pixels(buf))
                 d["doc_id"] = int(doc_id)
                 rows.append([d.get(c) for c in cols])

@@ -36,6 +36,10 @@ _PRIORITY = [
     # outer-join filter distribution (Q13), max-over-view (Q15).
     "q21_suppliers_kept_waiting", "q20_potential_part_promotion",
     "q13_customer_order_distribution", "q15_top_supplier",
+    # New this round (round-10 verdict #1): PNG payload decode —
+    # stdlib zlib inflate + exact-integer unfilter, oracle-checked
+    # against the uncompressed generating digests.
+    "mm_png_pixel_stats",
     # The 6 stale entries the round-10 verdict named (next-round #5):
     # last driver-green r6, covered since only by the builder/judge
     # oracle sweeps — convert that internal signal back into external

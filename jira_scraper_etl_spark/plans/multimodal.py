@@ -299,3 +299,57 @@ def mm_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     generating digests including the signed int16 reinterpretation."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return MM.wav_sample_stats(MM.attach_pcm_wav(d))
+
+
+# PNG raster bytes: md5('pg:{doc_id}:{j}') digests truncated to w·h·3
+_PNG_DIGESTS = ("list_transform(generate_series(0, (w*h*3 + 15) // 16 - 1), "
+                "j -> md5('pg:' || CAST(doc_id AS VARCHAR) || ':' "
+                "|| CAST(j AS VARCHAR)))")
+
+
+@register(
+    "mm_png_pixel_stats",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 5 + 4 AS INTEGER) AS w,
+               CAST(doc_id % 4 + 3 AS INTEGER) AS h
+        FROM documents
+    ),
+    ras AS (
+        SELECT doc_id, w, h,
+               list_resize(flatten(list_transform({_PNG_DIGESTS},
+                           m -> {SQL_FRAME_BYTES})), w*h*3) AS bys
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST('png' AS VARCHAR) AS format,
+           w AS width, h AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           CAST(list_sum(list_transform(generate_series(1, w*h),
+                p -> bys[3*p - 2])) AS BIGINT) AS r_sum,
+           CAST(list_sum(list_transform(generate_series(1, w*h),
+                p -> bys[3*p - 1])) AS BIGINT) AS g_sum,
+           CAST(list_sum(list_transform(generate_series(1, w*h),
+                p -> bys[3*p])) AS BIGINT) AS b_sum,
+           CAST(list_min(bys) AS INTEGER) AS px_min,
+           CAST(list_max(bys) AS INTEGER) AS px_max,
+           CAST(list_sum(bys) AS DOUBLE) / (3*w*h) AS mean_px
+    FROM ras
+    """,
+    tags=("multimodal", "decode"),
+)
+def mm_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image payload decode: every doc carries a
+    genuine PNG — CRC'd chunks, DEFLATE-compressed IDAT, per-row
+    filters cycling through all five PNG filter types — inflated with
+    stdlib zlib and unfiltered (Sub/Up/Average/Paeth exact integer
+    reversal) by operators/multimodal.py::decode_png_pixels. The
+    oracle replays the UNCOMPRESSED generating raster from the
+    md5('pg:…') digests, never touching the PNG container — so an
+    inflate, stride, or filter-reversal bug on the Spark side cannot
+    hash-match. With this, the multimodal payload caveat narrows to
+    entropy-coded codecs only (JPEG/MP4). Arrow-batched mapInPandas
+    end-to-end; the binary column never crosses a shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return MM.pixel_stats(MM.attach_png(d))

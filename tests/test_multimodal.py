@@ -386,3 +386,98 @@ def test_wav_sample_decode_exact():
     assert d["sample_sum"] == sum(samples)
     assert d["sample_sqsum"] == sum(s * s for s in samples)
     assert (d["sample_min"], d["sample_max"]) == (-32768, 32767)
+
+
+def test_png_pixel_roundtrip_every_filter_type():
+    """encode_png → decode_png_pixels is the identity on the raster,
+    for each single filter type AND a mixed per-row sequence — the
+    unfilter pass (Sub/Up/Average floor/Paeth tie-breaks) reconstructs
+    every byte exactly. Deterministic pseudo-random raster via md5."""
+    w, h = 7, 6
+    raster = MM._digest_raster("pngtest", 42, w * h * 3)
+    for spec in [lambda r: 0, lambda r: 1, lambda r: 2, lambda r: 3,
+                 lambda r: 4, lambda r: r % 5, lambda r: (r + 3) % 5]:
+        d = MM.decode_png_pixels(MM.encode_png(w, h, raster, spec))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["r_sum"] == sum(raster[0::3])
+        assert d["g_sum"] == sum(raster[1::3])
+        assert d["b_sum"] == sum(raster[2::3])
+        assert d["px_min"] == min(raster) and d["px_max"] == max(raster)
+
+
+def test_png_paeth_tie_breaks():
+    """Paeth prefers left, then up, then upper-left on ties (spec
+    §9.4) — pin the predictor directly on the tie cases."""
+    assert MM._png_paeth(5, 5, 5) == 5          # all zero distances → a
+    assert MM._png_paeth(10, 10, 0) == 10       # pa == pb tie → a
+    assert MM._png_paeth(0, 3, 1) == 3          # pb == pc tie → b
+    assert MM._png_paeth(3, 0, 0) == 3          # pa == 0 wins outright
+
+
+def test_png_pixel_decode_rejects_unsupported_profiles():
+    """Grayscale / 16-bit / interlaced PNGs raise instead of
+    mis-decoding, like the BMP/WAV/PPM guards."""
+    import struct
+    import zlib
+
+    def make(bit_depth, color_type, interlace):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, bit_depth, color_type,
+                           0, 0, interlace)
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+        n = {0: 1, 2: 3, 4: 2, 6: 4}[color_type] * (bit_depth // 8 or 1)
+        idat = zlib.compress(b"\x00" + b"\x01" * n)
+        return (MM.PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+    for bad in [make(8, 0, 0), make(16, 2, 0), make(8, 2, 1)]:
+        with pytest.raises(ValueError):
+            MM.decode_png_pixels(bad)
+    # and a raster-length mismatch (valid header, short IDAT)
+    import struct as _s
+    import zlib as _z
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    def chunk(t, d):
+        return (_s.pack(">I", len(d)) + t + d
+                + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF))
+    short = (MM.PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", _z.compress(b"\x00" + bytes(6)))
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        MM.decode_png_pixels(short)
+
+
+def test_ppm_rejects_wide_maxval():
+    """maxval > 255 means 2-byte samples (P6 spec) — decoding them as
+    1-byte would silently halve the raster, so the guard raises."""
+    buf = b"P6\n2 1\n65535\n" + bytes(12)
+    with pytest.raises(ValueError):
+        MM.decode_ppm_pixels(buf)
+
+
+def test_pixel_stats_dispatches_png(spark):
+    """A PNG row in the same frame as BMP/PPM dispatches on the PNG
+    signature and yields identical stats for identical pixels."""
+    raster = bytes((9, 8, 7, 6, 5, 4))
+    rows = [(1, MM.encode_png(2, 1, raster)),
+            (2, b"P6\n2 1\n255\n" + raster)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in MM.pixel_stats(df).collect()}
+    assert got[1].format == "png" and got[2].format == "ppm"
+    for r in got.values():
+        assert (r.r_sum, r.g_sum, r.b_sum) == (15, 13, 11)
+
+
+def test_attach_png_matches_digest_raster(spark):
+    """attach_png's compressed payload decodes back to exactly the
+    md5-digest raster the oracle replays."""
+    df = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    got = {r.doc_id: bytes(r.content)
+           for r in MM.attach_png(df).collect()}
+    for doc_id, buf in got.items():
+        w, h = doc_id % 5 + 4, doc_id % 4 + 3
+        expect = MM._digest_raster("pg", doc_id, w * h * 3)
+        d = MM.decode_png_pixels(buf)
+        assert d["r_sum"] == sum(expect[0::3])
+        assert d["b_sum"] == sum(expect[2::3])
