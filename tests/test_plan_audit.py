@@ -112,3 +112,54 @@ def test_every_waiver_names_a_live_registry_entry():
         assert budget >= 1, (name, budget)
     for name in PA.ALLOWED_ROW_PYTHON:
         assert name in plans.QUERIES, f"stale row-python waiver: {name}"
+
+
+def test_session_pushdown_detector_flags_the_unsound_shape(spark):
+    """The r10 upstream-bug repro — a filter on the naive w.end
+    spelling pushed below MergingSessions — must trip the detector;
+    the engine's aggregate-bounds spelling and a sound pre-agg source
+    filter must not."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    t0 = datetime.datetime(2024, 1, 1, 21, 11, 36)
+    cut = datetime.datetime(2024, 1, 1, 21, 59, 25)
+    df = spark.createDataFrame(
+        [(1, 100, t0, 1.0)],
+        "event_id long, user_id long, ts timestamp_ntz, value double")
+
+    naive = (df.groupBy("user_id",
+                        F.session_window("ts", "30 minutes").alias("w"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select("user_id", F.col("w.end").alias("session_end"), "n")
+             .where(F.col("session_end") < F.lit(cut)))
+    plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert PA._session_pushdown_filters(plan) >= 1, plan
+
+    # the engine's immune spelling: bounds as aggregates
+    immune = (df.groupBy("user_id",
+                         F.session_window("ts", "30 minutes").alias("w"))
+              .agg((F.max("ts") + F.expr("INTERVAL 30 MINUTES"))
+                   .alias("session_end"),
+                   F.count(F.lit(1)).alias("n"))
+              .select("user_id", "session_end", "n")
+              .where(F.col("session_end") < F.lit(cut)))
+    plan = immune._jdf.queryExecution().executedPlan().toString()
+    assert PA._session_pushdown_filters(plan) == 0, plan
+
+    # a sound pre-aggregation filter on the SOURCE column is fine
+    sound = (df.where(F.col("ts") > F.lit(t0 - datetime.timedelta(days=1)))
+             .groupBy("user_id",
+                      F.session_window("ts", "30 minutes").alias("w"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    plan = sound._jdf.queryExecution().executedPlan().toString()
+    assert PA._session_pushdown_filters(plan) == 0, plan
+
+
+def test_session_pushdown_is_an_unwaiverable_violation():
+    feats = {"nested_loop": 0, "py_eval": 0, "hof_scan_filter": 0,
+             "session_pushdown": 1}
+    flags, violations = PA.check_features("any_query_at_all", feats)
+    assert "SESSION-WINDOW-PUSHDOWN" in flags
+    assert any("fabricates split sessions" in v for v in violations)

@@ -99,6 +99,45 @@ def _hof_scan_filters(plan: str) -> int:
     return n
 
 
+def _session_pushdown_filters(plan: str) -> int:
+    """Count Filters that Catalyst pushed BELOW a session-window
+    aggregation — the upstream-unsound shape found at the r10 sf10
+    soak: the pre-merge session column is [ts, ts+gap) per EVENT, so a
+    filter on the window's start/end evaluated below MergingSessions
+    cuts events out of sessions that straddle the cut and fabricates
+    split sessions (minimal repro:
+    tests/test_catalog_events.py::test_session_filter_pushdown_immunity).
+
+    Detector: inside the subtree under a ``MergingSessions`` node
+    (greater indentation until the first line at or above the node's
+    depth), flag any Filter referencing the session-window struct
+    (``session_window#``) or comparing a gap-shifted timestamp
+    (``… + N minutes … <``). Plain pre-aggregation filters on source
+    columns (isnotnull(ts), ts range predicates) are sound and pass."""
+
+    def depth(line: str) -> int:
+        m = re.search(r"[A-Za-z*]", line)
+        return m.start() if m else 0
+
+    lines = plan.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if "MergingSessions" not in line:
+            continue
+        d = depth(line)
+        for below in lines[i + 1:]:
+            if depth(below) <= d:
+                break  # left the MergingSessions subtree
+            if not re.search(r"\bFilter\b", below):
+                continue
+            if "session_window#" in below or (
+                    re.search(r"\+ \d+ (?:seconds|minutes|hours|days)",
+                              below)
+                    and re.search(r"[<>]=? ", below)):
+                n += 1
+    return n
+
+
 def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
     df = fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -114,6 +153,7 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
         "arrow_py": len(re.findall(
             r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
         "hof_scan_filter": _hof_scan_filters(plan),
+        "session_pushdown": _session_pushdown_filters(plan),
     }
     return feats
 
@@ -142,6 +182,17 @@ def check_features(name: str, f: dict) -> tuple[list[str], list[str]]:
             f"work; filter on the source column instead, or waive a "
             f"genuinely selective gate)"
             + (f" (tag: {hof_tag})" if hof_tag else ""))
+    if f.get("session_pushdown", 0):
+        # No waiver list on purpose: this shape is UNSOUND (fabricates
+        # split sessions), never a performance trade-off.
+        flags.append("SESSION-WINDOW-PUSHDOWN")
+        violations.append(
+            f"{name}: Filter below a session-window aggregation "
+            f"(MergingSessions) references the window bounds — Catalyst "
+            f"pushes grouping-expression filters below the merge, which "
+            f"fabricates split sessions; expose session bounds as "
+            f"aggregates (min(ts)/max(ts)+gap) instead, the "
+            f"plans/event_time.py pattern")
     return flags, violations
 
 
