@@ -113,3 +113,34 @@ def test_mg_error_budget_survives_total_counter_wipe(spark):
     assert sum(r.d for r in {r.pid: r for r in p}.values()) == 1
     assert all(r.tok is None and r.c == 0 for r in p)
     assert out == []  # nothing survives, and nothing pretends to
+
+
+def test_check_oracle_sampled_verifiers_catch_corruption(spark, sf_dir):
+    """The harness-side sampled verifiers (tools/check_oracle.py,
+    round-10 verdict #7) must pass on the real query outputs AND fail
+    on corrupted ones — a verifier that never fails verifies nothing."""
+    sys.path.insert(0, "/root/repo/tools")
+    import check_oracle as CO
+
+    out = plans.QUERIES["text_winnow_fingerprints_fast"].fn(spark, sf_dir)
+    cols = out.columns
+    rows = [tuple(r) for r in out.collect()]
+    assert CO._verify_winnow_fast(spark, sf_dir, rows, cols) == []
+    # corrupt one fingerprint value — on the SMALLEST doc_id, which the
+    # spread sample (ids[::step] starting at index 0) always includes
+    di, ci = cols.index("doc_id"), cols.index("fp")
+    first_doc = min(r[di] for r in rows)
+    k = next(i for i, r in enumerate(rows) if r[di] == first_doc)
+    bad = list(rows)
+    bad[k] = tuple(v + 1 if i == ci else v for i, v in enumerate(rows[k]))
+    assert CO._verify_winnow_fast(spark, sf_dir, bad, cols)
+
+    mg = plans.QUERIES["text_heavy_hitters_mg"].fn(spark, sf_dir)
+    mcols = mg.columns
+    mrows = [tuple(r) for r in mg.collect()]
+    assert CO._verify_mg_envelope(spark, sf_dir, mrows, mcols) == []
+    # corrupt: shrink one ub below the true count
+    ui, li = mcols.index("ub"), mcols.index("lb")
+    worst = [tuple(0 if i in (ui, li) else v for i, v in enumerate(mrows[0]))]
+    worst += mrows[1:]
+    assert CO._verify_mg_envelope(spark, sf_dir, worst, mcols)
