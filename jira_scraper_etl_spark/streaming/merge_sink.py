@@ -44,7 +44,14 @@ from pyspark.sql import DataFrame
 
 from ..operators import versioned as V
 
-BAL = "decimal(12,2)"
+# The accumulator type is deliberately WIDER than the source column's
+# decimal(12,2): a running balance absorbs unbounded stream volume, and
+# a hot key concentrates it — the r11 skew-stress soak (90% of 1.5M
+# change rows on one key) overflowed decimal(12,2) at 6.7e10 under ANSI
+# mode, failing the batch instead of corrupting it. decimal(20,2) gives
+# ~10^18 of headroom: a single key absorbing an entire 100 TB order
+# stream (~10^12 rows × ~10^4 avg price) still fits.
+BAL = "decimal(20,2)"
 
 
 def latest_merged_batch(table_dir: str) -> int | None:

@@ -625,3 +625,111 @@ def test_cluster_canonical_sampled_bfs_equality(spark):
     want = {doc: label[s] for doc, s in sampled.items() if s in label}
     assert len(want) >= 150  # the sample genuinely exercises clusters
     assert got == want
+
+
+def test_streaming_merge_skewed_hot_key_soak(spark, tmp_path):
+    """Round-10 verdict #8: the crash-resume MERGE soak re-run with a
+    hot-key batch distribution — ~90% of the 1.5M change rows collapse
+    onto ONE customer key. The sink's defense is structural: the
+    per-batch delta aggregation is map-side combined, so exactly one
+    change row per key reaches the merge join regardless of skew. The
+    skewed drain must converge bit-exactly to the one-shot skewed
+    MERGE within the same timeout as the uniform soak, with no batch
+    stalling (AvailableNow would time out)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import Window
+
+    from jira_scraper_etl_spark.operators import versioned as V
+    from jira_scraper_etl_spark.streaming import merge_sink as MS
+
+    d = str(tmp_path / "orders_stream")
+    raw = (spark.read.parquet(f"{SF1}/orders.parquet")
+           .withColumn("o_custkey",
+                       F.when(F.col("o_orderkey") % 10 < 9, F.lit(1))
+                       .otherwise(F.col("o_custkey"))))
+    nt = F.ntile(5).over(Window.orderBy("o_orderdate", "o_orderkey"))
+    chunked = raw.withColumn("nt", nt)
+    for i in range(1, 6):
+        tmp = f"{d}/_stage{i}"
+        chunked.where(F.col("nt") == i).drop("nt").coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{d}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+
+    table, ck = str(tmp_path / "balances"), str(tmp_path / "ck")
+    seed = MS.seed_from_customers(
+        spark.read.parquet(f"{SF1}/customer.parquet"))
+
+    def crash_once(phase, batch_id):
+        if batch_id == 1:
+            raise RuntimeError("injected crash after commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        MS.run_merge_stream(spark, d, table, ck, seed=seed,
+                            crash_hook=crash_once, timeout_seconds=600)
+    final = MS.run_merge_stream(spark, d, table, ck, timeout_seconds=600)
+    want = MS.merge_balances(seed, MS.order_deltas(
+        spark.read.parquet(d)))
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
+    assert len(V.committed_versions(table)) == 6
+    # the hot key really absorbed ~90% of the stream
+    hot = final.where(F.col("c_custkey") == 1).collect()[0].n_orders
+    assert hot >= 0.85 * spark.read.parquet(d).count()
+
+
+def test_streaming_dedup_sink_soak(spark, tmp_path):
+    """Round-10 verdict #6 at soak scale: the 10%-bucket new documents
+    (~5k at sf1, ~50k at sf10) drained as 5 doc_id-ordered micro-batch
+    files through the incremental-dedup sink with an injected crash
+    after batch 1, resumed — the admitted corpus must converge exactly
+    (distributed compare) to the one-shot mega-batch admission."""
+    import glob
+    import shutil
+
+    from jira_scraper_etl_spark.operators import versioned as V
+    from jira_scraper_etl_spark.plans.curation import doc_bucket
+    from jira_scraper_etl_spark.streaming import dedup_sink as DS
+
+    docs = (spark.read.parquet(f"{SF1}/documents.parquet")
+            .withColumn("bucket", doc_bucket(F.col("doc_id"))))
+    old = docs.where(F.col("bucket") < 90).select("doc_id", "text")
+    new = docs.where(F.col("bucket") >= 90).select("doc_id", "text")
+
+    d = str(tmp_path / "docs_stream")
+    ids = sorted(r.doc_id for r in new.select("doc_id").collect())
+    cuts = [ids[i * len(ids) // 5] for i in range(1, 5)]
+    bounds = [None] + cuts + [None]
+    for i in range(5):
+        part = new
+        if bounds[i] is not None:
+            part = part.where(F.col("doc_id") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("doc_id") < bounds[i + 1])
+        tmp = f"{d}/_stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(f, f"{d}/{i + 1:02d}.parquet")
+        shutil.rmtree(tmp)
+
+    table, ck = str(tmp_path / "corpus"), str(tmp_path / "ck")
+    seed = DS.fingerprint_docs(old)
+
+    def crash_once(phase, batch_id):
+        if batch_id == 1:
+            raise RuntimeError("injected crash after commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        DS.run_dedup_stream(spark, d, table, ck, seed=seed,
+                            crash_hook=crash_once, timeout_seconds=600)
+    final = DS.run_dedup_stream(spark, d, table, ck, timeout_seconds=600)
+
+    want = DS.admit_batch(DS.fingerprint_docs(new), seed).unionByName(seed)
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
+    assert len(V.committed_versions(table)) == 6  # seed + 5 batches

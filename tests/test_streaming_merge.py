@@ -139,3 +139,55 @@ def test_time_travel_versions_are_prefix_merges(spark, sf_dir, orders_dir,
         want = {tuple(r) for r in
                 MS.merge_balances(seed, MS.order_deltas(prefix)).collect()}
         assert got == want, f"version {version} != prefix-{k} merge"
+
+
+@pytest.fixture(scope="module")
+def skewed_orders_dir(spark, sf_dir, tmp_path_factory):
+    """The order backlog with an injected hot key: ~90% of change rows
+    collapse onto customer 1 (round-10 verdict #8 — upsert-heavy CDC
+    with hot keys is where foreachBatch MERGE dies at scale). Same
+    3-file doc-ordered slicing as the uniform fixture."""
+    from pyspark.sql import Window
+
+    d = str(tmp_path_factory.mktemp("skewed_orders"))
+    raw = (load_table(spark, sf_dir, "orders")
+           .withColumn("o_custkey",
+                       F.when(F.col("o_orderkey") % 10 < 9, F.lit(1))
+                       .otherwise(F.col("o_custkey"))))
+    nt = F.ntile(3).over(Window.orderBy("o_orderdate", "o_orderkey"))
+    chunked = raw.withColumn("nt", nt)
+    for i in (1, 2, 3):
+        tmp = f"{d}/_stage{i}"
+        chunked.where(F.col("nt") == i).drop("nt").coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{d}/{i:02d}.parquet")
+        shutil.rmtree(tmp)
+    return d
+
+
+def test_skewed_hot_key_merge_converges(spark, sf_dir, skewed_orders_dir,
+                                        tmp_path):
+    """Hot-key CDC: the per-batch delta aggregation collapses the hot
+    key map-side (one change row per key reaches the merge join no
+    matter how skewed the raw batch), so the skewed drain must converge
+    exactly — crash included — to the one-shot skewed MERGE."""
+    table, ck = str(tmp_path / "bal"), str(tmp_path / "ck")
+    seed = MS.seed_from_customers(load_table(spark, sf_dir, "customer"))
+
+    def crash_once(phase, batch_id):
+        if batch_id == 1:
+            raise RuntimeError("injected crash after commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        MS.run_merge_stream(spark, skewed_orders_dir, table, ck, seed=seed,
+                            crash_hook=crash_once)
+    final = MS.run_merge_stream(spark, skewed_orders_dir, table, ck)
+    skewed = spark.read.parquet(f"{skewed_orders_dir}")
+    want = {tuple(r) for r in
+            MS.merge_balances(seed, MS.order_deltas(skewed)).collect()}
+    assert {tuple(r) for r in final.collect()} == want
+    # the hot key's row really did absorb ~90% of the order count
+    hot = {r.c_custkey: r.n_orders for r in final.collect()}[1]
+    total = skewed.count()
+    assert hot >= 0.85 * total
