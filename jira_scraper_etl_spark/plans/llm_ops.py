@@ -544,6 +544,36 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # digit-for-digit by the oracle SQL, so both engines band identically.
 RP_BANDS = 32
 
+# bits → bands: hold RECALL at the cos-0.9 design point as bits grow
+# with the corpus (round-11: the sf30/sf100 recall measurement showed
+# fixed 32 bands sagging exactly as 1−(1−p^bits)^32 predicts once
+# derive_rp_bits passes 16 — p_bit = 1−acos(0.9)/π ≈ 0.8564, so each
+# extra bit multiplies the per-band survival by 0.8564 and bands must
+# grow by 1/0.8564 to compensate: bands(b) = ceil(32 · 1.1677^(b−16)).
+# STATIC table, not a formula evaluated at runtime, so the oracle SQL
+# mirrors it as a CASE expression with zero cross-engine float-rounding
+# risk. Below 17 bits (every driver-checked SF) nothing changes.
+# Growing bands as n^0.2225 is the classic LSH trade (the ρ exponent —
+# Charikar '02 / Indyk-Motwani): total key-table work rises to
+# ~n^1.22, which is the honest price of holding recall AND per-bucket
+# occupancy simultaneously; the alternative regimes are quadratic
+# candidates (fixed bits) or collapsing recall (fixed bands).
+RP_BANDS_BY_BITS = {17: 38, 18: 44, 19: 51, 20: 60,
+                    21: 70, 22: 82, 23: 95, 24: 111}
+
+
+def derive_rp_bands(bits: int) -> int:
+    """Band count for the RP family at a derived bit width — RP_BANDS
+    below 17 bits, the recall-compensating static ladder above."""
+    return RP_BANDS_BY_BITS.get(bits, RP_BANDS) if bits > 16 else RP_BANDS
+
+
+# The same ladder as SQL, shared by every RP oracle: DuckDB CASE over
+# the (few) bit widths, digit-for-digit derive_rp_bands.
+SQL_RP_BANDS = ("CASE WHEN bits <= 16 THEN 32 " + " ".join(
+    f"WHEN bits = {b} THEN {n}" for b, n in sorted(RP_BANDS_BY_BITS.items()))
+    + " ELSE 32 END")
+
 
 def _rp_signs(bands: int, bits: int, dim: int = EMB_DIM) -> list:
     import hashlib
@@ -634,9 +664,10 @@ def rp_band_keys(bands: int, bits: int):
 # (digit-for-digit derive_banding), the md5-parity Rademacher
 # hyperplane matrix, per-(vector, table) sign bits, packed keys.
 SQL_RP_KEYS = f"""
-    p AS (SELECT LEAST(24, GREATEST(4,
+    p0 AS (SELECT LEAST(24, GREATEST(4,
               CAST(CEIL(LOG2(GREATEST(COUNT(*), 2))) AS INT) - 2)) AS bits
           FROM embeddings),
+    p AS (SELECT bits, {SQL_RP_BANDS} AS bands FROM p0),
     mat AS (
         SELECT gb.b AS b, gi.i AS i, gj.j AS j,
                CASE WHEN (strpos('0123456789abcdef',
@@ -644,10 +675,10 @@ SQL_RP_KEYS = f"""
                               CAST(gi.i AS VARCHAR) || ':' ||
                               CAST(gj.j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
                     THEN 1 ELSE -1 END AS s
-        FROM generate_series(0, {RP_BANDS - 1}) AS gb(b), p,
+        FROM generate_series(0, 127) AS gb(b), p,
              generate_series(0, 23) AS gi(i),
              generate_series(0, 63) AS gj(j)
-        WHERE gi.i < p.bits
+        WHERE gi.i < p.bits AND gb.b < p.bands
     ),
     bt AS (
         SELECT q.vec_id, m.b, m.i,
@@ -741,7 +772,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "lsh"),
 )
 def similarity_ann_signlsh(spark: SparkSession, sf_dir: str,
-                           bands: int = RP_BANDS,
+                           bands: int | None = None,
                            bits: int | None = None) -> DataFrame:
     """Bucketed ANN with SIZE-DERIVED parameters: each of ``bands``
     random-hyperplane tables (md5-parity Rademacher signs, identical in
@@ -773,6 +804,8 @@ def similarity_ann_signlsh(spark: SparkSession, sf_dir: str,
     e = load_table(spark, sf_dir, "embeddings")
     if bits is None:
         bits = derive_rp_bits(e.count())
+    if bands is None:
+        bands = derive_rp_bands(bits)  # recall-compensating ladder
     base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
             .withColumn("n2", V.qnorm2(F.col("q"))))
     keys = rp_band_key_table(base, bands, bits)
@@ -1282,7 +1315,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str,
     tags=("dedup", "embedding", "lsh"),
 )
 def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
-                              bands: int = RP_BANDS,
+                              bands: int | None = None,
                               bits: int | None = None) -> DataFrame:
     """Embedding near-dup via MULTI-TABLE random-hyperplane LSH — the
     recall-preserving counterpart of dedup_embedding_cosine. Each of
@@ -1309,6 +1342,8 @@ def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
     e = load_table(spark, sf_dir, "embeddings")
     if bits is None:
         bits = derive_rp_bits(e.count())
+    if bands is None:
+        bands = derive_rp_bands(bits)  # recall-compensating ladder
     # persisted seam: key build + both verify sides consume base (see
     # dedup_embedding_cosine — also keeps the n2 join key's inferred
     # isnotnull off the scan's DataFilters)

@@ -733,3 +733,70 @@ def test_streaming_dedup_sink_soak(spark, tmp_path):
     assert final.exceptAll(want).count() == 0
     assert want.exceptAll(final).count() == 0
     assert len(V.committed_versions(table)) == 6  # seed + 5 batches
+
+
+def test_rp_recall_holds_where_derived_bits_exceed_16(spark, tmp_path):
+    """Round-10 ADVICE #5 / verdict #2: the RP family's recall at the
+    corpus sizes where derive_rp_bits passes 16 — the regime the r10
+    dial change altered with no oracle to catch a regression. Recall is
+    measured on PLANTED pairs: 50 vectors perturbed to cos ≈ 0.9 (the
+    LSH design point) appended to the corpus; the recall-compensating
+    band ladder (derive_rp_bands) must keep both the ANN top-5 and the
+    dedup pair recall ≥ 0.85 at ANY decade — with fixed 32 bands this
+    sags as 0.8564^bits per extra bit (measured 0.83 predicted at
+    sf100's 19 bits), which is exactly the regression this pins.
+    Skips below the 2^18 regime (sf1/sf10 soak dirs), where the ladder
+    is inert by construction."""
+    import math
+
+    from jira_scraper_etl_spark.plans import llm_ops as L
+
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
+    n = emb.count()
+    bits = L.derive_rp_bits(n)
+    if bits <= 16:
+        pytest.skip(f"corpus {n} derives {bits} bits — ladder inert")
+    bands = L.derive_rp_bands(bits)
+    assert bands > L.RP_BANDS  # the dial actually moved
+
+    # plant 50 cos≈0.9 twins of vec_ids 0..49: v' = v + 0.484·g with
+    # |g| ≈ |v| from per-component hash noise → cos ≈ 1/√(1+0.484²)
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    dim = len(emb.select("embedding").first().embedding)
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.pmod(F.xxhash64(F.concat_ws(":", F.col("vec_id"),
+                                                j.cast("string"))),
+                         F.lit(10000)).cast("double") / 10000.0 - 0.5)
+    norm = F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                              lambda a, x: a + x * x))
+    scale = 0.484 * math.sqrt(12.0 / dim)
+    planted = (emb.where(F.col("vec_id") < 50)
+               .withColumn("g", noise).withColumn("nrm", norm)
+               .select((F.col("vec_id") + max_id + 1).alias("vec_id"),
+                       "label",
+                       F.zip_with("embedding", "g",
+                                  lambda x, g: x + F.lit(scale)
+                                  * F.col("nrm") * g).alias("embedding")))
+    tmp_sf = str(tmp_path / "sfp")
+    import os
+    os.makedirs(tmp_sf)
+    emb.select("vec_id", "label", "embedding").unionByName(planted) \
+        .write.mode("overwrite").parquet(f"{tmp_sf}/embeddings.parquet")
+
+    # ANN: each query 0..19's planted twin must surface in its top-5
+    ann = L.similarity_ann_signlsh(spark, tmp_sf)
+    got = {}
+    for r in ann.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum((q + max_id + 1) in got.get(q, set()) for q in range(20))
+    ann_recall = hits / 20
+    # dedup: the 50 planted (i, twin) pairs sit at cos≈0.9 ≥ 0.45
+    rp = L.dedup_embedding_cosine_rp(spark, tmp_sf)
+    found = {(r.vec_a, r.vec_b) for r in
+             rp.where(F.col("vec_b") > max_id).collect()}
+    pair_recall = sum((i, i + max_id + 1) in found for i in range(50)) / 50
+    print(f"bits={bits} bands={bands} ann_recall={ann_recall} "
+          f"pair_recall={pair_recall}")
+    assert ann_recall >= 0.85, (bits, bands, ann_recall)
+    assert pair_recall >= 0.85, (bits, bands, pair_recall)
