@@ -4,7 +4,7 @@
 # against it via SPARK_GRAFT_SOAK_DIR.
 
 .PHONY: test oracle bench bench-sf1 bench-sf10 soak-sf1 soak-sf10 \
-        plan-audit probe-sf30
+        plan-audit probe-sf30 probe-sf100
 
 test:
 	python -m pytest tests/ -x -q
@@ -49,3 +49,12 @@ plan-audit:
 # the heavy corpus family one decade past the comfort zone (BASELINE.md)
 probe-sf30: .scratch/sf30
 	python tools/probe_sf30.py
+
+.scratch/sf100:
+	python tools/make_sf.py 1000 .scratch/sf100 documents,embeddings
+
+# two decades past: 5M docs / 2M vectors; also runs the RP recall soak
+probe-sf100: .scratch/sf100
+	SPARK_GRAFT_DRIVER_MEM=48g python tools/probe_sf30.py .scratch/sf100
+	SPARK_GRAFT_SOAK_DIR=.scratch/sf100 SPARK_GRAFT_DRIVER_MEM=32g \
+	  python -m pytest tests/test_sf1_soak.py -q -k rp_recall_holds -s

@@ -77,6 +77,12 @@ HEADLINE = [
     # 100 TB fingerprinting path — trend-line it alongside the md5
     # oracle anchor (32.9 s vs 55.8 s at the sf10 decade)
     "text_winnow_fingerprints_fast",
+    # round-11 additions: the hardest TPC-H decorrelation class (Q21:
+    # EXISTS + NOT EXISTS both correlated on lineitem) and the
+    # compressed-payload decode path (PNG inflate + unfilter over
+    # Arrow batches)
+    "q21_suppliers_kept_waiting",
+    "mm_png_pixel_stats",
 ]
 
 
