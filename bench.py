@@ -83,6 +83,10 @@ HEADLINE = [
     # Arrow batches)
     "q21_suppliers_kept_waiting",
     "mm_png_pixel_stats",
+    # round-11 second batch: the 22-query TPC-H suite is complete —
+    # trend-line its widest join tree (Q8: 8 relations, two nation
+    # branches, conditional share aggregate)
+    "q8_national_market_share",
 ]
 
 

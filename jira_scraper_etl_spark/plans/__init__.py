@@ -14,6 +14,7 @@ from . import curation  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import jira_parity  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
+from . import tpch_more  # noqa: F401,E402
 from . import scalar_funcs  # noqa: F401,E402
 from . import event_time  # noqa: F401,E402
 
@@ -30,6 +31,12 @@ from . import event_time  # noqa: F401,E402
 
 _PRIORITY = [
     # -- Entries #1-50: the round-11 correctness window. ------------------
+    # Newest this round: the remaining TPC-H classes (Q6–Q12, Q14, Q16),
+    # completing the 22-query suite.
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_national_market_share",
+    "q9_product_type_profit", "q10_returned_items", "q11_important_parts",
+    "q12_shipping_delay_buckets", "q14_promotion_effect",
+    "q16_part_supplier_relation",
     # New this round (round-10 verdict #3): the four remaining TPC-H
     # decorrelation classes — double-correlated EXISTS/NOT EXISTS
     # (Q21), nested IN chain + correlated scalar agg (Q20), ON-clause
