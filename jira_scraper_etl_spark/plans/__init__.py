@@ -31,8 +31,11 @@ from . import event_time  # noqa: F401,E402
 
 _PRIORITY = [
     # -- Entries #1-50: the round-11 correctness window. ------------------
-    # Newest this round: the remaining TPC-H classes (Q6–Q12, Q14, Q16),
-    # completing the 22-query suite.
+    # Newest this round: IVF-PQ — asymmetric-distance ANN over 8-byte
+    # product codes, integer-exact and fully DuckDB-replayable.
+    "similarity_ann_ivfpq",
+    # The remaining TPC-H classes (Q6–Q12, Q14, Q16), completing the
+    # 22-query suite.
     "q6_forecast_revenue", "q7_volume_shipping", "q8_national_market_share",
     "q9_product_type_profit", "q10_returned_items", "q11_important_parts",
     "q12_shipping_delay_buckets", "q14_promotion_effect",

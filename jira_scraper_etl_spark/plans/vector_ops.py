@@ -703,3 +703,319 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            .where(F.col("rk") <= IVF_TOPK)
            .select("query_id", "neighbor_id", "cos_sim", "rk"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ADC scoring inside the probed IVF cells
+# ---------------------------------------------------------------------------
+
+PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS = 8, 8, 16, 2
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncating integer division (toward zero) — Spark driver
+    arithmetic matching DuckDB's ``//`` on BIGINT (floor division
+    would disagree on negative sums)."""
+    return abs(s) // n * (1 if s >= 0 else -1)
+
+
+def _pq_codebook_literal(cbs: list) -> str:
+    """The M×K×SUBDIM product-quantizer model as one SQL literal —
+    the _cents_sql_literal argument one nesting level deeper (constant
+    folding collapses it to a single complex-typed Literal)."""
+    return "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+            for c in cb) + ")"
+        for cb in cbs) + ")"
+
+
+def _pq_subspace_distances(cbs: list):
+    """Shared numpy kernel: exact int64 squared distances of every
+    row's M subvectors to all K codewords of their subspace —
+    d[n, M, K] via one einsum per Arrow batch; argmin's first-minimum
+    rule = ties to the lowest code id (the ROW_NUMBER ORDER BY
+    (d2, code) spelling in the oracle)."""
+    import numpy as np
+
+    C = np.array(cbs, dtype=np.int64)       # (M, K, SUBDIM)
+    c2 = (C * C).sum(axis=2)                 # (M, K)
+
+    def codes_of(Q):
+        n = len(Q)
+        S = Q.reshape(n, PQ_M, PQ_SUBDIM)
+        d = ((S * S).sum(axis=2)[:, :, None]
+             - 2 * np.einsum("nms,mks->nmk", S, C)
+             + c2[None, :, :])
+        return S, d.argmin(axis=2)           # (n, M, SUBDIM), (n, M)
+
+    return codes_of
+
+
+def _pq_assign_exploded(assigned: DataFrame, cbs: list) -> DataFrame:
+    """Training-pass assignment: (m, code, subq) exploded to M rows per
+    vector so the centroid update is ONE map-side-combined JVM
+    aggregation to ≤ M×K groups — the _km_train update shape with the
+    subspace id joining the group key."""
+    import numpy as np
+
+    codes_of = _pq_subspace_distances(cbs)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            S, codes = codes_of(Q)
+            n = len(Q)
+            yield pd.DataFrame({
+                "m": np.tile(np.arange(PQ_M), n).astype("int32"),
+                "code": codes.reshape(-1).astype("int32"),
+                "subq": list(S.reshape(n * PQ_M, PQ_SUBDIM)),
+            })
+
+    return assigned.select("q").mapInPandas(
+        gen, "m int, code int, subq array<bigint>")
+
+
+def _pq_encode_arrow(assigned: DataFrame, cbs: list) -> DataFrame:
+    """Final encode: each vector's M one-byte codes in ONE row —
+    the compressed corpus representation ADC scans (M bytes/vector
+    vs 4·dim bytes of floats: 32× smaller at M=8, dim=64)."""
+    import numpy as np
+
+    codes_of = _pq_subspace_distances(cbs)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            _, codes = codes_of(Q)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster": pdf["cluster"].to_numpy(),
+                "codes": list(codes.astype("int32")),
+            })
+
+    return assigned.select("vec_id", "q", "cluster").mapInPandas(
+        gen, "vec_id bigint, cluster int, codes array<int>")
+
+
+def _pq_train(assigned: DataFrame) -> list:
+    """Deterministic integer Lloyd per subspace, all M subspaces in one
+    pass per iteration: seed = the first PQ_K vectors' subvector
+    slices, assignment = _pq_assign_exploded's argmin, update =
+    truncating integer division per (m, code). Driver state is
+    M×K×SUBDIM ints (~1 KB) — the bounded-model pattern _km_train
+    uses, one level down the quantization hierarchy."""
+    init = {r.vec_id: list(r.q)
+            for r in assigned.where(F.col("vec_id") < PQ_K)
+            .select("vec_id", "q").collect()}
+    cbs = [[init[j][m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            for j in range(PQ_K)] for m in range(PQ_M)]
+    agg_cols = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.element_at("subq", i + 1)).alias(f"s{i}")
+        for i in range(PQ_SUBDIM)]
+    for _ in range(PQ_ITERS):
+        a = _pq_assign_exploded(assigned, cbs)
+        rows = {(r.m, r.code): r
+                for r in a.groupBy("m", "code").agg(*agg_cols).collect()}
+        cbs = [
+            [[_trunc_div(int(rows[(m, j)][f"s{i}"]), int(rows[(m, j)].n))
+              for i in range(PQ_SUBDIM)] if (m, j) in rows else cbs[m][j]
+             for j in range(PQ_K)]
+            for m in range(PQ_M)
+        ]
+    return cbs
+
+
+def _pq_iteration_sql(it: int) -> str:
+    """One PQ Lloyd iteration as CTEs — _km_iteration_sql with the
+    subspace id m carried through every key (one CTE chain trains all
+    M codebooks at once, mirroring the engine's single-pass update)."""
+    return f"""
+    pd{it} AS (
+        SELECT s.vec_id, s.m, s.subq, p.code,
+               list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+                    k -> (s.subq[k] - p.c[k]) * (s.subq[k] - p.c[k]))) AS d2
+        FROM subvecs s JOIN pq{it - 1} p ON p.m = s.m
+    ),
+    pa{it} AS (
+        SELECT vec_id, m, subq, code
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d2, code) AS rk
+              FROM pd{it})
+        WHERE rk = 1
+    ),
+    pn{it} AS (SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n
+               FROM pa{it} GROUP BY m, code),
+    pm{it} AS (
+        SELECT m, code, g.k AS k, CAST(SUM(subq[g.k]) AS BIGINT) AS s
+        FROM pa{it}, LATERAL unnest(generate_series(1, {PQ_SUBDIM})) AS g(k)
+        GROUP BY m, code, g.k
+    ),
+    pq{it} AS (
+        SELECT x.m, x.code, list(x.s // n.n ORDER BY x.k) AS c
+        FROM pm{it} x JOIN pn{it} n ON x.m = n.m AND x.code = n.code
+        GROUP BY x.m, x.code
+        UNION ALL
+        SELECT p.m, p.code, p.c FROM pq{it - 1} p
+        WHERE NOT EXISTS (SELECT 1 FROM pn{it} n
+                          WHERE n.m = p.m AND n.code = p.code)
+    )"""
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB replay of the FULL IVF-PQ pipeline: the _km_oracle Lloyd
+    chain trains the coarse quantizer, the m-keyed PQ chain trains all
+    8 sub-codebooks, and ADC re-derives every reported distance from
+    the neighbor's CODES (never its raw vector) — a Spark-side encode
+    or LUT bug cannot hash-match."""
+    from .llm_ops import SQL_QUANT
+
+    its = ",".join(_km_iteration_sql(i) for i in range(1, KM_ITERS + 1))
+    pq_its = ",".join(_pq_iteration_sql(i) for i in range(1, PQ_ITERS + 1))
+    fin, pfin = KM_ITERS + 1, PQ_ITERS + 1
+    return f"""
+    WITH vecs AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, q AS c
+           FROM vecs WHERE vec_id < {KM_K}),
+    {its},
+    d{fin} AS (
+        SELECT v.vec_id, c.cluster,
+               list_sum(list_transform(generate_series(1, {KM_DIM}),
+                    k -> (v.q[k] - c.c[k]) * (v.q[k] - c.c[k]))) AS d2
+        FROM vecs v CROSS JOIN c{KM_ITERS} c
+    ),
+    asg AS (
+        SELECT vec_id, cluster
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cluster) AS rk
+              FROM d{fin})
+        WHERE rk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cluster AS qcell
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cluster) AS rk
+              FROM d{fin} WHERE vec_id < {IVF_NQ})
+        WHERE rk <= {IVF_NPROBE}
+    ),
+    subvecs AS (
+        SELECT vec_id, u.m AS m,
+               list_transform(generate_series(1, {PQ_SUBDIM}),
+                              k -> q[u.m * {PQ_SUBDIM} + k]) AS subq
+        FROM vecs, unnest(generate_series(0, {PQ_M - 1})) AS u(m)
+    ),
+    pq0 AS (SELECT m, CAST(vec_id AS INTEGER) AS code, subq AS c
+            FROM subvecs WHERE vec_id < {PQ_K}),
+    {pq_its},
+    pd{pfin} AS (
+        SELECT s.vec_id, s.m, p.code,
+               list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+                    k -> (s.subq[k] - p.c[k]) * (s.subq[k] - p.c[k]))) AS d2
+        FROM subvecs s JOIN pq{PQ_ITERS} p ON p.m = s.m
+    ),
+    pa{pfin} AS (
+        SELECT vec_id, m, code
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d2, code) AS rk
+              FROM pd{pfin})
+        WHERE rk = 1
+    ),
+    cand AS (
+        SELECT p.query_id, g.vec_id AS neighbor_id
+        FROM probes p JOIN asg g ON g.cluster = p.qcell
+        WHERE g.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(SUM(list_sum(list_transform(
+                    generate_series(1, {PQ_SUBDIM}),
+                    k -> (sq.subq[k] - pc.c[k]) * (sq.subq[k] - pc.c[k]))))
+                    AS BIGINT) AS adc_d2
+        FROM cand
+        JOIN pa{pfin} fn ON fn.vec_id = cand.neighbor_id
+        JOIN subvecs sq ON sq.vec_id = cand.query_id AND sq.m = fn.m
+        JOIN pq{PQ_ITERS} pc ON pc.m = fn.m AND pc.code = fn.code
+        GROUP BY cand.query_id, cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_d2, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, neighbor_id) AS rk
+          FROM adc)
+    WHERE rk <= {IVF_TOPK}
+    """
+
+
+@register("similarity_ann_ivfpq", oracle=_ivfpq_oracle(),
+          tags=("similarity", "ml", "iterative", "compression"))
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ shape): the exact-kmeans coarse
+    quantizer routes each query to its nprobe=2 nearest cells, and
+    candidates inside the probed cells are ranked by ASYMMETRIC
+    DISTANCE COMPUTATION — the query keeps its full vector, every
+    candidate is represented ONLY by its M=8 one-byte product codes,
+    and distance ≈ Σ_m LUT_m[code_m] where LUT is the query's
+    precomputed 8×16 table of exact subvector-to-codeword distances.
+
+    Everything is integer-exact and therefore fully DuckDB-replayable
+    (the similarity_ann_ivf determinism argument extended one level
+    down the quantization hierarchy): sub-codebooks train with the
+    same seeded truncating-division Lloyd loop per subspace (all 8 in
+    one pass per iteration, update = one map-side-combined aggregation
+    to ≤ 8×16 groups), codes are first-minimum argmins, and the ADC
+    sum is exact int64 — so the oracle re-derives every reported
+    distance from the neighbor's codes alone.
+
+    The 100 TB story is MEMORY, on top of IVF's candidate pruning: the
+    scored corpus representation is 8 bytes/vector vs 256 bytes of
+    floats (32×) — the difference between an in-RAM scan and a
+    spilling one at 2B vectors/TB — and each candidate costs 8 LUT
+    adds instead of a 64-dim dot product. Recall vs the exact
+    quantized-L2 ranking is pinned in tests/test_queries.py; the
+    ADC-vs-true-distance bias is the documented PQ trade (16 codes ×
+    8 dims is the toy-corpus setting; production uses 256×anything —
+    the plan shape is identical)."""
+    q, cents = _km_train(spark, sf_dir)
+    assigned = persist_seam(
+        _km_assign_arrow(q, cents).select("vec_id", "q", "cluster"))
+    cbs = _pq_train(assigned)
+    codes = _pq_encode_arrow(assigned, cbs)
+    arr = _cents_sql_literal(cents)
+    probe_cells = F.expr(
+        f"slice(array_sort(zip_with("
+        f"transform({arr}, c -> aggregate(zip_with(q, c, "
+        f"(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)), "
+        f"sequence(0, {KM_K - 1}), "
+        f"(d, i) -> named_struct('d2', d, 'cid', cast(i as int)))), "
+        f"1, {IVF_NPROBE})")
+    cb_lit = _pq_codebook_literal(cbs)
+    lut = F.expr(
+        f"flatten(transform(sequence(0, {PQ_M - 1}), m -> "
+        f"transform(element_at({cb_lit}, m + 1), c -> "
+        f"aggregate(zip_with(slice(q, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), c, "
+        f"(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))))")
+    probes = (assigned.where(F.col("vec_id") < IVF_NQ)
+              .select(F.col("vec_id").alias("query_id"), lut.alias("lut"),
+                      F.explode(probe_cells).alias("pc"))
+              .select("query_id", "lut", F.col("pc.cid").alias("qcell")))
+    adc = F.expr(
+        f"aggregate(zip_with(codes, sequence(0, {PQ_M - 1}), "
+        f"(c, m) -> element_at(lut, m * {PQ_K} + c + 1)), "
+        f"0L, (acc, x) -> acc + x)")
+    scored = (codes.join(F.broadcast(probes),
+                         (F.col("cluster") == F.col("qcell"))
+                         & (F.col("vec_id") != F.col("query_id")))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      adc.alias("adc_d2")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= IVF_TOPK)
+            .select("query_id", "neighbor_id", "adc_d2", "rk"))

@@ -376,3 +376,67 @@ def test_mllsh_recall_vs_bruteforce(spark, sf_dir):
     assert common == {0, 1, 2, 3, 4}
     recall = sum(len(got[q] & want[q]) / len(want[q]) for q in common) / len(common)
     assert recall >= 0.8, recall
+
+
+def test_ivfpq_recall_and_code_domain(spark, sf_dir):
+    """similarity_ann_ivfpq is oracle-backed (every ADC distance is
+    re-derived from the neighbor's codes by DuckDB), so this pins what
+    the hash can't: (a) recall@5 of the ADC ranking vs the EXACT
+    integer-L2 ranking OVER THE SAME PROBED CANDIDATE SET — isolating
+    the product quantizer's approximation quality from IVF's nprobe
+    pruning (which test_ivf_recall_vs_bruteforce already bounds);
+    (b) the compressed representation really is M=8 codes in [0, 16);
+    (c) no nested loop anywhere in the plan."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.functions import vectors as V
+    from jira_scraper_etl_spark.plans.vector_ops import (
+        IVF_NPROBE, IVF_NQ, IVF_TOPK, PQ_K, PQ_M, _km_assign_arrow,
+        _km_train, _pq_encode_arrow, _pq_train)
+
+    df = plans.QUERIES["similarity_ann_ivfpq"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) <= set(range(IVF_NQ))
+
+    # exact integer-L2 ranking over the SAME probed candidate set
+    q, cents = _km_train(spark, sf_dir)
+    assigned = _km_assign_arrow(q, cents).select("vec_id", "q", "cluster")
+    arows = assigned.collect()
+    ids = np.array([r.vec_id for r in arows])
+    Q = np.stack([np.array(r.q, dtype=np.int64) for r in arows])
+    cell = np.array([r.cluster for r in arows])
+    C = np.array(cents, dtype=np.int64)
+    want = {}
+    for qi in range(IVF_NQ):
+        pos = int(np.where(ids == qi)[0][0])
+        dc = ((C - Q[pos]) ** 2).sum(axis=1)
+        probed = np.lexsort((np.arange(len(C)), dc))[:IVF_NPROBE]
+        mask = np.isin(cell, probed) & (ids != qi)
+        cand_ids, cand_q = ids[mask], Q[mask]
+        if not len(cand_ids):
+            continue
+        d = ((cand_q - Q[pos]) ** 2).sum(axis=1)
+        order = np.lexsort((cand_ids, d))
+        want[qi] = {int(cand_ids[j]) for j in order[:IVF_TOPK]}
+    common = set(got) & set(want)
+    assert common, "ivfpq returned no queries"
+    recall = (sum(len(got[q] & want[q]) / len(want[q]) for q in common)
+              / len(common))
+    # measured 0.31 (sf0.001) / 0.35 (sf0.01) vs a 0.04 random-pick
+    # baseline (candidate sets ~128): random unit-norm vectors are
+    # PQ's hardest case (no cluster structure to absorb into the
+    # codebooks) and 16 codes x 8 dims is the toy setting — the pin
+    # is the ~8x-above-chance floor, not production recall
+    assert recall >= 0.2, recall
+
+    # compressed representation: M codes, each in [0, PQ_K)
+    codes = _pq_encode_arrow(assigned, _pq_train(assigned)).collect()
+    assert all(len(r.codes) == PQ_M for r in codes)
+    assert all(0 <= c < PQ_K for r in codes for c in r.codes)
