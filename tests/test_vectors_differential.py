@@ -175,3 +175,53 @@ def test_kmeans_arrow_assignment_equals_expression_spec(spark, sf_dir):
         arrow = {r.vec_id: (r.cluster, r.d2)
                  for r in _km_assign_arrow(q, model).collect()}
         assert spec == arrow and spec
+
+
+def test_pq_trunc_div_matches_duckdb_integer_division():
+    """The PQ centroid update divides possibly-negative integer sums;
+    _trunc_div must truncate toward zero exactly like DuckDB's // on
+    BIGINT (floor division would differ on negatives)."""
+    import duckdb
+
+    from jira_scraper_etl_spark.plans.vector_ops import _trunc_div
+
+    cases = [(7, 2), (-7, 2), (1, 3), (-1, 3), (0, 5), (-100, 7), (99, 10)]
+    for s, n in cases:
+        want = duckdb.sql(
+            f"SELECT CAST({s} AS BIGINT) // CAST({n} AS BIGINT)").fetchone()[0]
+        assert _trunc_div(s, n) == want, (s, n)
+
+
+def test_pq_codebook_literal_shape_and_values():
+    """The M×K×SUBDIM literal must nest exactly three array() levels
+    with L-suffixed longs — the form constant folding collapses to one
+    complex Literal."""
+    from jira_scraper_etl_spark.plans.vector_ops import (
+        PQ_K, PQ_M, PQ_SUBDIM, _pq_codebook_literal)
+
+    cbs = [[[m * 1000 + j * 10 + k for k in range(PQ_SUBDIM)]
+            for j in range(PQ_K)] for m in range(PQ_M)]
+    lit = _pq_codebook_literal(cbs)
+    assert lit.count("array(") == 1 + PQ_M + PQ_M * PQ_K
+    assert f"{7 * 1000 + 15 * 10 + 7}L" in lit  # last element present
+
+
+def test_pq_subspace_distance_kernel_ties_to_lowest_code():
+    """The einsum kernel's argmin must implement first-minimum (ties to
+    the lowest code id), matching the oracle's ROW_NUMBER ORDER BY
+    (d2, code) — verified on a codebook with duplicate codewords."""
+    import numpy as np
+
+    from jira_scraper_etl_spark.plans.vector_ops import (
+        PQ_K, PQ_M, PQ_SUBDIM, _pq_subspace_distances)
+
+    # every subspace: codewords 3 and 7 are identical -> any vector
+    # equidistant to both must take code 3
+    rng = np.random.default_rng(7)
+    cbs = rng.integers(-5, 5, size=(PQ_M, PQ_K, PQ_SUBDIM)).tolist()
+    for m in range(PQ_M):
+        cbs[m][7] = list(cbs[m][3])
+    codes_of = _pq_subspace_distances(cbs)
+    Q = np.array(cbs)[:, 3, :].reshape(1, PQ_M * PQ_SUBDIM)  # exact hits
+    _, codes = codes_of(Q.astype(np.int64))
+    assert (codes == 3).all()

@@ -38,6 +38,10 @@ PROBE = [
     "dedup_embedding_cosine_rp", "similarity_ann_signlsh",
     "dedup_minhash_lsh", "dedup_cluster_canonical",
     "dedup_span_exact", "curate_corpus_v2",
+    # round-11: the PQ compression path on top of IVF's pruning —
+    # the encode is one int64 einsum per Arrow batch, so the probe
+    # checks it stays linear alongside the coarse quantizer
+    "similarity_ann_ivfpq",
 ]
 
 
