@@ -45,6 +45,21 @@ def qnorm2(a: Column) -> Column:
     return qdot(a, a)
 
 
+def qdot_wide(a: Column, b: Column) -> Column:
+    """Exact integer dot of two SMALLINT-packed quantized vectors
+    (components in [-SCALE, SCALE] fit int16, so verify-stage shuffles
+    can carry 2-byte elements instead of 8-byte longs — ~3.5× less
+    candidate-pair shuffle volume). Each component is widened to
+    BIGINT BEFORE the multiply: smallint×smallint would overflow at
+    SCALE² > 32767 and trip ANSI mode. Value-identical to qdot on the
+    original bigint arrays (the cast chain is lossless)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def qcosine(a: Column, b: Column, scale: int = SCALE) -> Column:
     """Deterministic cosine of two RAW float-array columns: quantizes
     both sides, then exact int dot / sqrt of exact int norms — the same

@@ -1346,10 +1346,19 @@ def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
         bands = derive_rp_bands(bits)  # recall-compensating ladder
     # persisted seam: key build + both verify sides consume base (see
     # dedup_embedding_cosine — also keeps the n2 join key's inferred
-    # isnotnull off the scan's DataFilters)
+    # isnotnull off the scan's DataFilters). The cached/verified
+    # representation packs components as SMALLINT (values are
+    # floor(x·1000) ∈ [-1000, 1000], so the cast is lossless): the
+    # verify stage streams ~bands·λ·n/2 candidate pairs each carrying
+    # a query vector — at the sf100 decade (2M vectors, 51 bands)
+    # that's ~190M pairs, and 8-byte elements made it a ~100 GB
+    # sort-spill that exhausted the probe box's disk. 2-byte elements
+    # put the same join at ~30 GB; exact integer arithmetic is
+    # preserved by widening inside the dot (V.qdot_wide).
     base = persist_seam(
-        e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
-        .withColumn("n2", V.qnorm2(F.col("q"))))
+        e.select("vec_id", V.quantize(F.col("embedding")).alias("ql"))
+        .select("vec_id", F.col("ql").cast("array<smallint>").alias("q"),
+                V.qnorm2(F.col("ql")).alias("n2")))
     # The hash-table materialization seam: the packed band keys are
     # checkpointed so the hyperplane arithmetic runs exactly once —
     # this is the LSH "build the tables" step; at warehouse scale it is
@@ -1370,8 +1379,14 @@ def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
         .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))
         .distinct()
     )
-    a, b = base.alias("a"), base.alias("b")
-    cos = (V.qdot(F.col("a.q"), F.col("b.q")).cast("double")
+    # SHUFFLE_HASH on the corpus side of both verify joins: the pair
+    # stream is orders of magnitude wider than the per-partition
+    # corpus build (n·~150 B / shuffle.partitions), and a sort-merge
+    # join would SORT the wide stream — the other half of the sf100
+    # disk blow-up. A hash build never sorts the stream side.
+    a, b = base.hint("shuffle_hash").alias("a"), \
+        base.hint("shuffle_hash").alias("b")
+    cos = (V.qdot_wide(F.col("a.q"), F.col("b.q")).cast("double")
            / (F.sqrt(F.col("a.n2").cast("double"))
               * F.sqrt(F.col("b.n2").cast("double"))))
     return (
