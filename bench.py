@@ -87,6 +87,12 @@ HEADLINE = [
     # trend-line its widest join tree (Q8: 8 relations, two nation
     # branches, conditional share aggregate)
     "q8_national_market_share",
+    # round-11 third batch: the two new LLM-pipeline flagships —
+    # SemDeDup (k-adaptive integer Lloyd + within-cluster dominance
+    # prune) and tokenizer application (per-doc BPE token counts via
+    # the vocabulary join, the corpus-free encode path)
+    "dedup_semantic_semdedup",
+    "text_bpe_encode_stats",
 ]
 
 

@@ -31,8 +31,12 @@ from . import event_time  # noqa: F401,E402
 
 _PRIORITY = [
     # -- Entries #1-50: the round-11 correctness window. ------------------
-    # Newest this round: IVF-PQ — asymmetric-distance ANN over 8-byte
-    # product codes, integer-exact and fully DuckDB-replayable.
+    # Newest this round: SemDeDup (k-adaptive integer Lloyd + within-
+    # cluster centroid-distance dominance prune, oracle-backed end to
+    # end) and IVF-PQ — asymmetric-distance ANN over 8-byte product
+    # codes, integer-exact and fully DuckDB-replayable.
+    "dedup_semantic_semdedup",
+    "text_bpe_encode_stats",
     "similarity_ann_ivfpq",
     # The remaining TPC-H classes (Q6–Q12, Q14, Q16), completing the
     # 22-query suite.

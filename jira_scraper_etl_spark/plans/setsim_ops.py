@@ -683,10 +683,26 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally — all matches, then even offsets within islands of
     consecutive matches — an equivalence property-tested over 8000
     random sequences in tests."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        schema="step int, left_sym string, right_sym string, "
+               "merged string, pair_count long")
+
+
+def _bpe_train(spark: SparkSession,
+               sf_dir: str) -> tuple[list[tuple], DataFrame]:
+    """The shared BPE training loop: learns BPE_STEPS merges over the
+    word-frequency table and returns both the merge list AND the final
+    symbolized vocabulary (w, freq, syms) — the ENCODED vocab under
+    the learned merges, which text_bpe_encode_stats joins back to the
+    corpus (bpe_learn_merges only reports the merge table). The word
+    string rides through the fold unchanged — vocabulary-sized data,
+    negligible cost."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (d.select(F.explode(H.word_tokens(F.col("text"))).alias("w"))
              .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
-             .select("freq", F.split("w", "").alias("syms"))
+             .select("w", "freq", F.split("w", "").alias("syms"))
              .persist(StorageLevel.MEMORY_AND_DISK))
     vocab.count()
     merges: list[tuple] = []
@@ -706,7 +722,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         l, r, cnt = top[0].l, top[0].r, top[0].cnt
         merges.append((step, l, r, l + r, int(cnt)))
         merged = F.lit(l + r)
-        cur = cur.select("freq", F.aggregate(
+        cur = cur.select("w", "freq", F.aggregate(
             "syms", F.expr("cast(array() as array<string>)"),
             lambda acc, x: F.when(
                 (F.size(acc) > 0)
@@ -715,10 +731,74 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.concat(acc, F.array(x)))).alias("syms"))
         cur = cur.localCheckpoint()
     vocab.unpersist()
-    return spark.createDataFrame(
-        merges,
-        schema="step int, left_sym string, right_sym string, "
-               "merged string, pair_count long")
+    return merges, cur
+
+
+_BPE_ENCODE_ORACLE = f"""
+WITH vocab0 AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({SQL_TOKS}) AS w FROM documents) GROUP BY w
+),
+v0 AS (SELECT w, freq,
+       list_transform(generate_series(1, len(w)), i -> substring(w, i, 1)) AS syms
+       FROM vocab0),
+{','.join(_bpe_iteration_sql(i) for i in range(1, BPE_STEPS + 1))},
+wt AS MATERIALIZED (SELECT w, CAST(len(syms) AS BIGINT) AS n_syms
+                    FROM v{BPE_STEPS}),
+docw AS (SELECT doc_id, unnest({SQL_TOKS}) AS w FROM documents),
+per AS (
+    SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(wt.n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM docw dw JOIN wt ON dw.w = wt.w
+    GROUP BY dw.doc_id
+)
+SELECT d.doc_id, COALESCE(per.n_words, 0) AS n_words,
+       COALESCE(per.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+@register("text_bpe_encode_stats", oracle=_BPE_ENCODE_ORACLE,
+          tags=("textstats", "iterative"))
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of the BPE loop that
+    bpe_learn_merges trains: encode every document under the learned
+    merge table and report its token count. This is the operation an
+    LLM-pipeline runs constantly (context-length packing, cost
+    estimation, per-doc token budgets), and the classic BPE scale
+    trick makes it corpus-free: merges are applied to the WORD-
+    FREQUENCY table only (the same greedy left-to-right fold the
+    training loop uses — the final training state IS the encoded
+    vocabulary), then per-doc counts come from one keyed join of the
+    corpus word stream against the vocabulary-sized (word -> n_syms)
+    table and one map-side-combined aggregation. 100 TB of text with
+    a 10M-word vocabulary never re-runs a merge over the corpus.
+
+    Fully oracle-backed: the DuckDB replay re-learns the merges with
+    the proven relational-greedy CTE chain (shared _bpe_iteration_sql
+    text, the islands/even-offsets equivalence property-tested over
+    8000 random sequences) and re-derives every document's count from
+    v{BPE_STEPS}'s symbolization. wt is MATERIALIZED so the chain is
+    evaluated once, not once per reference (the semdedup fnl lesson).
+
+    Output: (doc_id, n_words, n_bpe_tokens) for EVERY document —
+    tokenless docs keep a zero row via the left join, in both engines.
+    """
+    merges, enc = _bpe_train(spark, sf_dir)
+    wt = enc.select("w", F.size("syms").cast("long").alias("n_syms"))
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id",
+                     F.explode(H.word_tokens(F.col("text"))).alias("w"))
+    per = (words.join(wt, "w")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("n_syms").cast("long").alias("n_bpe_tokens")))
+    return (d.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_words", F.lit(0).cast("long"))
+                     .alias("n_words"),
+                    F.coalesce("n_bpe_tokens", F.lit(0).cast("long"))
+                     .alias("n_bpe_tokens")))
 
 
 # ---------------------------------------------------------------------------

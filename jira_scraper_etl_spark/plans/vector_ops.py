@@ -525,13 +525,17 @@ def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km_assign_arrow(q, cents).select("vec_id", "cluster", "d2")
 
 
-def _km_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+def _km_train(spark: SparkSession, sf_dir: str,
+              k: int | None = KM_K) -> tuple[DataFrame, list]:
     """The deterministic integer Lloyd loop shared by
-    embedding_kmeans_exact and similarity_ann_ivf (the IVF coarse
-    quantizer IS this model — training it identically is what makes
-    the IVF DuckDB-replayable). Returns the PERSISTED quantized table
-    (a registered seam — seams.release_seams() reclaims it) and the
-    final k×dim centroid list."""
+    embedding_kmeans_exact, similarity_ann_ivf/_ivfpq and
+    dedup_semantic_semdedup (the IVF coarse quantizer IS this model —
+    training it identically is what makes the IVF DuckDB-replayable).
+    ``k=None`` derives the cluster count from the corpus size
+    (``derive_semdedup_k`` — k ≈ √n, SemDeDup's balanced partition
+    size). Returns the PERSISTED quantized table (a registered seam —
+    seams.release_seams() reclaims it) and the final k×dim centroid
+    list."""
     from ..functions import vectors as V
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -546,11 +550,13 @@ def _km_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
                          V.quantize(F.col("embedding")).alias("q")),
                 LIGHT),
         materialize=False)
+    if k is None:
+        k = derive_semdedup_k(q.count())
     # the seed collect scans (and therefore fills) the whole cache —
     # no separate count() job needed
     init = {r.vec_id: list(r.q)
-            for r in q.where(F.col("vec_id") < KM_K).collect()}
-    cents = [init[i] for i in range(KM_K)]
+            for r in q.where(F.col("vec_id") < k).collect()}
+    cents = [init[i] for i in range(k)]
     # iteration-invariant Columns built once: 65 agg expressions are
     # ~200 py4j round-trips, driver overhead worth hoisting
     agg_cols = [F.count(F.lit(1)).alias("n")] + [
@@ -567,7 +573,7 @@ def _km_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
         cents = [
             [trunc_div(int(rows[cid][f"s{i}"]), int(rows[cid].n))
              for i in range(KM_DIM)] if cid in rows else cents[cid]
-            for cid in range(KM_K)
+            for cid in range(k)
         ]
     return q, cents
 
@@ -1019,3 +1025,152 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= IVF_TOPK)
             .select("query_id", "neighbor_id", "adc_d2", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by k-means partition + within-cluster
+# centroid-distance dominance pruning (oracle-backed end to end)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.45   # same verify threshold as the embedding dedup family
+SEMDEDUP_KCAP = 14    # k caps at 2^14 clusters (n ~ 2.7e8 before cluster
+                      # sizes start growing linearly again)
+
+
+def derive_semdedup_k(n: int) -> int:
+    """k = 2^⌊log2(n)/2⌋ (capped): the balanced SemDeDup partition.
+
+    Choosing k ≈ √n makes BOTH phases n^1.5: assignment costs n·k·dim
+    and within-cluster pairing costs Σ sᵢ² ≈ n²/k — k = √n equalizes
+    them, which is the true complexity of SemDeDup's exact
+    within-cluster comparison (the paper trades the same way: k grows
+    with corpus size so clusters stay comparable). Powers of two via
+    integer bit_length, NOT floor(log2(n)/2) in floats — float log2
+    is off-by-an-ulp at exact powers, and the SQL mirror is an exact
+    integer CASE ladder over 4^j thresholds."""
+    if n < 4:
+        return 1
+    return 2 ** min(SEMDEDUP_KCAP, (int(n).bit_length() - 1) // 2)
+
+
+def _sql_semdedup_k() -> str:
+    """The derive_semdedup_k ladder as exact integer comparisons
+    (largest j with 4^j <= n), matching bit_length arithmetic
+    digit-for-digit — no float log anywhere."""
+    branches = " ".join(
+        f"WHEN COUNT(*) >= {4 ** j} THEN {2 ** j}"
+        for j in range(SEMDEDUP_KCAP, 0, -1))
+    return f"CASE {branches} ELSE 1 END"
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB replay of the WHOLE SemDeDup pipeline: the same
+    k-adaptive Lloyd chain as _km_oracle (k enters only through c0's
+    seed predicate — the iteration CTEs are k-independent, so the
+    corpus-derived k is one scalar subquery), then the dominance
+    prune as a self-join EXISTS: x is pruned iff some same-cluster y
+    farther from the centroid (larger d2, vec_id tie-break) has
+    quantized cosine >= tau with x. fnl is MATERIALIZED — it is
+    referenced three times (both join sides + the verdict projection)
+    and DuckDB would otherwise inline the full Lloyd chain into each
+    reference (measured 74 s -> 11 s at sf0.01)."""
+    from .llm_ops import SQL_QUANT
+
+    fin = KM_ITERS + 1
+    its = ",".join(_km_iteration_sql(i) for i in range(1, fin + 1))
+    dot = (f"list_sum(list_transform(generate_series(1, {KM_DIM}), "
+           f"k -> x.q[k] * y.q[k]))")
+    return f"""
+    WITH vecs AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
+    par AS (SELECT {_sql_semdedup_k()} AS k FROM vecs),
+    c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, q AS c
+           FROM vecs WHERE vec_id < (SELECT k FROM par)),
+    {its},
+    fnl AS MATERIALIZED (SELECT vec_id, q, cluster, d2,
+                   list_sum(list_transform(q, v -> v * v)) AS n2
+            FROM a{fin}),
+    pr AS (
+        SELECT x.vec_id
+        FROM fnl x JOIN fnl y ON x.cluster = y.cluster
+         AND (y.d2 > x.d2 OR (y.d2 = x.d2 AND y.vec_id > x.vec_id))
+        WHERE CAST({dot} AS DOUBLE)
+              / (SQRT(CAST(x.n2 AS DOUBLE)) * SQRT(CAST(y.n2 AS DOUBLE)))
+              >= {SEMDEDUP_TAU}
+        GROUP BY x.vec_id
+    )
+    SELECT f.vec_id, CAST(f.cluster AS INTEGER) AS cluster,
+           CAST(f.d2 AS BIGINT) AS d2,
+           (pr.vec_id IS NOT NULL) AS pruned
+    FROM fnl f LEFT JOIN pr ON f.vec_id = pr.vec_id
+    """
+
+
+@register("dedup_semantic_semdedup", oracle=_semdedup_oracle(),
+          tags=("dedup", "embedding", "ml", "iterative"))
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space with k-means and
+    pruning, within each cluster, every vector that is tau-similar to
+    a vector FARTHER from the cluster centroid — the paper's
+    keep-low-centroid-similarity rule, whose operational form is
+    exactly a dominance test: sort the cluster by distance-to-centroid
+    descending and prune anything tau-similar to an earlier item. The
+    rule is order-free (a plain EXISTS over (d2, vec_id) dominance),
+    so both engines compute it without any sequential greedy state —
+    unlike the streaming dedup sink's chain-sensitive admission.
+
+    Everything is integer-exact and DuckDB-replayable: the k-adaptive
+    Lloyd loop is the proven _km_train/_km_oracle chain (k = 2^(...)
+    derived from COUNT(*) by the same integer ladder on both sides),
+    distance-to-centroid is the assignment's own exact d2, and the
+    tau test is the family's quantized-cosine double predicate.
+
+    Scale shape: k ~ sqrt(n) keeps assignment (n·k·dim int64 matmul
+    per Arrow batch) and pairing (one blocked int64 gram per cluster
+    of ~sqrt(n) rows, inside applyInPandas — the paper runs the same
+    per-cluster matmul on GPUs) both at n^1.5 work with bounded
+    memory: gram blocks are capped at 2048 rows regardless of cluster
+    skew, and per-task state is one cluster. No all-pairs product —
+    the only quadratic term is within-cluster, priced by construction
+    at (n/k)·n = n^1.5 total.
+
+    Returns the full per-vector verdict table (vec_id, cluster, d2,
+    pruned) so the oracle hash covers kept AND pruned rows."""
+    import numpy as np
+    import pandas as pd
+
+    q, cents = _km_train(spark, sf_dir, k=None)
+    a = _km_assign_arrow(q, cents)
+    tau = SEMDEDUP_TAU
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "cluster": pd.Series(dtype="int32"),
+                 "d2": pd.Series(dtype="int64"),
+                 "pruned": pd.Series(dtype="bool")})
+        # descending (d2, vec_id): earlier rows dominate later ones
+        pdf = pdf.sort_values(["d2", "vec_id"],
+                              ascending=False, ignore_index=True)
+        Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        s = len(Q)
+        # same IEEE op order as the oracle: sqrt each norm, multiply,
+        # then divide the exact integer dot widened to double
+        norms = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        pruned = np.zeros(s, dtype=bool)
+        for start in range(1, s, 2048):
+            end = min(start + 2048, s)
+            g = Q[start:end] @ Q[:end].T
+            c = g.astype(np.float64) / (norms[start:end, None]
+                                        * norms[None, :end])
+            for i in range(start, end):
+                pruned[i] = bool((c[i - start, :i] >= tau).any())
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"].to_numpy(),
+            "cluster": pdf["cluster"].to_numpy(),
+            "d2": pdf["d2"].to_numpy(),
+            "pruned": pruned})
+
+    return a.groupBy("cluster").applyInPandas(
+        prune, "vec_id bigint, cluster int, d2 bigint, pruned boolean")

@@ -225,3 +225,88 @@ def test_pq_subspace_distance_kernel_ties_to_lowest_code():
     Q = np.array(cbs)[:, 3, :].reshape(1, PQ_M * PQ_SUBDIM)  # exact hits
     _, codes = codes_of(Q.astype(np.int64))
     assert (codes == 3).all()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: independent numpy replay of the whole pipeline
+# ---------------------------------------------------------------------------
+
+def _semdedup_replay(vecs_by_id: dict[int, np.ndarray], tau: float):
+    """Pure-numpy replay of dedup_semantic_semdedup: derived-k integer
+    Lloyd (seed = first k vec_ids, argmin ties to the lowest cluster,
+    truncating centroid division, empty clusters carry over), then the
+    (d2, vec_id)-dominance cosine prune."""
+    from jira_scraper_etl_spark.plans.vector_ops import (
+        KM_ITERS, derive_semdedup_k)
+
+    ids = sorted(vecs_by_id)
+    Q = np.stack([vecs_by_id[i] for i in ids]).astype(np.int64)
+    k = derive_semdedup_k(len(ids))
+    cents = Q[[ids.index(i) for i in range(k)]].copy()
+
+    def assign(C):
+        d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cid = d.argmin(axis=1)
+        return cid, d[np.arange(len(Q)), cid]
+
+    for _ in range(KM_ITERS):
+        cid, _ = assign(cents)
+        for c in range(k):
+            m = cid == c
+            if m.any():
+                s, n = Q[m].sum(axis=0), int(m.sum())
+                cents[c] = np.where(s >= 0, np.abs(s) // n,
+                                    -(np.abs(s) // n))
+    cid, d2 = assign(cents)
+    norms = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    pruned = {}
+    for i, vid in enumerate(ids):
+        flag = False
+        for j, wid in enumerate(ids):
+            if cid[j] != cid[i] or (d2[j], wid) <= (d2[i], vid):
+                continue
+            cos = float(Q[i] @ Q[j]) / (norms[i] * norms[j])
+            if cos >= tau:
+                flag = True
+                break
+        pruned[vid] = (int(cid[i]), int(d2[i]), flag)
+    return pruned
+
+
+def test_semdedup_matches_numpy_replay(spark, sf_dir):
+    """The registered operator equals a from-scratch numpy replay of
+    the paper pipeline on the sf0.001 corpus — every cluster id, every
+    exact d2, every prune verdict."""
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.plans.vector_ops import SEMDEDUP_TAU
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.floor(
+        np.array(r.embedding, dtype=np.float32).astype(np.float64) * 1000
+    ).astype(np.int64) for r in emb}
+    want = _semdedup_replay(vecs, SEMDEDUP_TAU)
+
+    got = plans.QUERIES["dedup_semantic_semdedup"].fn(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    assert any(r.pruned for r in got), "fixture has planted near-dups"
+    for r in got:
+        assert (r.cluster, r.d2, r.pruned) == want[r.vec_id], r.vec_id
+
+
+def test_semdedup_k_ladder_matches_sql():
+    """The Python bit_length derivation and the SQL CASE ladder agree
+    at every power-of-4 boundary (+/-1) and assorted sizes."""
+    import duckdb
+
+    from jira_scraper_etl_spark.plans.vector_ops import (
+        SEMDEDUP_KCAP, _sql_semdedup_k, derive_semdedup_k)
+
+    sql = _sql_semdedup_k().replace("COUNT(*)", "n")
+    con = duckdb.connect()
+    ns = [1, 2, 3, 4, 5, 15, 16, 17, 500, 5000, 20000]
+    ns += [4 ** j + d for j in range(1, SEMDEDUP_KCAP + 2) for d in (-1, 0, 1)]
+    for n in ns:
+        if n < 1:
+            continue
+        got = con.execute(f"SELECT {sql} FROM (SELECT {n}::BIGINT AS n)").fetchone()[0]
+        assert got == derive_semdedup_k(n), n

@@ -873,3 +873,43 @@ def test_q15_max_over_view_plans_one_scalar_subquery(spark, sf_dir):
     rows = df.collect()
     assert len(rows) >= 1
     assert len({r.total_revenue for r in rows}) == 1  # all tied at the max
+
+
+def test_bpe_encode_stats_match_python_reference(spark, sf_dir):
+    """Full-pipeline replay for the tokenizer APPLY side: re-learn
+    the merges in plain Python (the proven reference loop), encode
+    every word with the sequential greedy fold, and require every
+    document's (n_words, n_bpe_tokens) to match — plus the structural
+    invariants n_words <= n_bpe_tokens <= n_chars_of_words."""
+    import collections
+
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.plans.setsim_ops import BPE_STEPS
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_words = {r.doc_id: list(r.ws) for r in d.select(
+        "doc_id", H.word_tokens(F.col("text")).alias("ws")).collect()}
+    words = collections.Counter(w for ws in doc_words.values() for w in ws)
+    vocab = {w: list(w) for w in words}
+    for _ in range(BPE_STEPS):
+        counts = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += words[w]
+        if not counts:
+            break
+        best = max(counts.values())
+        l, r = min(k for k, v in counts.items() if v == best)
+        vocab = {w: _greedy_fold(syms, l, r) for w, syms in vocab.items()}
+
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in
+           plans.QUERIES["text_bpe_encode_stats"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(doc_words)
+    shrank = False
+    for doc_id, ws in doc_words.items():
+        want = (len(ws), sum(len(vocab[w]) for w in ws))
+        assert got[doc_id] == want, doc_id
+        n_chars = sum(len(w) for w in ws)
+        assert want[0] <= want[1] <= n_chars
+        shrank = shrank or want[1] < n_chars
+    assert shrank, "merges never fired on the fixture corpus"
