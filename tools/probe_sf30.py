@@ -42,6 +42,12 @@ PROBE = [
     # the encode is one int64 einsum per Arrow batch, so the probe
     # checks it stays linear alongside the coarse quantizer
     "similarity_ann_ivfpq",
+    # round-11 third batch: SemDeDup is n^1.5 BY DESIGN (k ~ sqrt(n)
+    # balances assignment and within-cluster pairing) — the probe
+    # documents that super-linear-but-priced curve rather than
+    # asserting linearity; BPE encode must stay corpus-linear (the
+    # merge loop touches only the vocabulary table)
+    "dedup_semantic_semdedup", "text_bpe_encode_stats",
 ]
 
 
