@@ -37,6 +37,7 @@ _PRIORITY = [
     # codes, integer-exact and fully DuckDB-replayable.
     "dedup_semantic_semdedup",
     "text_bpe_encode_stats",
+    "events_pagerank_types",
     "similarity_ann_ivfpq",
     # The remaining TPC-H classes (Q6–Q12, Q14, Q16), completing the
     # 22-query suite.

@@ -282,3 +282,41 @@ def test_rolling_distinct_hll_within_envelope_of_exact(spark, sf_dir):
         exact = len(set().union(*(per_hour[h] for h in window_hrs)))
         assert r.n_hours_in_window == len(window_hrs) <= 24
         assert abs(r.est_users_24h - exact) <= max(2, 0.05 * exact), r.hr
+
+
+def test_pagerank_matches_recompute_from_transition_matrix(spark, sf_dir):
+    """Recompute the integer power iteration from the INDEPENDENTLY
+    oracle-checked transition matrix and require identical fixed-point
+    ranks — plus the structural invariants: node set = distinct event
+    types, every rank >= the teleport base, total mass <= SCALE (the
+    documented truncation/dangling leak only ever loses mass)."""
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.plans.event_time import (
+        PR_ITERS, PR_SCALE, PR_SHARE)
+
+    tm = plans.QUERIES["events_transition_matrix"].fn(spark, sf_dir).collect()
+    types = sorted(r.event_type for r in
+                   spark.read.parquet(f"{sf_dir}/events.parquet")
+                   .select("event_type").distinct().collect())
+    tot: dict[str, int] = {}
+    for r in tm:
+        tot[r.from_type] = tot.get(r.from_type, 0) + int(r.n)
+    edges = [(r.from_type, r.to_type,
+              (85 * PR_SHARE * int(r.n)) // (100 * tot[r.from_type]))
+             for r in tm]
+    nn = len(types)
+    base = (15 * PR_SCALE) // (100 * nn)
+    rk = {v: PR_SCALE // nn for v in types}
+    for _ in range(PR_ITERS):
+        nxt = {v: base for v in types}
+        for u, w, s in edges:
+            nxt[w] += (rk[u] * s) // PR_SHARE
+        rk = nxt
+
+    got = plans.QUERIES["events_pagerank_types"].fn(spark, sf_dir).collect()
+    assert sorted(r.event_type for r in got) == types
+    for r in got:
+        assert r.rank_scaled == rk[r.event_type], r.event_type
+        assert r.rank_scaled >= base
+        assert r.rank_value == r.rank_scaled / PR_SCALE
+    assert sum(r.rank_scaled for r in got) <= PR_SCALE
