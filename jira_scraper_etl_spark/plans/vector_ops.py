@@ -1077,7 +1077,18 @@ def _semdedup_oracle() -> str:
     from .llm_ops import SQL_QUANT
 
     fin = KM_ITERS + 1
-    its = ",".join(_km_iteration_sql(i) for i in range(1, fin + 1))
+    # The shared iteration text, with the per-iteration a/c CTEs
+    # MATERIALIZED: c{it} is referenced twice (next iteration's
+    # distance join + its own empty-cluster carry-over), so the
+    # inlined chain re-evaluates ~2^iters times — at k=8 (kmeans/IVF)
+    # that is tolerable and the shared spec text stays untouched, but
+    # semdedup's derived k is 16x larger at the sf1 decade. Purely an
+    # evaluation hint: values are identical.
+    its = ",".join(
+        _km_iteration_sql(i)
+        .replace(f"a{i} AS (", f"a{i} AS MATERIALIZED (")
+        .replace(f"c{i} AS (", f"c{i} AS MATERIALIZED (")
+        for i in range(1, fin + 1))
     dot = (f"list_sum(list_transform(generate_series(1, {KM_DIM}), "
            f"k -> x.q[k] * y.q[k]))")
     return f"""
