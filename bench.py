@@ -97,11 +97,14 @@ HEADLINE = [
 
 
 def run_suite(spark, sf_dir: str, headline: list[str],
-              clear_seams: bool = True) -> tuple[dict, dict]:
-    """Measure each headline query (median-of-3: single measurements
-    swing ~30% run-to-run on a shared machine — BENCH_r02→r03 showed a
-    1.45× driver-to-driver swing on unchanged queries; the median is
-    robust to one outlier without the minimum's bias). An operator
+              clear_seams: bool = True, runs: int = 3) -> tuple[dict, dict]:
+    """Measure each headline query (median-of-``runs``, default 3:
+    single measurements swing ~30% run-to-run on a shared machine —
+    BENCH_r02→r03 showed a 1.45× driver-to-driver swing on unchanged
+    queries; the median is robust to one outlier without the minimum's
+    bias. The decade probes pass runs=1 at sf100, where a third run of
+    a 10-minute query buys noise rejection the scaling curve doesn't
+    need — super-linearity shows up as multiples, not percents). An operator
     REFUSING a regime with RegimeRefused (dedup_jaccard_prefix's
     candidate-volume guard with fallback disabled) is a documented
     routing decision, not a bench crash — it lands in the returned
@@ -118,17 +121,17 @@ def run_suite(spark, sf_dir: str, headline: list[str],
     refused: dict[str, str] = {}
     for name in headline:
         fn = plans.QUERIES[name].fn
-        runs, n = [], 0
+        measured, n = [], 0
         try:
-            for _ in range(3):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
-                runs.append(time.perf_counter() - t0)
+                measured.append(time.perf_counter() - t0)
         except RegimeRefused as e:
             refused[name] = str(e).split(" — ")[0]
             print(f"# {name}: refused ({refused[name]})", file=sys.stderr)
         else:
-            dt = round(sorted(runs)[1], 3)
+            dt = round(sorted(measured)[len(measured) // 2], 3)
             timings[name] = dt
             print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
         # each fn() call builds FRESH DataFrames, so persist seams

@@ -29,25 +29,28 @@ import bench  # noqa: E402
 from jira_scraper_etl_spark import plans  # noqa: E402
 from jira_scraper_etl_spark.session import get_spark  # noqa: E402
 
+# Ordered cheapest-first so a truncated run still leaves per-query
+# lines for most of the family in the log (the md5 winnow floor — the
+# most expensive op at any decade — goes last).
 PROBE = [
-    # the two original linear heavies (round-8 verdict #8)
-    "text_winnow_fingerprints", "embedding_kmeans_exact",
-    # round-10 widening (round-9 verdict #3): the rest of the heavy
-    # corpus family, every one documents/embeddings-only
-    "text_winnow_fingerprints_fast",
-    "dedup_embedding_cosine_rp", "similarity_ann_signlsh",
+    # iterative clustering + the PQ compression path on top of IVF's
+    # pruning (the encode is one int64 einsum per Arrow batch, so the
+    # probe checks it stays linear alongside the coarse quantizer)
+    "embedding_kmeans_exact", "similarity_ann_ivfpq",
+    # the embedding/ANN + hash-dedup family (round-9 verdict #3),
+    # every one documents/embeddings-only
+    "similarity_ann_signlsh", "dedup_embedding_cosine_rp",
     "dedup_minhash_lsh", "dedup_cluster_canonical",
     "dedup_span_exact", "curate_corpus_v2",
-    # round-11: the PQ compression path on top of IVF's pruning —
-    # the encode is one int64 einsum per Arrow batch, so the probe
-    # checks it stays linear alongside the coarse quantizer
-    "similarity_ann_ivfpq",
     # round-11 third batch: SemDeDup is n^1.5 BY DESIGN (k ~ sqrt(n)
     # balances assignment and within-cluster pairing) — the probe
     # documents that super-linear-but-priced curve rather than
     # asserting linearity; BPE encode must stay corpus-linear (the
     # merge loop touches only the vocabulary table)
     "dedup_semantic_semdedup", "text_bpe_encode_stats",
+    # the two winnowing passes; the md5 anchor is the known most
+    # expensive linear floor (round-8 verdict #8)
+    "text_winnow_fingerprints_fast", "text_winnow_fingerprints",
 ]
 
 
@@ -57,7 +60,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     for n in PROBE:  # codegen warm at toy SF (bench protocol)
         plans.QUERIES[n].fn(spark, "/root/testdata/sf0.001").count()
-    timings, refused = bench.run_suite(spark, sf_dir, PROBE)
+    runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
+    timings, refused = bench.run_suite(spark, sf_dir, PROBE, runs=runs)
     print(json.dumps({"metric": "sf30_linear_heavies_probe",
                       "queries": timings, "refused": refused,
                       "unit": "sec"}))
