@@ -683,26 +683,29 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally — all matches, then even offsets within islands of
     consecutive matches — an equivalence property-tested over 8000
     random sequences in tests."""
-    merges, _ = _bpe_train(spark, sf_dir)
+    merges, _ = _bpe_train(spark, sf_dir, keep_words=False)
     return spark.createDataFrame(
         merges,
         schema="step int, left_sym string, right_sym string, "
                "merged string, pair_count long")
 
 
-def _bpe_train(spark: SparkSession,
-               sf_dir: str) -> tuple[list[tuple], DataFrame]:
+def _bpe_train(spark: SparkSession, sf_dir: str,
+               keep_words: bool = True) -> tuple[list[tuple], DataFrame]:
     """The shared BPE training loop: learns BPE_STEPS merges over the
     word-frequency table and returns both the merge list AND the final
     symbolized vocabulary (w, freq, syms) — the ENCODED vocab under
     the learned merges, which text_bpe_encode_stats joins back to the
-    corpus (bpe_learn_merges only reports the merge table). The word
-    string rides through the fold unchanged — vocabulary-sized data,
-    negligible cost."""
+    corpus. ``keep_words=False`` (bpe_learn_merges, which only reports
+    the merge table) drops the word column before the loop: carrying it
+    through 4 fold+localCheckpoint rounds costs a measurable slice of
+    the benched entry (r10 1.37s -> 2.09s bench blip traced here), and
+    the learning math never reads it."""
     d = load_table(spark, sf_dir, "documents")
+    cols = (["w"] if keep_words else []) + ["freq"]
     vocab = (d.select(F.explode(H.word_tokens(F.col("text"))).alias("w"))
              .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
-             .select("w", "freq", F.split("w", "").alias("syms"))
+             .select(*cols, F.split("w", "").alias("syms"))
              .persist(StorageLevel.MEMORY_AND_DISK))
     vocab.count()
     merges: list[tuple] = []
@@ -722,7 +725,7 @@ def _bpe_train(spark: SparkSession,
         l, r, cnt = top[0].l, top[0].r, top[0].cnt
         merges.append((step, l, r, l + r, int(cnt)))
         merged = F.lit(l + r)
-        cur = cur.select("w", "freq", F.aggregate(
+        cur = cur.select(*cols, F.aggregate(
             "syms", F.expr("cast(array() as array<string>)"),
             lambda acc, x: F.when(
                 (F.size(acc) > 0)
