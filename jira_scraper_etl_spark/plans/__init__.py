@@ -38,6 +38,7 @@ _PRIORITY = [
     "dedup_semantic_semdedup",
     "text_bpe_encode_stats",
     "events_pagerank_types",
+    "agg_regression_price_qty",
     "similarity_ann_ivfpq",
     # The remaining TPC-H classes (Q6–Q12, Q14, Q16), completing the
     # 22-query suite.

@@ -915,3 +915,86 @@ def agg_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") > 300000).alias("n_big"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-regression aggregates (the REGR_* family), bit-identical
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_regression_price_qty",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sy,
+               SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        * CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+               SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS sxy,
+               SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_obs,
+           CAST(n_obs * sxy - sx * sy AS DOUBLE)
+             / CAST(n_obs * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE) / 100.0
+              - (CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_obs * sxx - sx * sx AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / 100.0)) / CAST(n_obs AS DOUBLE)
+             AS intercept,
+           CAST(n_obs * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n_obs * sxx - sx * sx AS DOUBLE)
+                    * CAST(n_obs * syy - sy * sy AS DOUBLE)) AS corr_r
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGR_SLOPE / REGR_INTERCEPT / CORR per return flag — the
+    warehouse linear-regression aggregate family, computed so both
+    engines produce BIT-IDENTICAL doubles (naive REGR_*/CORR would
+    drift: float partial sums are order-dependent under Spark's
+    parallel aggregation). The trick is the exact-moment pattern from
+    the corr-matrix entry, specialized to the two-pass-free single
+    aggregation: quantities/prices become integer CENTS (exact for
+    2-decimal money), the five moment sums accumulate as
+    DECIMAL(38,0) (per-row products fit int64, corpus sums don't), the
+    covariance/variance COMBINATIONS n*Sxy - Sx*Sy stay in exact
+    decimal arithmetic (magnitudes ~1e26 at sf1, well under the 38-
+    digit cap), and only the final ratios run in IEEE doubles with an
+    op order mirrored token-for-token in the oracle. Scaling by cents
+    cancels in slope/corr (both axes scale by 100); the intercept
+    divides back out explicitly.
+
+    Scale shape: ONE map-side-combined aggregation to |returnflag|
+    rows — the moments are algebraic (mergeable partials), exactly how
+    a 1000-executor cluster computes regression over 100 TB without a
+    second pass or a shuffle of anything but 6 numbers per flag."""
+    l = load_table(spark, sf_dir, "lineitem")
+    xc = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
+    yc = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(xc).cast(d38).alias("sx"),
+        F.sum(yc).cast(d38).alias("sy"),
+        F.sum((xc * xc).cast(d38)).alias("sxx"),
+        F.sum((xc * yc).cast(d38)).alias("sxy"),
+        F.sum((yc * yc).cast(d38)).alias("syy"),
+    )
+    n = F.col("n_obs")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / varx
+    return s.select(
+        "l_returnflag", "n_obs",
+        slope.alias("slope"),
+        ((F.col("sy").cast("double") / 100.0
+          - slope * (F.col("sx").cast("double") / 100.0)) / n.cast("double")
+         ).alias("intercept"),
+        (cov / F.sqrt(varx * vary)).alias("corr_r"),
+    )

@@ -274,3 +274,37 @@ def test_runtime_bloom_filter_semijoin_reduction_available(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter"
             ".applicationSideScanSizeThreshold")
+
+
+def test_regression_aggregates_match_exact_python_replay(spark, sf_dir):
+    """The REGR_* entry equals an exact-integer Python replay with the
+    identical IEEE op order — bit-identical doubles, no tolerance."""
+    from decimal import Decimal
+    from math import sqrt
+
+    from jira_scraper_etl_spark import plans
+
+    rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice").collect()
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        xc = int(Decimal(str(round(r.l_quantity, 2))) * 100)
+        yc = int(Decimal(str(round(r.l_extendedprice, 2))) * 100)
+        a = agg.setdefault(r.l_returnflag, [0, 0, 0, 0, 0, 0])
+        a[0] += 1; a[1] += xc; a[2] += yc
+        a[3] += xc * xc; a[4] += xc * yc; a[5] += yc * yc
+    got = {r.l_returnflag: r for r in
+           plans.QUERIES["agg_regression_price_qty"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for flag, (n, sx, sy, sxx, sxy, syy) in agg.items():
+        cov = float(n * sxy - sx * sy)
+        varx = float(n * sxx - sx * sx)
+        vary = float(n * syy - sy * sy)
+        slope = cov / varx
+        intercept = (float(sy) / 100.0 - slope * (float(sx) / 100.0)) / float(n)
+        r = got[flag]
+        assert r.n_obs == n
+        assert r.slope == slope, flag
+        assert r.intercept == intercept, flag
+        assert r.corr_r == cov / sqrt(varx * vary), flag
+        assert abs(r.corr_r) <= 1.0
