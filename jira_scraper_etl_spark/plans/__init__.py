@@ -39,6 +39,7 @@ _PRIORITY = [
     "text_bpe_encode_stats",
     "events_pagerank_types",
     "agg_regression_price_qty",
+    "events_ewma_value",
     "similarity_ann_ivfpq",
     # The remaining TPC-H classes (Q6–Q12, Q14, Q16), completing the
     # 22-query suite.

@@ -1108,3 +1108,75 @@ def events_pagerank_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(v, rk[v], rk[v] / PR_SCALE) for v in nodes],
         schema="event_type string, rank_scaled long, rank_value double")
+
+
+# ---------------------------------------------------------------------------
+# Exact integer EWMA per user timeline (stateful sequence op)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_ewma_value",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, event_id, rn, v AS x FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn, (s.v + r.x) // 2 AS x
+        FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, x AS ewma_scaled,
+           CAST(x AS DOUBLE) / 100 AS ewma
+    FROM r
+    """,
+    tags=("events", "sequence", "stateful"),
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of each
+    user's event values, in EXACT integer arithmetic — the recursive
+    time-series smoother SQL windows cannot express (each output
+    depends on the previous OUTPUT, not a frame of inputs). Values
+    become integer cents; the recurrence x_t = (v_t + x_{t-1}) // 2
+    uses truncating division (sign-aware // toward zero — DuckDB's
+    integer // semantics, mirrored by the kmeans trunc_div rule), so
+    every engine and partitioning produces identical bigints, and the
+    display double is one exact int-to-IEEE conversion per row.
+
+    The oracle replays the recurrence as a RECURSIVE CTE joining each
+    rank to its predecessor frontier (the events_reachability_hops
+    precedent); the engine runs it as ONE shuffle by user_id and a
+    sequential per-group fold inside applyInPandas — the canonical
+    stateful-sequence shape (events_user_journey): state is one long
+    per user, work is O(events), and a 100 TB event table partitioned
+    by user runs it without any cross-partition dependency."""
+    import pandas as pd
+
+    e = load_events(spark, sf_dir)
+    vc = (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+    base = e.select("user_id", "event_id", "ts", vc.alias("v"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+        out, x = [], 0
+        for i, v in enumerate(pdf["v"]):
+            v = int(v)
+            if i == 0:
+                x = v
+            else:
+                s = v + x
+                x = abs(s) // 2 * (1 if s >= 0 else -1)
+            out.append(x)
+        return pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "ewma_scaled": pd.Series(out, dtype="int64"),
+            "ewma": [xv / 100 for xv in out]})
+
+    return base.groupBy("user_id").applyInPandas(
+        fold, "event_id bigint, user_id bigint, ewma_scaled bigint, "
+              "ewma double")

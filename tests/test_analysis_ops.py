@@ -320,3 +320,40 @@ def test_pagerank_matches_recompute_from_transition_matrix(spark, sf_dir):
         assert r.rank_scaled >= base
         assert r.rank_value == r.rank_scaled / PR_SCALE
     assert sum(r.rank_scaled for r in got) <= PR_SCALE
+
+
+def test_ewma_matches_exact_python_replay(spark, sf_dir):
+    """The EWMA entry equals a from-scratch Python fold with the exact
+    integer halving recurrence — every scaled bigint and every display
+    double — and each value stays inside the running [min, max]
+    envelope of its prefix (a smoother never extrapolates)."""
+    from decimal import Decimal
+
+    from jira_scraper_etl_spark import plans
+
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id", "ts", "value").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id))
+    want: dict[int, tuple[int, float]] = {}
+    state: dict[int, int] = {}
+    env: dict[int, tuple[int, int]] = {}
+    for r in ev:
+        v = int(Decimal(str(round(r.value, 2))) * 100)
+        if r.user_id not in state:
+            x = v
+            env[r.user_id] = (v, v)
+        else:
+            s = v + state[r.user_id]
+            x = abs(s) // 2 * (1 if s >= 0 else -1)
+            lo, hi = env[r.user_id]
+            env[r.user_id] = (min(lo, v), max(hi, v))
+        state[r.user_id] = x
+        want[r.event_id] = (x, x / 100)
+        lo, hi = env[r.user_id]
+        assert lo - 1 <= x <= hi + 1, r.event_id  # +-1 for truncation
+
+    got = plans.QUERIES["events_ewma_value"].fn(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (r.ewma_scaled, r.ewma) == want[r.event_id], r.event_id
