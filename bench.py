@@ -131,7 +131,13 @@ def run_suite(spark, sf_dir: str, headline: list[str],
             refused[name] = str(e).split(" — ")[0]
             print(f"# {name}: refused ({refused[name]})", file=sys.stderr)
         else:
-            dt = round(sorted(measured)[len(measured) // 2], 3)
+            srt = sorted(measured)
+            mid = len(srt) // 2
+            # true median: average the two middle elements for even run
+            # counts (ADVICE r11 — upper-middle alone reports the slower
+            # of two runs when runs=2).
+            med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+            dt = round(med, 3)
             timings[name] = dt
             print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
         # each fn() call builds FRESH DataFrames, so persist seams

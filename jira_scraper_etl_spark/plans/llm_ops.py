@@ -1339,6 +1339,25 @@ def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
     changed. Integer arithmetic end to end, so the Arrow path is
     bit-identical to the expression spec (differential-tested).
     """
+    return _rp_qualifying_pairs(spark, sf_dir, bands, bits,
+                                dedup_candidates=True)
+
+
+def _rp_qualifying_pairs(spark: SparkSession, sf_dir: str,
+                         bands: int | None, bits: int | None,
+                         dedup_candidates: bool) -> DataFrame:
+    """The shared RP-LSH candidate+verify pipeline: banded key build,
+    bucket self-join, fixed-point cosine verify, τ=0.45 filter.
+    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b.
+
+    ``dedup_candidates``: the pair-LISTING query needs each qualifying
+    pair exactly once, so it pays a full exchange to DISTINCT the
+    candidate stream before the verify join. The VERDICT consumer
+    aggregates MIN(vec_a) per vec_b, which absorbs duplicate
+    candidates for free — it skips that exchange entirely and lets the
+    verify join carry the (low, λ≈2–4 occupancy) band-collision
+    duplication instead. At the sf100 decade the skipped exchange is a
+    ~190M-row shuffle of the candidate stream."""
     e = load_table(spark, sf_dir, "embeddings")
     if bits is None:
         bits = derive_rp_bits(e.count())
@@ -1377,8 +1396,9 @@ def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
         x.join(y, (F.col("x.bk") == F.col("y.bk"))
                & (F.col("x.vec_id") < F.col("y.vec_id")))
         .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))
-        .distinct()
     )
+    if dedup_candidates:
+        cand = cand.distinct()
     # SHUFFLE_HASH on the corpus side of both verify joins: the pair
     # stream is orders of magnitude wider than the per-partition
     # corpus build (n·~150 B / shuffle.partitions), and a sort-merge
@@ -1396,3 +1416,64 @@ def dedup_embedding_cosine_rp(spark: SparkSession, sf_dir: str,
                 cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.45)
     )
+
+
+@register(
+    "dedup_embedding_rp_verdict",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
+    {SQL_RP_KEYS},
+    cand AS (
+        SELECT x.vec_id AS va, y.vec_id AS vb
+        FROM keys x JOIN keys y
+          ON x.b = y.b AND x.k = y.k AND x.vec_id < y.vec_id
+    ),
+    n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
+    dropped AS (
+        SELECT cand.vb AS vec_id, MIN(cand.va) AS min_peer
+        FROM cand JOIN n a ON cand.va = a.vec_id JOIN n b ON cand.vb = b.vec_id
+        WHERE CAST({SQL_QDOT_AB} AS DOUBLE)
+                 / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) >= 0.45
+        GROUP BY cand.vb
+    )
+    SELECT v.vec_id, (d.min_peer IS NULL) AS keep,
+           COALESCE(d.min_peer, v.vec_id) AS canonical_id
+    FROM q v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_rp_verdict(spark: SparkSession, sf_dir: str,
+                               bands: int | None = None,
+                               bits: int | None = None) -> DataFrame:
+    """Output-bounded PER-DOC dedup verdict over the SAME banded RP
+    candidates as dedup_embedding_cosine_rp (round-11 verdict #3): one
+    row per vector — keep iff no qualifying (cos ≥ 0.45) neighbor with
+    a smaller vec_id exists, canonical_id = MIN such neighbor (min-id
+    election, the dedup_sink admission precedent; self when kept).
+    Output is O(n) at ANY pair density, which is the production form
+    for 100 TB — the pair LISTING grows ~n² on a pair-dense corpus
+    (sf100: 949 s for 3.04M pairs) and is demoted to the diagnostic.
+
+    Election is the non-recursive single-pass rule (drop against ALL
+    smaller qualifying ids, not only kept ones) — the same dominance
+    shape as SemDeDup's centroid-distance prune, chosen because it is
+    one map-side-combinable MIN aggregation over the verify stream and
+    exactly oracle-expressible; transitive canonicalization stays
+    dedup_cluster_canonical's job. Skips the pair-listing's candidate
+    DISTINCT exchange (MIN absorbs band-collision duplicates), so the
+    verdict is strictly cheaper than the listing despite aggregating.
+
+    Reference analog: transformer.py's per-issue include/exclude
+    verdicts when rewriting the corpus (row-level keep decisions, not
+    pair reports)."""
+    pairs = _rp_qualifying_pairs(spark, sf_dir, bands, bits,
+                                 dedup_candidates=False)
+    # partial agg below the exchange: each map task emits ≤ one row
+    # per distinct vec_b it saw — the shuffle is O(n), not O(pairs)
+    dropped = (pairs.groupBy(F.col("vec_b").alias("vec_id"))
+               .agg(F.min("vec_a").alias("min_peer")))
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (ids.join(dropped, "vec_id", "left")
+            .select("vec_id",
+                    F.col("min_peer").isNull().alias("keep"),
+                    F.coalesce("min_peer", "vec_id").alias("canonical_id")))

@@ -556,6 +556,15 @@ def _km_train(spark: SparkSession, sf_dir: str,
     # no separate count() job needed
     init = {r.vec_id: list(r.q)
             for r in q.where(F.col("vec_id") < k).collect()}
+    # seeding contract (ADVICE r11): both this loop and the DuckDB
+    # oracle seed from ``vec_id < k``, which is only the same set when
+    # ids are dense from 0 — fail with a clear message instead of a
+    # bare KeyError (engine) / silent divergence (oracle) on sparse ids.
+    if len(init) != k:
+        raise ValueError(
+            f"k-means seeding requires vec_ids dense in [0, {k}); got "
+            f"{len(init)} of {k} seed rows — re-id the corpus or pass "
+            "an explicit k <= the dense prefix length")
     cents = [init[i] for i in range(k)]
     # iteration-invariant Columns built once: 65 agg expressions are
     # ~200 py4j round-trips, driver overhead worth hoisting
@@ -1084,11 +1093,20 @@ def _semdedup_oracle() -> str:
     # that is tolerable and the shared spec text stays untouched, but
     # semdedup's derived k is 16x larger at the sf1 decade. Purely an
     # evaluation hint: values are identical.
-    its = ",".join(
-        _km_iteration_sql(i)
-        .replace(f"a{i} AS (", f"a{i} AS MATERIALIZED (")
-        .replace(f"c{i} AS (", f"c{i} AS MATERIALIZED (")
-        for i in range(1, fin + 1))
+    def _materialize(i: int) -> str:
+        raw = _km_iteration_sql(i)
+        out = (raw
+               .replace(f"a{i} AS (", f"a{i} AS MATERIALIZED (")
+               .replace(f"c{i} AS (", f"c{i} AS MATERIALIZED ("))
+        # guard the string-surgery hint (ADVICE r11): if the shared
+        # iteration text's formatting drifts, fail loudly instead of
+        # silently regressing to the 74 s exponential re-inline.
+        assert out.count("AS MATERIALIZED") == 2, (
+            f"_km_iteration_sql({i}) text drifted; MATERIALIZED hint "
+            "no longer applies")
+        return out
+
+    its = ",".join(_materialize(i) for i in range(1, fin + 1))
     dot = (f"list_sum(list_transform(generate_series(1, {KM_DIM}), "
            f"k -> x.q[k] * y.q[k]))")
     return f"""

@@ -327,7 +327,7 @@ def test_ewma_matches_exact_python_replay(spark, sf_dir):
     integer halving recurrence — every scaled bigint and every display
     double — and each value stays inside the running [min, max]
     envelope of its prefix (a smoother never extrapolates)."""
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     from jira_scraper_etl_spark import plans
 
@@ -339,7 +339,7 @@ def test_ewma_matches_exact_python_replay(spark, sf_dir):
     state: dict[int, int] = {}
     env: dict[int, tuple[int, int]] = {}
     for r in ev:
-        v = int(Decimal(str(round(r.value, 2))) * 100)
+        v = int(Decimal(str(r.value)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
         if r.user_id not in state:
             x = v
             env[r.user_id] = (v, v)

@@ -279,7 +279,7 @@ def test_runtime_bloom_filter_semijoin_reduction_available(spark, sf_dir):
 def test_regression_aggregates_match_exact_python_replay(spark, sf_dir):
     """The REGR_* entry equals an exact-integer Python replay with the
     identical IEEE op order — bit-identical doubles, no tolerance."""
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
     from math import sqrt
 
     from jira_scraper_etl_spark import plans
@@ -288,8 +288,8 @@ def test_regression_aggregates_match_exact_python_replay(spark, sf_dir):
         "l_returnflag", "l_quantity", "l_extendedprice").collect()
     agg: dict[str, list[int]] = {}
     for r in rows:
-        xc = int(Decimal(str(round(r.l_quantity, 2))) * 100)
-        yc = int(Decimal(str(round(r.l_extendedprice, 2))) * 100)
+        xc = int(Decimal(str(r.l_quantity)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        yc = int(Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
         a = agg.setdefault(r.l_returnflag, [0, 0, 0, 0, 0, 0])
         a[0] += 1; a[1] += xc; a[2] += yc
         a[3] += xc * xc; a[4] += xc * yc; a[5] += yc * yc

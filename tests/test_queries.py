@@ -440,3 +440,39 @@ def test_ivfpq_recall_and_code_domain(spark, sf_dir):
     codes = _pq_encode_arrow(assigned, _pq_train(assigned)).collect()
     assert all(len(r.codes) == PQ_M for r in codes)
     assert all(0 <= c < PQ_K for r in codes for c in r.codes)
+
+
+def test_rp_verdict_is_min_id_election_over_listed_pairs(spark, sf_dir):
+    """dedup_embedding_rp_verdict must equal the min-id election
+    replayed in Python from the pair-LISTING query's output: a vector
+    is dropped iff the listing reports a qualifying pair with a
+    smaller id, and its canonical is the MINIMUM such peer — one row
+    per corpus vector regardless of pair density (the O(n) output
+    contract that motivated the entry, round-11 verdict #3)."""
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark.catalog import load_table
+
+    pairs = plans.QUERIES["dedup_embedding_cosine_rp"].fn(spark, sf_dir)
+    min_peer: dict[int, int] = {}
+    for r in pairs.collect():
+        a, b = int(r.vec_a), int(r.vec_b)
+        min_peer[b] = min(min_peer.get(b, a), a)
+
+    got = plans.QUERIES["dedup_embedding_rp_verdict"].fn(spark, sf_dir)
+    rows = got.collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    for r in rows:
+        v = int(r.vec_id)
+        if v in min_peer:
+            assert not r.keep and r.canonical_id == min_peer[v], r
+        else:
+            assert r.keep and r.canonical_id == v, r
+    # kept ids are exactly the ids with no smaller qualifying peer
+    assert sum(not r.keep for r in rows) == len(min_peer)
+    # the verdict plan must NOT pay the listing's candidate-DISTINCT
+    # exchange: MIN absorbs band-collision duplicates (docstring
+    # contract), so its optimized plan has strictly fewer exchanges
+    n_ex = lambda df: df._jdf.queryExecution().executedPlan().toString().count("Exchange")  # noqa: E731
+    assert n_ex(got) <= n_ex(pairs) + 1  # +1: the verdict's own MIN agg

@@ -2,8 +2,11 @@
 it from the original two linear heavies): measure every
 documents/embeddings-only heavy one decade past the 128 GiB comfort
 zone to confirm the linear extrapolations recorded in BASELINE.md.
-Bench protocol (codegen warm at sf0.001, median-of-3 via
-bench.run_suite). Prints one JSON line.
+Bench protocol (codegen warm at sf0.001, median of
+SPARK_GRAFT_PROBE_RUNS runs via bench.run_suite — default 3; set
+SPARK_GRAFT_PROBE_RUNS=1 for the single-run decade mode used at
+sf100, where a second pass of the heavies would double a multi-hour
+probe for no extra signal). Prints one JSON line.
 
 Usage: python tools/probe_sf30.py [sf_dir]   (default .scratch/sf30 —
 generate it with `python tools/make_sf.py 300 .scratch/sf30
