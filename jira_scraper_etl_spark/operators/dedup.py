@@ -24,6 +24,33 @@ from .fanout import HEAVY, fan_out
 
 N_HASHES, N_BANDS, BAND_ROWS = 16, 4, 4
 
+# Corpus-derived (bands, rows) ladder — the "next-decade lever"
+# BASELINE.md named after the sf100 probe measured candidate volume
+# growing ~n^1.4 under the fixed 4×4 banding: per-band random
+# collisions scale as E[J^rows] and stop discriminating once n² swamps
+# it, so ROWS must grow with log(n) to hold candidates/doc flat — the
+# same trade as derive_rp_bits. Each extra row suppresses a random
+# pair's per-band survival by its (low) Jaccard while a true near-dup
+# at the J=0.8 design point only loses ×0.8 — the BAND count rung
+# compensates recall, which is non-decreasing up the ladder:
+#   (4 bands, 4 rows): 1-(1-0.8^4)^4 ≈ 0.878   (n ≤ 2^20 — every
+#       oracle-checked SF and the sf1/sf10 soaks: ladder inert)
+#   (6 bands, 5 rows): 1-(1-0.8^5)^6 ≈ 0.908   (n ≤ 2^23 — sf100's 5M)
+#   (9 bands, 6 rows): 1-(1-0.8^6)^9 ≈ 0.935   (beyond)
+# STATIC thresholds, not a runtime formula, so the DuckDB oracle
+# mirrors the ladder as a CASE over COUNT(*) with zero float risk.
+MINHASH_LADDER = ((1 << 20, 4, 4), (1 << 23, 6, 5))
+MINHASH_TOP = (9, 6)
+
+
+def derive_minhash_br(n: int) -> tuple[int, int]:
+    """(bands, rows) for a corpus of ``n`` documents — fixed 4×4 below
+    2^20, the candidate-suppressing ladder above."""
+    for cap, bands, rows in MINHASH_LADDER:
+        if n <= cap:
+            return bands, rows
+    return MINHASH_TOP
+
 
 def shingled_docs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
@@ -166,12 +193,23 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
 
 def minhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
-                           threshold: float = 0.2) -> DataFrame:
+                           threshold: float = 0.2,
+                           bands: int | None = None,
+                           rows: int | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     bucket-join → exact-Jaccard verify ≥ threshold.
-    Output: (doc_a, doc_b, jaccard)."""
+    Output: (doc_a, doc_b, jaccard).
+
+    ``bands``/``rows`` default to the corpus-derived ladder
+    (derive_minhash_br) — fixed 4×4 at every test/soak SF, widening
+    signatures past 2^20 docs to hold candidates/doc flat (the sf100
+    n^1.4 candidate growth BASELINE.md measured under fixed banding).
+    The count that drives the ladder is one metadata-only job against
+    the input."""
     from ..seams import persist_seam
 
+    if bands is None or rows is None:
+        bands, rows = derive_minhash_br(df.count())
     # shingling is the expensive map stage and is needed by BOTH the
     # signature path and the verify path — persist so it runs once
     # (at 100 TB: materialize the shingled corpus to parquet instead;
@@ -182,8 +220,8 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     # the full shingle pipeline (measured 4× duplicate 1.6s stages
     # at sf0.1).
     docs = persist_seam(shingled_docs(df, id_col, text_col))
-    sig = minhash_signatures(docs, id_col)
-    banded = band_keys_df(sig, id_col)
+    sig = minhash_signatures(docs, id_col, k=bands * rows)
+    banded = band_keys_df(sig, id_col, bands=bands, rows=rows)
     cand = candidate_pairs(banded, id_col)
     # join candidate ids back to shingle sets for the verify stage
     sa = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))

@@ -72,21 +72,6 @@ SQL_HASH_PAIRS = (
     f"CAST({_sql_hex32('m', 9)} AS BIGINT)])"
 )
 
-SQL_MINHASH_COLS = ",\n           ".join(
-    f"list_aggregate(list_transform(hp, p -> (p[1] + {i} * p[2]) % 4294967296),"
-    f" 'min') AS mh{i}"
-    for i in range(N_HASHES)
-)
-
-SQL_BAND_COLS = ",\n           ".join(
-    "md5(" + " || '|' || ".join(
-        f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS))
-    + f") AS band{b}"
-    for b in range(N_BANDS)
-)
-
-SQL_BAND_MATCH = " OR ".join(f"a.band{b} = b.band{b}" for b in range(N_BANDS))
-
 # 16-bit token hash from the first 4 hex chars of md5 (== functions/hashing.hex4_to_int)
 _HEXV = "(strpos('0123456789abcdef', substring(md5(t), {i}, 1)) - 1)"
 SQL_TOKHASH = (f"{_HEXV.format(i=1)}*4096 + {_HEXV.format(i=2)}*256 + "
@@ -152,45 +137,79 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The derived (bands, rows) ladder as SQL — digit-for-digit
+# operators/dedup.derive_minhash_br over COUNT(*) FROM documents.
+_L1_CAP, _L1_B, _L1_R = D.MINHASH_LADDER[0]
+_L2_CAP, _L2_B, _L2_R = D.MINHASH_LADDER[1]
+_TOP_B, _TOP_R = D.MINHASH_TOP
+SQL_MINHASH_PAR = f"""
+    par AS (SELECT CASE WHEN COUNT(*) <= {_L1_CAP} THEN {_L1_B}
+                        WHEN COUNT(*) <= {_L2_CAP} THEN {_L2_B}
+                        ELSE {_TOP_B} END AS bands,
+                   CASE WHEN COUNT(*) <= {_L1_CAP} THEN {_L1_R}
+                        WHEN COUNT(*) <= {_L2_CAP} THEN {_L2_R}
+                        ELSE {_TOP_R} END AS rws
+            FROM documents)
+"""
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH shingled AS ({_doc_shingled()}),
+    {SQL_MINHASH_PAR},
     hashed AS (
         SELECT doc_id, sh, {SQL_HASH_PAIRS} AS hp
         FROM (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS ms
               FROM shingled WHERE len(sh) > 0)
     ),
     sig AS (
-        SELECT doc_id, sh,
-           {SQL_MINHASH_COLS}
-        FROM hashed
+        SELECT doc_id, gi.i AS i,
+               list_aggregate(list_transform(hp,
+                   p -> (p[1] + gi.i * p[2]) % 4294967296), 'min') AS mh
+        FROM hashed, par, generate_series(0, {_TOP_B * _TOP_R - 1}) AS gi(i)
+        WHERE gi.i < par.bands * par.rws
     ),
     banded AS (
-        SELECT doc_id, sh,
-           {SQL_BAND_COLS}
-        FROM sig
+        SELECT doc_id, i // rws AS b,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS key
+        FROM sig, par
+        GROUP BY doc_id, i // rws
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM banded x JOIN banded y
+          ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM banded a JOIN banded b
-      ON a.doc_id < b.doc_id AND ({SQL_BAND_MATCH})
+    FROM cand JOIN shingled a ON cand.da = a.doc_id
+              JOIN shingled b ON cand.db = b.doc_id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
     """,
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: word-3-gram shingles → 16-hash MinHash →
-    4-band LSH bucket join → exact Jaccard verify ≥ 0.2.
+    """Near-dup detection: word-3-gram shingles → MinHash → banded LSH
+    bucket join → exact Jaccard verify ≥ 0.2. Signature width is the
+    CORPUS-DERIVED ladder (operators/dedup.derive_minhash_br, round-11
+    verdict #2): 16 hashes / 4 bands × 4 rows at every oracle-checked
+    SF, widening to 6×5 past 2^20 docs and 9×6 past 2^23 so per-band
+    random collisions — the n^1.4 candidate growth the sf100 probe
+    measured under fixed banding — stay suppressed while the extra
+    bands hold design-point recall (1-(1-J^r)^b non-decreasing up the
+    ladder at J=0.8).
 
     Scale shape: candidates come from a bucket join keyed on 8-byte
     xxhash64 band keys (band index folded in), never all-pairs; only
     bucket co-residents are verified, and hot buckets degrade to a
     rank-keyed chain (operators/dedup.candidate_pairs). The oracle
-    models the same band-equality classes with md5-of-concat — keys are
-    engine-local, never output values.
+    models the same band-equality classes with md5-of-concat, UNPIVOTED
+    (one row per doc × family member, bands/rows from a CASE over
+    COUNT(*)) so both engines derive the rung from the same count —
+    keys are engine-local, never output values.
     """
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.2)
