@@ -299,10 +299,122 @@ def power_iteration(g_rows: list, dim: int, iters: int = 800):
     return lam, v
 
 
+# hoisted above the k-means section because the PCA oracle below is
+# rendered at import time: shared 64-dim embedding geometry + the
+# Lloyd-loop constants
+KM_K, KM_ITERS, KM_DIM = 8, 4, 64
+
+PCA_POW_ITERS = 12   # unrolled in the oracle — keep small and fixed
+PCA_POW_SCALE = 1000  # per-iteration renormalization target magnitude
+
+
+def _pca_power_ints(G, dim: int) -> list[int]:
+    """The ALL-INTEGER reduced-iteration power loop shared (in spec) by
+    embedding_pca_power and its DuckDB oracle: v0 = ones; per
+    iteration w = G·v exactly in int64, then renormalize by TRUNCATING
+    division with scale = max(max|w|//1000, 1) so components stay in
+    ~[-1000, 1000] (overflow headroom: |G| ≤ n·10⁶ keeps w ≤
+    64·|G|·10³ < 2⁶³ past sf100). Truncation toward zero matches
+    DuckDB's integer ``//``; Python's floors, hence the explicit
+    trunc."""
+    import numpy as np
+
+    v = np.ones(dim, dtype=np.int64)
+    for _ in range(PCA_POW_ITERS):
+        w = G @ v
+        s = max(int(np.max(np.abs(w))) // PCA_POW_SCALE, 1)
+        v = np.sign(w) * (np.abs(w) // s)  # trunc toward zero
+    return [int(x) for x in v]
+
+
+def _pca_power_oracle() -> str:
+    """Unrolled integer power iteration over the exact Gram matrix —
+    the _km_oracle/_semdedup_oracle precedent applied to PCA (round-11
+    verdict #5): ``g`` holds the 64×64 integer Gram (MATERIALIZED — it
+    is referenced by every iteration's matvec and DuckDB would
+    otherwise re-inline the corpus aggregation 12×), each iteration is
+    a 64-row matvec + truncating renormalization, and the final
+    integer component projects every vector. Digit-for-digit
+    _pca_power_ints."""
+    from .llm_ops import SQL_QUANT
+
+    its = ",".join(f"""
+    w{i} AS MATERIALIZED (
+        SELECT g.i AS k, CAST(SUM(g.s * v.x) AS BIGINT) AS w
+        FROM g JOIN v{i - 1} v ON g.j = v.k GROUP BY g.i),
+    v{i} AS (
+        SELECT k, CAST(w // sc AS BIGINT) AS x
+        FROM w{i}, (SELECT GREATEST(MAX(ABS(w)) // {PCA_POW_SCALE}, 1)
+                    AS sc FROM w{i}))
+    """ for i in range(1, PCA_POW_ITERS + 1))
+    return f"""
+    WITH vecs AS (SELECT vec_id, {SQL_QUANT} AS q FROM embeddings),
+    g AS MATERIALIZED (
+        SELECT gi.i AS i, gj.j AS j,
+               CAST(SUM(v.q[gi.i] * v.q[gj.j]) AS BIGINT) AS s
+        FROM vecs v, generate_series(1, {KM_DIM}) gi(i),
+             generate_series(1, {KM_DIM}) gj(j)
+        GROUP BY gi.i, gj.j
+    ),
+    v0 AS (SELECT k, CAST(1 AS BIGINT) AS x
+           FROM generate_series(1, {KM_DIM}) t(k)),
+    {its},
+    f AS (SELECT list(x ORDER BY k) AS vf FROM v{PCA_POW_ITERS})
+    SELECT v.vec_id,
+           CAST(list_sum(list_transform(generate_series(1, {KM_DIM}),
+                k -> v.q[k] * f.vf[k])) AS BIGINT) AS pc1_proj
+    FROM vecs v, f
+    """
+
+
+@register(
+    "embedding_pca_power",
+    oracle=_pca_power_oracle(),
+    tags=("vectors", "ml", "iterative"),
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed INTEGER twin of embedding_pca_project (round-11
+    verdict #5 — previously PCA was the only rows-only entry that was
+    not inherently oracle-inexpressible): the same distributed
+    one-pass exact integer Gram (gram_matrix), then a FIXED 12-round
+    all-integer power iteration with truncating renormalization on the
+    driver (_pca_power_ints — 32 KiB of model state, the
+    dedup_cluster_canonical contracted-state split), then a map-only
+    integer projection of every vector against the broadcast
+    component. Every value is exact integer arithmetic, so the DuckDB
+    oracle replays the whole pipeline digit-for-digit — the
+    _km_oracle precedent applied to linear algebra.
+
+    The float entry (embedding_pca_project, 800 iterations, residual
+    ≤ 1e-8·λ) remains the production eigensolve; this entry pins the
+    cross-engine spec. 12 truncated-integer rounds track the true
+    component only as far as the spectrum allows — the pytest pins the
+    Rayleigh-quotient relationship against the numpy eigensolve rather
+    than claiming convergence."""
+    import numpy as np
+
+    from ..functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    dim = len(e.select("embedding").head()[0])
+    G = np.zeros((dim, dim), dtype=np.int64)
+    for r in gram_matrix(q).collect():
+        G[r.i, r.j] = r.s
+    v = _pca_power_ints(G, dim)
+    vlit = F.array(*[F.lit(x).cast("long") for x in v])
+    proj = F.aggregate(
+        F.zip_with("q", vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return q.select("vec_id", proj.alias("pc1_proj"))
+
+
 @register(
     "embedding_pca_project",
     oracle=None,  # rows-only: the eigensolve has no DuckDB twin; the
                   # test pins the eigenpair residual + numpy recompute
+                  # (embedding_pca_power is the oracle-backed integer
+                  # twin of this pipeline)
     tags=("vectors", "ml", "iterative"),
 )
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,8 +454,6 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact integer k-means (deterministic Lloyd iterations, oracle-checked)
 # ---------------------------------------------------------------------------
-
-KM_K, KM_ITERS, KM_DIM = 8, 4, 64
 
 
 def _km_iteration_sql(it: int) -> str:

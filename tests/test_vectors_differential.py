@@ -310,3 +310,40 @@ def test_semdedup_k_ladder_matches_sql():
             continue
         got = con.execute(f"SELECT {sql} FROM (SELECT {n}::BIGINT AS n)").fetchone()[0]
         assert got == derive_semdedup_k(n), n
+
+
+def test_pca_power_matches_numpy_replay_and_rayleigh_bound(spark, sf_dir):
+    """embedding_pca_power (the oracle-backed integer twin of the PCA
+    entry, round-11 verdict #5) must equal a pure-numpy replay of its
+    spec EXACTLY (every projection is int64 arithmetic), and its final
+    integer direction must capture >= 0.9 of the top eigenvalue by
+    Rayleigh quotient (measured 0.92 at sf0.001 / 0.97 at sf0.01 —
+    12 truncated rounds on a near-flat spectrum do not converge in
+    ANGLE, which is why the pin is the quotient, not cosine) while
+    never exceeding it."""
+    import numpy as np
+
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.plans.vector_ops import (_pca_power_ints,
+                                                         power_iteration)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    Q = np.array([[int(np.floor(float(x) * 1000)) for x in r.embedding]
+                  for r in emb], dtype=np.int64)
+    ids = [r.vec_id for r in emb]
+    G = Q.T @ Q
+    v = np.array(_pca_power_ints(G, Q.shape[1]), dtype=np.int64)
+    want = dict(zip(ids, Q @ v))
+
+    got = plans.QUERIES["embedding_pca_power"].fn(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    assert all(int(r.pc1_proj) == int(want[r.vec_id]) for r in got)
+
+    gd = G.astype(np.float64)
+    lam, _ = power_iteration(
+        [{"i": i, "j": j, "s": int(G[i, j])}
+         for i in range(G.shape[0]) for j in range(G.shape[1])],
+        G.shape[0])
+    vf = v.astype(np.float64)
+    rq = (vf @ gd @ vf) / (vf @ vf)
+    assert 0.9 * lam <= rq <= lam * (1 + 1e-9), (rq, lam)
