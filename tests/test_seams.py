@@ -69,3 +69,65 @@ def test_result_consumable_after_release(spark, sf_dir):
     rows = out.count()
     seams.release_seams()
     assert out.count() == rows
+
+
+def test_concurrent_sessions_no_cross_release_exact_results(spark, sf_dir):
+    """Round-11 verdict #6: the per-session seam registry (seams.py)
+    exists FOR concurrent callers, but no test drove two live sessions
+    concurrently. Two threads run the two seam-heaviest registry
+    queries on two SparkSessions (a newSession shares the context but
+    is a distinct session object — the registry key); both must return
+    exactly the serial-baseline rows, each session's seams must be
+    registered under its own key, and releasing one session must not
+    release (or recompute-poison) the other's outstanding seams.
+
+    The SAME-session caveat stands as documented at seams.py:36-38:
+    two concurrent callers sharing one session still release each
+    other's seams — this test covers the supported isolation unit,
+    the session."""
+    import threading
+
+    QA, QB = "dedup_minhash_lsh", "text_tfidf_topk"
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    # serial baselines on the primary session, fully released after
+    base_a = key(plans.QUERIES[QA].fn(spark, sf_dir).collect())
+    base_b = key(plans.QUERIES[QB].fn(spark, sf_dir).collect())
+    seams.release_seams()
+    assert seams.outstanding() == 0
+
+    s2 = spark.newSession()
+    out: dict[str, object] = {}
+
+    def run(sess, name, qname):
+        try:
+            out[name] = key(plans.QUERIES[qname].fn(sess, sf_dir).collect())
+        except Exception as exc:  # surface in the main thread
+            out[name] = exc
+
+    t1 = threading.Thread(target=run, args=(spark, "a", QA))
+    t2 = threading.Thread(target=run, args=(s2, "b", QB))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not isinstance(out["a"], Exception), out["a"]
+    assert not isinstance(out["b"], Exception), out["b"]
+    assert out["a"] == base_a
+    assert out["b"] == base_b
+
+    # each session registered its own seams under its own key
+    with seams._LOCK:
+        per_key = {k: len(v) for k, v in seams._OUTSTANDING.items()}
+    assert per_key.get(id(spark), 0) >= 1, per_key
+    assert per_key.get(id(s2), 0) >= 1, per_key
+
+    # releasing session 1 must leave session 2's seams outstanding...
+    n1 = seams.release_seams(spark)
+    assert n1 == per_key[id(spark)]
+    assert seams.outstanding() == per_key[id(s2)]
+    # ...and session 2's released seams come back intact afterwards
+    n2 = seams.release_seams(s2)
+    assert n2 == per_key[id(s2)]
+    assert seams.outstanding() == 0
+    assert key(plans.QUERIES[QB].fn(s2, sf_dir).collect()) == base_b
+    seams.release_seams()
