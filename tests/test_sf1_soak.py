@@ -735,6 +735,106 @@ def test_streaming_dedup_sink_soak(spark, tmp_path):
     assert len(V.committed_versions(table)) == 6  # seed + 5 batches
 
 
+def test_streaming_dedup_sink_skewed_soak(spark, tmp_path):
+    """Round-11 verdict #8: the dedup sink under a HOT-KEY drain (the
+    skewed-MERGE precedent applied to admission). Two skews at once:
+    (a) 60% of the new documents collapse onto one boilerplate family —
+    shared long template + one distinct token each, so their SimHash
+    fingerprints land within hamming ≤ 3 of each other (a hot
+    fingerprint neighborhood in the near-dup index, NOT exact dupes);
+    (b) batch MASS is skewed — the middle batch carries ~60% of the
+    rows while the others split the rest. Crash after batch 1, resume;
+    the admitted corpus must still converge exactly to the one-shot
+    mega-batch admission, and the hot family must have been mostly
+    REJECTED (greedy first-seen: the family's earliest arrivals admit,
+    the rest are near-dup-rejected)."""
+    import glob
+    import shutil
+
+    from jira_scraper_etl_spark.operators import versioned as V
+    from jira_scraper_etl_spark.plans.curation import doc_bucket
+    from jira_scraper_etl_spark.streaming import dedup_sink as DS
+
+    docs = (spark.read.parquet(f"{SF1}/documents.parquet")
+            .withColumn("bucket", doc_bucket(F.col("doc_id"))))
+    old = docs.where(F.col("bucket") < 90).select("doc_id", "text")
+    boiler = " ".join(f"boilerplate{i}" for i in range(48))
+    hot_text = F.concat(F.lit(boiler + " tok"),
+                        (F.col("doc_id") % 1000).cast("string"))
+    new = (docs.where(F.col("bucket") >= 90)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 10 < 6, hot_text)
+                   .otherwise(F.col("text")).alias("text")))
+
+    # skewed 5-way slicing: batches carry ~10/10/60/10/10% of the mass
+    d = str(tmp_path / "docs_stream")
+    ids = sorted(r.doc_id for r in new.select("doc_id").collect())
+    n = len(ids)
+    cuts = [ids[n // 10], ids[2 * n // 10], ids[8 * n // 10],
+            ids[9 * n // 10]]
+    bounds = [None] + cuts + [None]
+    for i in range(5):
+        part = new
+        if bounds[i] is not None:
+            part = part.where(F.col("doc_id") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("doc_id") < bounds[i + 1])
+        tmp = f"{d}/_stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(f, f"{d}/{i + 1:02d}.parquet")
+        shutil.rmtree(tmp)
+
+    table, ck = str(tmp_path / "corpus"), str(tmp_path / "ck")
+    seed = DS.fingerprint_docs(old)
+
+    import time
+    lat: dict[int, float] = {}
+    t_last = [time.perf_counter()]
+
+    def hook(phase, batch_id):
+        now = time.perf_counter()
+        lat[batch_id] = now - t_last[0]
+        t_last[0] = now
+
+    def crash_once(phase, batch_id):
+        hook(phase, batch_id)
+        if batch_id == 1:
+            raise RuntimeError("injected crash after commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        DS.run_dedup_stream(spark, d, table, ck, seed=seed,
+                            crash_hook=crash_once, timeout_seconds=1200)
+    t_last[0] = time.perf_counter()
+    final = DS.run_dedup_stream(spark, d, table, ck, crash_hook=hook,
+                                timeout_seconds=1200)
+
+    want = DS.admit_batch(DS.fingerprint_docs(new), seed).unionByName(seed)
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
+    assert len(V.committed_versions(table)) == 6  # seed + 5 batches
+
+    # the hot family really was hot — and mostly rejected: of the ~60%
+    # hot new docs, at most a small core (distinct fingerprints within
+    # the family's hamming spread) is admitted
+    n_hot = new.where(F.col("text").startswith("boilerplate0")).count()
+    hot_admitted = (final.join(
+        new.where(F.col("text").startswith("boilerplate0"))
+        .select("doc_id"), "doc_id", "left_semi").count())
+    assert n_hot >= 0.5 * n  # skew actually injected
+    assert hot_admitted <= max(0.05 * n_hot, 64), (hot_admitted, n_hot)
+
+    # bounded per-batch latency: the hot batch (3, ~6x the rows) may
+    # cost proportionally more, but no batch may blow up super-linearly
+    # (O(batch), not O(corpus·batch)); factor 20 leaves room for fixed
+    # per-batch planning overhead at small SFs.
+    per = [lat[b] for b in sorted(lat) if b >= 0]
+    print("dedup-sink per-batch latencies:",
+          {b: round(lat[b], 1) for b in sorted(lat)})  # BASELINE.md rows
+    assert per and max(per) <= 20 * (sum(per) / len(per)), lat
+
+
 def test_rp_recall_holds_where_derived_bits_exceed_16(spark, tmp_path):
     """Round-10 ADVICE #5 / verdict #2: the RP family's recall at the
     corpus sizes where derive_rp_bits passes 16 — the regime the r10
