@@ -134,7 +134,8 @@ def band_keys_df(sig: DataFrame, id_col: str = "doc_id",
 
 def candidate_pairs(banded: DataFrame, id_col: str = "doc_id",
                     max_bucket_size: int = 256,
-                    chain_width: int = 2) -> DataFrame:
+                    chain_width: int = 2,
+                    dedup: bool = True) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any LSH bucket. The join is
     keyed on the 8-byte band key — bucket-local quadratic only.
 
@@ -183,7 +184,12 @@ def candidate_pairs(banded: DataFrame, id_col: str = "doc_id",
                    ["key", "rn_b"])
         .select("id_a", "id_b")
     )
-    return small_pairs.unionByName(big_pairs).dropDuplicates(["id_a", "id_b"])
+    out = small_pairs.unionByName(big_pairs)
+    # ``dedup=False`` callers aggregate over the pair stream (MIN-id
+    # verdicts), which absorbs multi-band duplicates for free — they
+    # skip this full exchange of the candidate stream (the RP-verdict
+    # rationale, plans/llm_ops._rp_qualifying_pairs).
+    return out.dropDuplicates(["id_a", "id_b"]) if dedup else out
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -195,7 +201,8 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            threshold: float = 0.2,
                            bands: int | None = None,
-                           rows: int | None = None) -> DataFrame:
+                           rows: int | None = None,
+                           dedup_candidates: bool = True) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     bucket-join → exact-Jaccard verify ≥ threshold.
     Output: (doc_a, doc_b, jaccard).
@@ -222,7 +229,7 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     docs = persist_seam(shingled_docs(df, id_col, text_col))
     sig = minhash_signatures(docs, id_col, k=bands * rows)
     banded = band_keys_df(sig, id_col, bands=bands, rows=rows)
-    cand = candidate_pairs(banded, id_col)
+    cand = candidate_pairs(banded, id_col, dedup=dedup_candidates)
     # join candidate ids back to shingle sets for the verify stage
     sa = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -36,6 +36,7 @@ _PRIORITY = [
     # power-iteration PCA twin, and dedup_minhash_lsh re-surfaced
     # because its banding is now corpus-derived (new unpivoted oracle).
     "dedup_embedding_rp_verdict", "embedding_pca_power", "dedup_minhash_lsh",
+    "dedup_minhash_verdict",
     # The 44 entries whose last driver-green round was r7 (verdict #7:
     # the layout/journey/MAD/histogram family and the jira/source
     # surface) — stalest external signal in the registry, rotated to
@@ -57,11 +58,11 @@ _PRIORITY = [
     "join_skewed_peers_1h", "text_length_percentiles_approx",
     "jira_qa_pairs_udtf", "jira_transform_silver", "jira_corpus_stats",
     "jira_source_scan", "embedding_quantize_int8", "dedup_simhash",
-    # The three oldest r8 oracle-backed entries round out the window.
+    # The two oldest r8 oracle-backed entries round out the window.
     "dedup_ngram_jaccard", "join_full_outer_entity_activity",
-    "window_ntile_distribution",
     # -- Entries #51+: past the 50-entry window (r9-r11 heads slide
     # down — all externally green within the last three rounds).
+    "window_ntile_distribution",
     "dedup_semantic_semdedup", "text_bpe_encode_stats",
     "events_pagerank_types", "agg_regression_price_qty", "events_ewma_value",
     "similarity_ann_ivfpq", "q6_forecast_revenue", "q7_volume_shipping",

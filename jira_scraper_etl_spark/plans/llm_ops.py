@@ -215,6 +215,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.2)
 
 
+@register(
+    "dedup_minhash_verdict",
+    oracle=f"""
+    WITH shingled AS ({_doc_shingled()}),
+    {SQL_MINHASH_PAR},
+    hashed AS (
+        SELECT doc_id, sh, {SQL_HASH_PAIRS} AS hp
+        FROM (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS ms
+              FROM shingled WHERE len(sh) > 0)
+    ),
+    sig AS (
+        SELECT doc_id, gi.i AS i,
+               list_aggregate(list_transform(hp,
+                   p -> (p[1] + gi.i * p[2]) % 4294967296), 'min') AS mh
+        FROM hashed, par, generate_series(0, {_TOP_B * _TOP_R - 1}) AS gi(i)
+        WHERE gi.i < par.bands * par.rws
+    ),
+    banded AS (
+        SELECT doc_id, i // rws AS b,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS key
+        FROM sig, par
+        GROUP BY doc_id, i // rws
+    ),
+    cand AS (
+        SELECT x.doc_id AS da, y.doc_id AS db
+        FROM banded x JOIN banded y
+          ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    dropped AS (
+        SELECT cand.db AS doc_id, MIN(cand.da) AS min_peer
+        FROM cand JOIN shingled a ON cand.da = a.doc_id
+                  JOIN shingled b ON cand.db = b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+              >= 0.2
+        GROUP BY cand.db
+    )
+    SELECT d.doc_id, (x.min_peer IS NULL) AS keep,
+           COALESCE(x.min_peer, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+    """,
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-bounded PER-DOC near-dup verdict for the TEXT family —
+    dedup_embedding_rp_verdict's production form applied to the
+    MinHash path: one row per document, keep iff no qualifying
+    (Jaccard ≥ 0.2) neighbor with a smaller doc_id, canonical = MIN
+    such neighbor (min-id election; self when kept). O(n) output at
+    any duplicate density — the pair listing stays the diagnostic.
+
+    Same two scale levers as the RP verdict: the candidate stream is
+    NOT distinct-ed (MIN absorbs multi-band duplicates — skips a full
+    exchange of the candidate stream) and the MIN aggregation partial-
+    aggregates map-side, so the shuffle after verify is O(n). Docs
+    with NULL text never shingle, never pair, and keep themselves —
+    identical on both engines (the oracle LEFT JOINs from documents).
+
+    Reference analog: transformer.py's per-issue include/exclude
+    decisions when rewriting the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.2,
+                                     dedup_candidates=False)
+    dropped = (pairs.groupBy(F.col("doc_b").alias("doc_id"))
+               .agg(F.min("doc_a").alias("min_peer")))
+    ids = d.select("doc_id")
+    return (ids.join(dropped, "doc_id", "left")
+            .select("doc_id",
+                    F.col("min_peer").isNull().alias("keep"),
+                    F.coalesce("min_peer", "doc_id").alias("canonical_id")))
+
+
 _SQL_SIMHASH_FP = f"""
     th AS (
         SELECT doc_id,

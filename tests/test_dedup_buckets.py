@@ -136,3 +136,33 @@ def test_minhash_ladder_recall_contract_across_rungs(spark, sf_dir):
                OD.minhash_near_dup_pairs(d, bands=bands, rows=rows)
                .collect()}
         assert truth <= got, (bands, rows, sorted(truth - got)[:4])
+
+
+def test_minhash_verdict_is_min_id_election_over_listed_pairs(spark, sf_dir):
+    """dedup_minhash_verdict equals the min-id election replayed from
+    the pair listing (the rp-verdict differential applied to the text
+    family): dropped iff the listing reports a qualifying pair with a
+    smaller id, canonical = MIN such peer, one row per document
+    INCLUDING null-text docs (they never shingle, so they keep)."""
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.catalog import load_table
+
+    pairs = plans.QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir)
+    min_peer: dict[int, int] = {}
+    for r in pairs.collect():
+        a, b = int(r.doc_a), int(r.doc_b)
+        min_peer[b] = min(min_peer.get(b, a), a)
+
+    got = plans.QUERIES["dedup_minhash_verdict"].fn(spark, sf_dir)
+    rows = got.collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n
+    for r in rows:
+        d = int(r.doc_id)
+        if d in min_peer:
+            assert not r.keep and r.canonical_id == min_peer[d], r
+        else:
+            assert r.keep and r.canonical_id == d, r
+    assert sum(not r.keep for r in rows) == len(min_peer)
