@@ -93,6 +93,11 @@ HEADLINE = [
     # the vocabulary join, the corpus-free encode path)
     "dedup_semantic_semdedup",
     "text_bpe_encode_stats",
+    # round-12 additions: the O(n) per-row dedup VERDICT forms — the
+    # production output shape at 100 TB (pair listings grow ~n² on
+    # pair-dense corpora); trend-line both families' verdict paths
+    "dedup_embedding_rp_verdict",
+    "dedup_minhash_verdict",
 ]
 
 
