@@ -28,6 +28,26 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Decouple the PRE-shuffle partition count from shuffle.partitions:
+    # with the initial number pinned to the core count (32), each sort-
+    # merge partition at the sf30 warehouse decade carries ~400 MB of
+    # lineitem and the SMJ sorts spill — measured q21 7.6x / q18 4.9x
+    # for 3x rows (round-12). 512 initial partitions keep every sort
+    # in memory at any probed decade and AQE coalesces the post-
+    # shuffle reads back to ~64 MB targets, so tiny SFs see one-few
+    # partitions exactly as before. This is the cluster-correct dial:
+    # size the map-side fan-out for the data, let AQE pick the reduce
+    # width.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
+    # 32 MB: dims (region/nation/supplier/part/customer at bench SFs)
+    # all broadcast comfortably, but the 64 MB setting this replaced
+    # let a 15M-row FACT projection (orders at the sf10 decade, ~40 MB
+    # estimated after column pruning) build a driver-side hash
+    # relation — measured q9 9.5 s vs 5.6 s once orders fell back to
+    # the orderkey SMJ (round-12). Broadcast is for dimensions; facts
+    # ride the shuffle. Runtime-settable, so externally built sessions
+    # (the correctness driver) get the same join planning.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for pandas UDFs / toPandas — the only sane Python<->JVM path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -78,7 +98,6 @@ def get_spark(app_name: str = "jira-scraper-etl-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The default 240 MB JIT code cache fills under codegen-heavy
         # workloads (measured: the RP-LSH 512-expression projection at
         # the sf10 soak printed "compilation: disabled (not enough
