@@ -28,17 +28,6 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Decouple the PRE-shuffle partition count from shuffle.partitions:
-    # with the initial number pinned to the core count (32), each sort-
-    # merge partition at the sf30 warehouse decade carries ~400 MB of
-    # lineitem and the SMJ sorts spill — measured q21 7.6x / q18 4.9x
-    # for 3x rows (round-12). 512 initial partitions keep every sort
-    # in memory at any probed decade and AQE coalesces the post-
-    # shuffle reads back to ~64 MB targets, so tiny SFs see one-few
-    # partitions exactly as before. This is the cluster-correct dial:
-    # size the map-side fan-out for the data, let AQE pick the reduce
-    # width.
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     # 32 MB: dims (region/nation/supplier/part/customer at bench SFs)
     # all broadcast comfortably, but the 64 MB setting this replaced
     # let a 15M-row FACT projection (orders at the sf10 decade, ~40 MB
@@ -88,14 +77,25 @@ def get_spark(app_name: str = "jira-scraper-etl-spark",
 
     ``shuffle_partitions`` defaults to the core count: at test scale a
     shuffle partition per core avoids tiny-task overhead; on a real
-    cluster this would be sized to ~128 MB per post-shuffle partition
-    and AQE coalesces the rest.
+    cluster this is sized to ~128 MB per post-shuffle partition and
+    AQE coalesces the rest. ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` is that
+    deployment dial for the decade probes: at the sf30 warehouse
+    decade the per-core default puts ~400 MB of lineitem in each
+    sort-merge partition and the SMJ sorts spill (measured q21 7.6×
+    for 3× rows; 512 partitions restore 3.0×). It is an env dial, not
+    a raised default, because persisted seams pin their partitioning
+    BEFORE AQE coalescing — a blanket high initialPartitionNum made
+    every cached text-family pipeline pay 128-512 tiny cached
+    partitions at bench SFs (measured text_tfidf_topk 0.65 s → 1.5 s).
     """
     n = cpus or default_parallelism()
+    sp = (shuffle_partitions
+          or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0"))
+          or n)
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # The default 240 MB JIT code cache fills under codegen-heavy

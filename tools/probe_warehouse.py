@@ -24,6 +24,10 @@ sys.path.insert(0, "/root/repo")
 # 1 GiB/task mirrors a real cluster's per-core memory (see
 # probe_sf30.py's rationale) — lineitem at sf30 is 180M rows.
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+# Size shuffle partitions for ~128 MB each at the probed decade — the
+# deployment dial a production job sets per input volume (session.py
+# docstring): the per-core default spills the q21/q18 sorts at sf30.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "512")
 
 import bench  # noqa: E402
 from jira_scraper_etl_spark import plans  # noqa: E402
