@@ -100,6 +100,19 @@ HEADLINE = [
     "dedup_minhash_verdict",
 ]
 
+# Queries whose ``count()`` plan Catalyst can optimize down to a bare
+# scan: the verdict entries end in a LEFT join against an aggregate
+# with a provably-unique key, and count-only consumption eliminates
+# the join AND the whole candidate/verify pipeline behind it (verified
+# via optimizedPlan: `Aggregate <- Project <- Relation`). These are
+# timed through the noop sink, which materializes every row JVM-side —
+# the measurement the entry actually claims. count()-timed queries are
+# untouched, preserving cross-round trend lines.
+FORCE_FULL_MATERIALIZE = {
+    "dedup_embedding_rp_verdict",
+    "dedup_minhash_verdict",
+}
+
 
 def run_suite(spark, sf_dir: str, headline: list[str],
               clear_seams: bool = True, runs: int = 3) -> tuple[dict, dict]:
@@ -130,7 +143,12 @@ def run_suite(spark, sf_dir: str, headline: list[str],
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
+                df = fn(spark, sf_dir)
+                if name in FORCE_FULL_MATERIALIZE:
+                    df.write.format("noop").mode("overwrite").save()
+                    n = df.count()  # cheap: the count plan IS the scan
+                else:
+                    n = df.count()
                 measured.append(time.perf_counter() - t0)
         except RegimeRefused as e:
             refused[name] = str(e).split(" — ")[0]
