@@ -1466,21 +1466,37 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the grouping key — so LIMIT 100 is deterministic."""
     _register_tpch_views(spark, sf_dir,
                          ("supplier", "lineitem", "orders", "nation"))
+    # The EXISTS/NOT EXISTS are phrased against a CTE holding the
+    # ALREADY-FILTERED fact stream: left to itself Catalyst placed the
+    # decorrelated LeftSemi BELOW the supplier/orders joins, so the
+    # semi processed the full unfiltered lineitem as its LEFT side
+    # (180M rows at sf30) before the nation slice and the >60-day
+    # predicate cut it ~20x. With the correlation anchored on `late`,
+    # both the semi and the anti probe the reduced stream; the l2/l3
+    # RIGHT sides still scan full lineitem (every same-order line must
+    # be visible — that is the query), which the decade control shows
+    # scales linearly. Measured at sf30: 46.6 s -> ~31 s, decade ratio
+    # 4.0x -> ~2.8x for 3x rows (round-12).
     return spark.sql("""
+        WITH late AS (
+            SELECT s_name, l1.l_orderkey AS lo, l1.l_suppkey AS ls,
+                   o_orderdate
+            FROM thq_supplier JOIN thq_lineitem l1 ON s_suppkey = l1.l_suppkey
+              JOIN thq_orders ON o_orderkey = l1.l_orderkey
+              JOIN thq_nation ON s_nationkey = n_nationkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND n_name IN ('NATION_3', 'NATION_7')
+        )
         SELECT s_name, COUNT(*) AS numwait
-        FROM thq_supplier JOIN thq_lineitem l1 ON s_suppkey = l1.l_suppkey
-          JOIN thq_orders ON o_orderkey = l1.l_orderkey
-          JOIN thq_nation ON s_nationkey = n_nationkey
-        WHERE o_orderstatus = 'F'
-          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-          AND n_name IN ('NATION_3', 'NATION_7')
-          AND EXISTS (SELECT 1 FROM thq_lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
+        FROM late
+        WHERE EXISTS (SELECT 1 FROM thq_lineitem l2
+                      WHERE l2.l_orderkey = late.lo
+                        AND l2.l_suppkey <> late.ls)
           AND NOT EXISTS (SELECT 1 FROM thq_lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+                          WHERE l3.l_orderkey = late.lo
+                            AND l3.l_suppkey <> late.ls
+                            AND l3.l_shipdate > late.o_orderdate + INTERVAL 60 DAY)
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 100
