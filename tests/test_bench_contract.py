@@ -105,3 +105,20 @@ def test_every_registry_output_survives_driver_canonicalization(spark, sf_dir):
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {type(ex).__name__}: {ex}")
     assert not failures, failures
+
+
+def test_force_full_entries_justify_their_noop_path(spark, sf_dir):
+    """Every FORCE_FULL_MATERIALIZE entry must (a) be in the headline
+    and (b) actually exhibit the count()-elimination that justifies
+    timing it through the noop sink: its count plan optimizes to a
+    bare scan (no join, no hash pipeline). If a future change makes
+    count() stop eliminating, the set is stale and this flags it."""
+    import bench
+    from jira_scraper_etl_spark import plans
+
+    assert bench.FORCE_FULL_MATERIALIZE <= set(bench.HEADLINE)
+    for name in bench.FORCE_FULL_MATERIALIZE:
+        df = plans.QUERIES[name].fn(spark, sf_dir)
+        p = (df.groupBy().count()._jdf.queryExecution()
+             .optimizedPlan().toString())
+        assert "Join" not in p, (name, p[:300])
