@@ -212,10 +212,18 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     signatures past 2^20 docs to hold candidates/doc flat (the sf100
     n^1.4 candidate growth BASELINE.md measured under fixed banding).
     The count that drives the ladder is one metadata-only job against
-    the input."""
+    the input. ``bands`` and ``rows`` must be passed together — the
+    ladder derives them as a pair (signature width = bands*rows), so
+    honoring one caller value while rederiving the other would
+    silently change the signature geometry (ADVICE r12)."""
     from ..seams import persist_seam
 
-    if bands is None or rows is None:
+    if (bands is None) != (rows is None):
+        raise ValueError(
+            "minhash_near_dup_pairs: pass bands and rows together "
+            f"(got bands={bands}, rows={rows}); the ladder derives "
+            "them as a pair")
+    if bands is None:
         bands, rows = derive_minhash_br(df.count())
     # shingling is the expensive map stage and is needed by BOTH the
     # signature path and the verify path — persist so it runs once

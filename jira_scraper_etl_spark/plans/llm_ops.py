@@ -273,6 +273,19 @@ def dedup_minhash_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     with NULL text never shingle, never pair, and keep themselves —
     identical on both engines (the oracle LEFT JOINs from documents).
 
+    ORACLE PRECONDITION (ADVICE r12): the candidate stage inherits
+    candidate_pairs' hot-bucket chain degradation (buckets past
+    max_bucket_size=256 pair each member only with its chain_width=2
+    rank-successors) while the DuckDB oracle always does the full
+    bucket-quadratic join. The min-id election makes any divergence
+    LOUDER than in the pair listing — a doc's true minimum peer can
+    fall outside the chain window. So oracle-checked fixtures must
+    keep every band bucket at or under the cap;
+    tests/test_queries.py::test_minhash_oracle_fixture_buckets_under_cap
+    pins that invariant against the driver's fixture corpora. On a
+    production boilerplate-heavy corpus the degradation is the
+    documented (keep-connectivity, not keep-minimality) trade.
+
     Reference analog: transformer.py's per-issue include/exclude
     decisions when rewriting the corpus."""
     d = load_table(spark, sf_dir, "documents")

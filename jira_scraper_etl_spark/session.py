@@ -89,9 +89,18 @@ def get_spark(app_name: str = "jira-scraper-etl-spark",
     partitions at bench SFs (measured text_tfidf_topk 0.65 s → 1.5 s).
     """
     n = cpus or default_parallelism()
-    sp = (shuffle_partitions
-          or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0"))
-          or n)
+    raw_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    try:
+        env_sp = int(raw_sp)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_SHUFFLE_PARTITIONS must be an integer, got "
+            f"{raw_sp!r}") from None
+    if env_sp < 0:
+        raise ValueError(
+            f"SPARK_GRAFT_SHUFFLE_PARTITIONS must be >= 1 (or 0/unset "
+            f"for the per-core default), got {env_sp}")
+    sp = shuffle_partitions or env_sp or n
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)

@@ -308,3 +308,32 @@ def test_regression_aggregates_match_exact_python_replay(spark, sf_dir):
         assert r.intercept == intercept, flag
         assert r.corr_r == cov / sqrt(varx * vary), flag
         assert abs(r.corr_r) <= 1.0
+
+
+def test_shuffle_partitions_env_validated(monkeypatch):
+    """ADVICE r12: a non-numeric or negative SPARK_GRAFT_SHUFFLE_PARTITIONS
+    must fail with an error NAMING the variable, before any builder work."""
+    import pytest
+
+    from jira_scraper_etl_spark import session as S
+
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "lots")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        S.get_spark("never-built")
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "-4")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        S.get_spark("never-built")
+
+
+def test_minhash_bands_rows_must_travel_together(spark, sf_dir):
+    """ADVICE r12: passing exactly one of bands/rows used to silently
+    rederive BOTH, discarding the caller's value — now it raises."""
+    import pytest
+
+    from jira_scraper_etl_spark.operators import dedup as D
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="bands and rows together"):
+        D.minhash_near_dup_pairs(d, bands=8)
+    with pytest.raises(ValueError, match="bands and rows together"):
+        D.minhash_near_dup_pairs(d, rows=2)

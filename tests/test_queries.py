@@ -473,6 +473,47 @@ def test_rp_verdict_is_min_id_election_over_listed_pairs(spark, sf_dir):
     assert sum(not r.keep for r in rows) == len(min_peer)
     # the verdict plan must NOT pay the listing's candidate-DISTINCT
     # exchange: MIN absorbs band-collision duplicates (docstring
-    # contract), so its optimized plan has strictly fewer exchanges
+    # contract). Its plan trades that exchange for the MIN
+    # aggregation's own exchange, so the pin is <= listing + 1 —
+    # what it must never do is ADD exchanges beyond that swap
+    # (ADVICE r12: comment previously overclaimed "strictly fewer").
     n_ex = lambda df: df._jdf.queryExecution().executedPlan().toString().count("Exchange")  # noqa: E731
     assert n_ex(got) <= n_ex(pairs) + 1  # +1: the verdict's own MIN agg
+
+
+def test_minhash_oracle_fixture_buckets_under_cap(spark):
+    """ORACLE PRECONDITION pin (ADVICE r12): dedup_minhash_verdict and
+    the pair listing degrade buckets past candidate_pairs'
+    max_bucket_size=256 to a rank-chain, while the DuckDB oracles do
+    the full bucket-quadratic join. The min-id election amplifies any
+    divergence (a doc's true minimum peer can fall outside the chain
+    window), so every corpus the driver oracle-checks must keep every
+    minhash band bucket at or under the cap. This sweeps BOTH driver
+    fixture SFs (the pytest sf0.001 and the driver's sf0.01) at the
+    exact banding the ladder derives there, so a future
+    boilerplate-heavy fixture regeneration fails HERE instead of
+    silently diverging from the oracle."""
+    import inspect
+    import os
+
+    import pyspark.sql.functions as F
+
+    from jira_scraper_etl_spark.operators import dedup as D
+
+    cap_default = inspect.signature(D.candidate_pairs).parameters[
+        "max_bucket_size"].default
+    assert cap_default == 256  # the documented precondition constant
+    for sf in ("sf0.001", "sf0.01"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):  # driver boxes always have both
+            continue
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        bands, rows = D.derive_minhash_br(docs.count())
+        sh = D.shingled_docs(docs, "doc_id", "text")
+        sig = D.minhash_signatures(sh, "doc_id", k=bands * rows)
+        banded = D.band_keys_df(sig, "doc_id", bands=bands, rows=rows)
+        biggest = (banded.groupBy("key").count()
+                   .agg(F.max("count").alias("m")).collect()[0].m)
+        assert biggest <= cap_default, (
+            f"{sf}: max minhash bucket {biggest} exceeds the chain cap "
+            f"{cap_default}; the verdict/listing oracles would diverge")
