@@ -84,6 +84,61 @@ def write_version(df: DataFrame, table_dir: str,
     return version
 
 
+def load_manifest(table_dir: str, version: int) -> dict:
+    """The committed manifest of ``version`` (raises if uncommitted)."""
+    return json.load(open(_manifest_path(table_dir, version)))
+
+
+def effective_versions(table_dir: str) -> list[int]:
+    """The read set of a DELTA-APPEND table under compaction
+    supersession (round-12 verdict #1): the newest compaction version —
+    the committed version with the largest ``compacts_through`` in its
+    manifest — plus every committed version numbered PAST that
+    threshold. A compaction's content is, by the writer protocol
+    (streaming/dedup_sink.maybe_compact), exactly the union of the
+    read set at its commit time, and its ``compacts_through`` is the
+    highest version committed at that moment, so everything at or
+    below the threshold (earlier deltas AND earlier compactions —
+    their numbers are necessarily ≤ the newest one's threshold) is
+    superseded, never double-read. Tables that never compact degrade
+    to ``committed_versions`` unchanged. The read set is therefore
+    bounded by the writer's compaction cadence instead of growing one
+    entry per commit over the table's life."""
+    vs = committed_versions(table_dir)
+    best_thru, best_v = -1, None
+    manifests = {v: load_manifest(table_dir, v) for v in vs}
+    for v in vs:
+        thru = manifests[v].get("compacts_through")
+        if thru is not None and thru > best_thru:
+            best_thru, best_v = thru, v
+    out = [v for v in vs
+           if v > best_thru
+           and manifests[v].get("compacts_through") is None]
+    if best_v is not None:
+        out.append(best_v)
+    return sorted(out)
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    """The table's current logical content: ONE multi-path parquet scan
+    over every file of the effective read set (round-12 verdict #1 —
+    replaces the one-``unionByName``-per-version plan, whose depth grew
+    with commit count and whose analysis cost the driver paid every
+    micro-batch). Requires the table's versions to share one schema,
+    which delta-append tables do by construction (every version is
+    rows of the same logical table). Returns None for an empty table
+    so callers can supply their own empty frame with the right schema.
+    """
+    paths = []
+    for v in effective_versions(table_dir):
+        mf = load_manifest(table_dir, v)
+        data_dir = os.path.join(table_dir, f"v={v}", "data")
+        paths.extend(os.path.join(data_dir, f) for f in mf["files"])
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None) -> DataFrame:
     """Time travel: load exactly the files the (given or latest)

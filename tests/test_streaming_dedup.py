@@ -152,3 +152,108 @@ def test_single_batch_slicing_matches_three(spark, sf_dir, docs_dir,
                              seed=DS.fingerprint_docs(old))
     assert ({tuple(r) for r in f1.collect()}
             == {tuple(r) for r in f3.collect()})
+
+
+def _write_slices(spark, new, d: str, n: int) -> None:
+    """Split ``new`` into ``n`` doc_id-ordered parquet files under ``d``
+    (one micro-batch each under maxFilesPerTrigger=1)."""
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    ids = sorted(r.doc_id for r in new.select("doc_id").collect())
+    cuts = [ids[i * len(ids) // n] for i in range(1, n)]
+    bounds = [None] + cuts + [None]
+    for i in range(n):
+        part = new
+        if bounds[i] is not None:
+            part = part.where(F.col("doc_id") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("doc_id") < bounds[i + 1])
+        tmp = f"{d}/_stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(f, f"{d}/{i + 1:02d}.parquet")
+        shutil.rmtree(tmp)
+
+
+def test_compaction_bounds_read_set_and_converges(spark, sf_dir, tmp_path):
+    """Round-12 verdict #1: draining 6 micro-batches with
+    compact_every=2 must (a) keep the effective read set bounded at
+    every+1 versions however many batches commit, (b) leave the
+    admitted corpus EXACTLY the one-shot truth (compactions are
+    content-redundant), and (c) keep the replay watermark intact when
+    a compaction is the newest version."""
+    old, new = _split_docs(spark, sf_dir)
+    d = str(tmp_path / "docs6")
+    _write_slices(spark, new, d, 6)
+    table = str(tmp_path / "corpus")
+    final = DS.run_dedup_stream(
+        spark, d, table, str(tmp_path / "ck"),
+        seed=DS.fingerprint_docs(old), compact_every=2)
+    assert {tuple(r) for r in final.collect()} == one_shot_truth(spark, sf_dir)
+    eff = V.effective_versions(table)
+    assert len(eff) <= 3, eff  # every+1 bound
+    # compactions really happened: committed > effective
+    committed = V.committed_versions(table)
+    assert len(committed) > len(eff)
+    # the newest version carries the newest batch watermark regardless
+    # of whether it is a delta or a compaction
+    assert DS.latest_admitted_batch(table) == 5
+    # the read set's content is closed under supersession: reading ALL
+    # deltas (ignoring compactions) gives the same logical corpus
+    deltas = [v for v in committed
+              if "compacts_through" not in V.load_manifest(table, v)]
+    raw = None
+    for v in deltas:
+        f = V.read_version(spark, table, v)
+        raw = f if raw is None else raw.unionByName(f)
+    assert {tuple(r) for r in raw.collect()} == \
+        {tuple(r) for r in final.collect()}
+
+
+def test_crash_during_compaction_window_converges(spark, sf_dir, tmp_path):
+    """The two compaction crash points (round-12 verdict #1): a crash
+    BEFORE the compaction (at the 'applied' seam of the batch that
+    would trigger it — compaction deferred) and a crash right AFTER a
+    compaction commit but before the checkpoint (replayed batch is a
+    no-op against the compaction's watermark). Both resumes must
+    converge to the one-shot truth with no duplicate admissions."""
+    old, new = _split_docs(spark, sf_dir)
+    d = str(tmp_path / "docs6")
+    _write_slices(spark, new, d, 6)
+    truth = one_shot_truth(spark, sf_dir)
+
+    # (a) crash between the delta commit and its compaction
+    t1, ck1 = str(tmp_path / "c1"), str(tmp_path / "ck1")
+
+    def crash_applied(phase, batch_id):
+        if phase == "applied" and batch_id == 2:
+            raise RuntimeError("injected crash before compaction")
+
+    with pytest.raises(Exception, match="injected crash"):
+        DS.run_dedup_stream(spark, d, t1, ck1,
+                            seed=DS.fingerprint_docs(old),
+                            crash_hook=crash_applied, compact_every=2)
+    f1 = DS.run_dedup_stream(spark, d, t1, ck1, compact_every=2)
+    assert {tuple(r) for r in f1.collect()} == truth
+    assert len(V.effective_versions(t1)) <= 3
+
+    # (b) crash right after a compaction commit
+    t2, ck2 = str(tmp_path / "c2"), str(tmp_path / "ck2")
+    seen = []
+
+    def crash_compacted(phase, batch_id):
+        if phase == "compacted" and not seen:
+            seen.append(batch_id)
+            raise RuntimeError("injected crash after compaction")
+
+    with pytest.raises(Exception, match="injected crash"):
+        DS.run_dedup_stream(spark, d, t2, ck2,
+                            seed=DS.fingerprint_docs(old),
+                            crash_hook=crash_compacted, compact_every=2)
+    assert seen  # the crash really hit the post-compaction seam
+    wm = DS.latest_admitted_batch(t2)
+    f2 = DS.run_dedup_stream(spark, d, t2, ck2, compact_every=2)
+    assert {tuple(r) for r in f2.collect()} == truth
+    assert wm == seen[0]  # the compaction carried the batch watermark
+    assert len(V.effective_versions(t2)) <= 3

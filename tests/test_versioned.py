@@ -117,3 +117,39 @@ def test_snapshot_diff_rejects_schema_drift(spark, table):
     d, base = table
     with pytest.raises(ValueError):
         V.snapshot_diff(base, base.drop("c_name"), "c_custkey")
+
+
+def test_effective_versions_supersession(spark, tmp_path):
+    """Compaction supersession at the manifest-protocol level (round-12
+    verdict #1): the newest compaction (largest compacts_through) plus
+    later deltas form the read set; everything at or below the
+    threshold — earlier deltas AND earlier compactions — drops out, a
+    torn compaction directory changes nothing, and read_table's single
+    multi-path scan equals the logical union of live deltas."""
+    d = str(tmp_path / "t")
+
+    def rows(*vals):
+        return spark.createDataFrame([(v,) for v in vals], "x long")
+
+    v0 = V.write_version(rows(1), d)                       # delta
+    v1 = V.write_version(rows(2), d)                       # delta
+    c1 = V.write_version(rows(1, 2), d,
+                         extra={"compacts_through": v1})    # compaction 1
+    v3 = V.write_version(rows(3), d)                       # delta
+    c2 = V.write_version(rows(1, 2, 3), d,
+                         extra={"compacts_through": v3})    # compaction 2
+    v5 = V.write_version(rows(4), d)                       # delta
+    # torn (manifest-less) attempt after v5 — must stay invisible
+    os.makedirs(os.path.join(d, "v=99", "data"))
+
+    assert V.committed_versions(d) == [v0, v1, c1, v3, c2, v5]
+    assert V.effective_versions(d) == [c2, v5]
+    got = sorted(r.x for r in V.read_table(spark, d).collect())
+    assert got == [1, 2, 3, 4]
+    # a table that never compacted reads all deltas; an empty one -> None
+    d2 = str(tmp_path / "t2")
+    assert V.read_table(spark, d2) is None
+    V.write_version(rows(7), d2)
+    V.write_version(rows(8), d2)
+    assert V.effective_versions(d2) == V.committed_versions(d2)
+    assert sorted(r.x for r in V.read_table(spark, d2).collect()) == [7, 8]
