@@ -7,8 +7,11 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
@@ -113,6 +116,92 @@ FORCE_FULL_MATERIALIZE = {
     "dedup_minhash_verdict",
 }
 
+# Churn controls (round-12 verdict #6): queries pinned as the box-noise
+# reference for round-over-round comparison. Criteria: in the suite
+# since round 1, plan untouched for many rounds, and spanning distinct
+# plan shapes (scan+agg, multi-join, window, event-time session, and a
+# map-only text pass) so cache churn that hits one shape still shows.
+# The BASELINE.md churn protocol in code: a whole-run slowdown that
+# moves the controls too is box churn, not a regression — so shared-
+# query ratios are reported both raw and normalized by the controls'
+# median movement.
+CONTROL_QUERIES = [
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "window_top3_orders_per_customer",
+    "events_session_30m",
+    "text_quality_score",
+]
+
+# A query only counts as a machine-flagged regression when its
+# control-normalized ratio clears BOTH a relative and an absolute bar —
+# single-query swing is ±30% on this box and sub-0.3 s queries move by
+# scheduler jitter alone.
+REGRESSION_RATIO = 1.5
+REGRESSION_ABS_SEC = 0.3
+
+
+def latest_recorded_bench(bench_dir: str) -> tuple[int, float | str, dict] | None:
+    """The newest driver-recorded BENCH_r{N}.json — (round, sf,
+    per-query timings) — or None before round 1. The driver wraps the
+    bench JSON line under a ``parsed`` key; a bare bench.py output file
+    is accepted too."""
+    best = None
+    for path in glob.glob(os.path.join(bench_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            try:
+                doc = json.load(open(path))
+            except (OSError, ValueError):
+                continue
+            inner = doc.get("parsed", doc)
+            qs = inner.get("queries")
+            if qs:
+                best = (rnd, inner.get("sf"), qs)
+    return best
+
+
+def churn_normalized_ratios(current: dict[str, float],
+                            previous: dict[str, float]) -> dict:
+    """Round-over-round comparison, normalized by the pinned controls.
+
+    ``control_ratio`` is the MEDIAN current/previous ratio over the
+    control queries — the box-churn estimate (a uniform 1.2× page-cache
+    slowdown moves every control by ~1.2×; a genuine single-query
+    regression moves none of them). ``shared_ratio_raw`` is the plain
+    shared-query wall-clock ratio; ``shared_ratio_normalized`` divides
+    out the control movement — the number a regression claim should be
+    judged on. ``regressions`` lists shared queries whose NORMALIZED
+    per-query ratio clears REGRESSION_RATIO with an absolute normalized
+    slowdown past REGRESSION_ABS_SEC. Returns {} when fewer than 3
+    controls are shared (no normalization basis — e.g. a renamed
+    suite)."""
+    shared = [q for q in current if q in previous and previous[q] > 0]
+    controls = [q for q in CONTROL_QUERIES if q in shared]
+    if len(controls) < 3:
+        return {}
+    control_ratio = statistics.median(
+        current[q] / previous[q] for q in controls)
+    prev_sum = sum(previous[q] for q in shared)
+    raw = sum(current[q] for q in shared) / prev_sum
+    regressions = {}
+    for q in shared:
+        norm = current[q] / previous[q] / control_ratio
+        if (norm > REGRESSION_RATIO
+                and current[q] - previous[q] * control_ratio
+                > REGRESSION_ABS_SEC):
+            regressions[q] = round(norm, 3)
+    return {
+        "control_ratio": round(control_ratio, 4),
+        "shared_ratio_raw": round(raw, 4),
+        "shared_ratio_normalized": round(raw / control_ratio, 4),
+        "n_shared": len(shared),
+        "regressions": regressions,
+    }
+
 
 def run_suite(spark, sf_dir: str, headline: list[str],
               clear_seams: bool = True, runs: int = 3) -> tuple[dict, dict]:
@@ -203,6 +292,15 @@ def main() -> int:
     }
     if refused:
         out["refused"] = refused
+    prev = latest_recorded_bench(os.path.dirname(os.path.abspath(__file__)))
+    # ratios are only meaningful against a recording at the SAME scale
+    # factor (the driver records sf0.1; a local sf0.001 smoke run would
+    # otherwise "improve" every query 10x)
+    if prev is not None and prev[1] == out["sf"]:
+        ratios = churn_normalized_ratios(timings, prev[2])
+        if ratios:
+            out["vs_round"] = prev[0]
+            out.update(ratios)
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -122,3 +122,75 @@ def test_force_full_entries_justify_their_noop_path(spark, sf_dir):
         p = (df.groupBy().count()._jdf.queryExecution()
              .optimizedPlan().toString())
         assert "Join" not in p, (name, p[:300])
+
+
+def test_control_queries_pinned_and_in_headline():
+    """The churn controls must stay a subset of the headline set (they
+    normalize its round-over-round ratios) and keep 3-5 members — the
+    band the BASELINE.md protocol calls for."""
+    import bench
+
+    assert set(bench.CONTROL_QUERIES) <= set(bench.HEADLINE)
+    assert 3 <= len(bench.CONTROL_QUERIES) <= 5
+    # controls must not be noop-timed: their trend lines anchor every
+    # older BENCH_r*.json, and the timing method must never change
+    assert not set(bench.CONTROL_QUERIES) & bench.FORCE_FULL_MATERIALIZE
+
+
+def test_churn_normalization_separates_box_churn_from_regression():
+    """Round-12 verdict #6: a UNIFORM slowdown (box churn) must
+    normalize to ~1.0 with no regressions flagged; a single-query
+    slowdown on a quiet box must be flagged with its true ratio."""
+    import bench
+
+    prev = {q: 1.0 for q in bench.CONTROL_QUERIES}
+    prev.update({"dedup_minhash_lsh": 2.0, "embedding_kmeans_exact": 2.0})
+
+    # (a) everything 1.25x slower — pure churn
+    churn = {q: v * 1.25 for q, v in prev.items()}
+    r = bench.churn_normalized_ratios(churn, prev)
+    assert r["control_ratio"] == 1.25
+    assert abs(r["shared_ratio_normalized"] - 1.0) < 1e-9
+    assert r["regressions"] == {}
+
+    # (b) one query 2x slower, controls flat — genuine regression
+    reg = dict(prev)
+    reg["dedup_minhash_lsh"] = 4.0
+    r = bench.churn_normalized_ratios(reg, prev)
+    assert r["control_ratio"] == 1.0
+    assert r["regressions"] == {"dedup_minhash_lsh": 2.0}
+
+    # (c) regression UNDER box churn: 1.2x churn everywhere plus a real
+    # 2x on one query — still separable after normalization
+    both = {q: v * 1.2 for q, v in prev.items()}
+    both["dedup_minhash_lsh"] = prev["dedup_minhash_lsh"] * 1.2 * 2
+    r = bench.churn_normalized_ratios(both, prev)
+    assert abs(r["control_ratio"] - 1.2) < 1e-9
+    assert list(r["regressions"]) == ["dedup_minhash_lsh"]
+    assert abs(r["regressions"]["dedup_minhash_lsh"] - 2.0) < 0.01
+
+    # (d) tiny-query jitter below the absolute bar is NOT flagged
+    tiny_prev = {q: 1.0 for q in bench.CONTROL_QUERIES}
+    tiny_prev["layout_compaction_bins"] = 0.1
+    tiny_cur = dict(tiny_prev)
+    tiny_cur["layout_compaction_bins"] = 0.25  # 2.5x but +0.15s only
+    r = bench.churn_normalized_ratios(tiny_cur, tiny_prev)
+    assert r["regressions"] == {}
+
+    # (e) fewer than 3 shared controls -> no basis, empty dict
+    assert bench.churn_normalized_ratios({"a": 1.0}, {"a": 1.0}) == {}
+
+
+def test_latest_recorded_bench_picks_newest_round(tmp_path):
+    import json as J
+
+    import bench
+
+    # driver-wrapped shape (the real recording) and a bare bench line
+    (tmp_path / "BENCH_r02.json").write_text(
+        J.dumps({"queries": {"a": 1.0}, "sf": 0.1}))
+    (tmp_path / "BENCH_r11.json").write_text(
+        J.dumps({"parsed": {"queries": {"a": 2.0}, "sf": 0.1}}))
+    rnd, sf, qs = bench.latest_recorded_bench(str(tmp_path))
+    assert rnd == 11 and sf == 0.1 and qs == {"a": 2.0}
+    assert bench.latest_recorded_bench(str(tmp_path / "nope")) is None
