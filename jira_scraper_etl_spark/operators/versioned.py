@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -155,6 +156,43 @@ def read_version(spark: SparkSession, table_dir: str,
     data_dir = os.path.join(table_dir, f"v={version}", "data")
     paths = [os.path.join(data_dir, f) for f in manifest["files"]]
     return spark.read.parquet(*paths)
+
+
+def gc_versions(table_dir: str, retain_last: int) -> list[int]:
+    """Version/manifest GC (round-12 verdict #7): delete superseded
+    version directories outside the time-travel window.
+
+    Keeps (a) the effective read set — it IS the table's current
+    content, never deletable — and (b) the newest ``retain_last``
+    committed versions, the time-travel window. Everything else is
+    superseded content older than the window: full snapshots that a
+    newer snapshot's ``compacts_through`` covers (the MERGE sink), or
+    deltas a compaction folded in (the dedup sink). Deletion is
+    manifest FIRST, then data: a crash mid-GC leaves at worst a torn
+    (manifest-less) directory, which every reader already ignores —
+    the commit protocol's own crash shape, no new failure mode. Torn
+    directories numbered below the newest committed version are reaped
+    too (the single-writer protocol only ever writes into a fresh
+    max+1 slot, so an old torn slot can never become committed); the
+    max-numbered torn directory is left alone — it may be a write in
+    flight. Returns the deleted version numbers."""
+    vs = committed_versions(table_dir)
+    if not vs:
+        return []
+    keep = set(effective_versions(table_dir)) | set(vs[-retain_last:])
+    deleted = []
+    for v in vs:
+        if v in keep:
+            continue
+        os.remove(_manifest_path(table_dir, v))
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+        deleted.append(v)
+    occupied = sorted(int(m.group(1)) for m in
+                      (_V_RE.match(n) for n in os.listdir(table_dir)) if m)
+    for v in occupied[:-1] if occupied else []:
+        if v not in vs and v < vs[-1]:
+            shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+    return deleted
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:

@@ -103,30 +103,46 @@ def seed_from_customers(customers: DataFrame) -> DataFrame:
 
 def foreach_batch_merge(
         table_dir: str,
-        crash_hook: Callable[[str, int], None] | None = None):
+        crash_hook: Callable[[str, int], None] | None = None,
+        gc_retain: int | None = None):
     """Build the ``foreachBatch`` function: idempotent-by-batch-id
     MERGE of order change rows into the versioned balance table.
     ``crash_hook(phase, batch_id)`` is the fault-injection seam the
     crash-resume tests raise from ('applied' fires after the version
     commit but BEFORE Spark commits the checkpoint — the at-least-once
-    window the idempotence check exists for)."""
+    window the idempotence check exists for).
+
+    Every merged version is a FULL snapshot, so it is manifest-tagged
+    ``compacts_through`` = the version it merged on top of — the same
+    supersession vocabulary as the dedup sink's compactions (round-12
+    verdict #7). That makes the effective read set exactly [latest
+    snapshot] and lets ``gc_retain`` (opt-in) reap snapshots older
+    than the newest N after each commit, bounding version-directory
+    accumulation over an unbounded stream while keeping an N-deep
+    time-travel window (versioned.gc_versions)."""
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         last = latest_merged_batch(table_dir)
         if last is not None and batch_id <= last:
             return  # replay of an already-committed batch: no-op
-        target = V.read_version(batch.sparkSession, table_dir)
+        prev = V.latest_version(table_dir)
+        target = V.read_version(batch.sparkSession, table_dir, prev)
         merged = merge_balances(target, order_deltas(batch))
-        V.write_version(merged, table_dir, extra={"batch_id": batch_id})
+        V.write_version(merged, table_dir,
+                        extra={"batch_id": batch_id,
+                               "compacts_through": prev})
         if crash_hook is not None:
             crash_hook("applied", batch_id)
+        if gc_retain is not None:
+            V.gc_versions(table_dir, gc_retain)
 
     return apply_batch
 
 
 def run_merge_stream(spark, orders_dir: str, table_dir: str,
                      checkpoint_dir: str, seed: DataFrame | None = None,
-                     crash_hook=None, timeout_seconds: float = 120.0):
+                     crash_hook=None, timeout_seconds: float = 120.0,
+                     gc_retain: int | None = None):
     """Drain an order-file backlog (one file per micro-batch,
     AvailableNow) through the MERGE sink. Seeds version 0 exactly once
     — re-invocation after a crash resumes from the checkpoint and the
@@ -144,7 +160,8 @@ def run_merge_stream(spark, orders_dir: str, table_dir: str,
               .parquet(orders_dir))
     drain_query(lambda: (
         stream.writeStream
-        .foreachBatch(foreach_batch_merge(table_dir, crash_hook))
+        .foreachBatch(foreach_batch_merge(table_dir, crash_hook,
+                                          gc_retain=gc_retain))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True).start()), timeout_seconds)
     return V.read_version(spark, table_dir)

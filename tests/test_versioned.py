@@ -153,3 +153,47 @@ def test_effective_versions_supersession(spark, tmp_path):
     V.write_version(rows(8), d2)
     assert V.effective_versions(d2) == V.committed_versions(d2)
     assert sorted(r.x for r in V.read_table(spark, d2).collect()) == [7, 8]
+
+
+def test_gc_retains_time_travel_window(spark, tmp_path):
+    """Round-12 verdict #7: gc_versions deletes superseded versions
+    outside the retention window — retained versions stay readable
+    (time travel), deleted ones raise, the effective read set is never
+    touched, and torn directories below the newest committed version
+    are reaped while the max-numbered one (a possible in-flight write)
+    survives."""
+    d = str(tmp_path / "t")
+
+    def rows(*vals):
+        return spark.createDataFrame([(v,) for v in vals], "x long")
+
+    # a merge-style snapshot chain: each version supersedes its parent
+    vs = []
+    for i in range(8):
+        prev = vs[-1] if vs else None
+        vs.append(V.write_version(rows(*range(i + 1)), d,
+                                  extra={"compacts_through": prev}
+                                  if prev is not None else None))
+    # torn dirs: one below the latest committed, one above it
+    os.rename(os.path.join(d, f"v={vs[1]}", "manifest.json"),
+              os.path.join(d, f"v={vs[1]}", "_gone"))  # simulate torn
+    os.makedirs(os.path.join(d, "v=99", "data"))
+
+    deleted = V.gc_versions(d, retain_last=3)
+    left = V.committed_versions(d)
+    # window: newest 3 committed survive; effective ([latest]) within it
+    assert left == vs[-3:]
+    # every superseded version outside the window goes — including the
+    # v0 seed (the snapshot chain covers it); vs[1] was torn, not
+    # committed, so it is reaped as a torn dir rather than "deleted"
+    assert set(deleted) == set(vs[:-3]) - {vs[1]}
+    for v in left:
+        assert sorted(r.x for r in V.read_version(spark, d, v).collect()) \
+            == list(range(v + 1))
+    with pytest.raises(FileNotFoundError):
+        V.read_version(spark, d, vs[2])
+    # torn dir below latest committed reaped; max-numbered torn kept
+    assert not os.path.exists(os.path.join(d, f"v={vs[1]}"))
+    assert os.path.exists(os.path.join(d, "v=99"))
+    # idempotent: a second GC deletes nothing
+    assert V.gc_versions(d, retain_last=3) == []
