@@ -101,6 +101,10 @@ HEADLINE = [
     # pair-dense corpora); trend-line both families' verdict paths
     "dedup_embedding_rp_verdict",
     "dedup_minhash_verdict",
+    # round-13 addition: the baseline-JPEG entropy decode (Huffman +
+    # integer IDCT over Arrow batches) — the multimodal family's last
+    # decode caveat, closed; trend-line it beside the PNG inflate path
+    "mm_jpeg_pixel_stats",
 ]
 
 # Queries whose ``count()`` plan Catalyst can optimize down to a bare

@@ -481,3 +481,86 @@ def test_attach_png_matches_digest_raster(spark):
         d = MM.decode_png_pixels(buf)
         assert d["r_sum"] == sum(expect[0::3])
         assert d["b_sum"] == sum(expect[2::3])
+
+
+def test_jpeg_roundtrip_recovers_exact_coefficients():
+    """The entropy decode must be lossless: Huffman + DC prediction +
+    EXTEND + de-zigzag recover EXACTLY the quantized coefficients the
+    encoder was given, for every fixture shape (dense DC swings, sparse
+    AC, long zero runs)."""
+    from jira_scraper_etl_spark.operators import multimodal as MM
+
+    for doc in range(64):
+        coefs = MM.jpeg_coefs_for_doc(doc)
+        d = MM.decode_jpeg_pixels(MM.encode_baseline_jpeg(16, 8, coefs))
+        assert d["coef_sum"] == sum(sum(b) for b in coefs), doc
+        assert d["n_nonzero_coefs"] == sum(
+            1 for b in coefs for c in b if c), doc
+        assert d["width"] == 16 and d["height"] == 8
+
+
+def test_jpeg_integer_idct_tracks_independent_float_idct():
+    """Exactness vs an INDEPENDENT decoder (round-12 verdict #8 done-
+    criterion): a separately written float IDCT — numpy cosine basis
+    built from scratch, float accumulation, plain round() — must agree
+    with the engine's scaled-integer IDCT within 1 pixel level on
+    every fixture block (the integer basis is quantized to 13 bits, so
+    sub-level disagreement is expected; a transform/indexing bug shows
+    up as large divergence)."""
+    import numpy as np
+
+    from jira_scraper_etl_spark.operators import multimodal as MM
+
+    # independent basis: textbook IDCT-II, no shared code with IDCT_A
+    A = np.array([[(np.sqrt(1 / 8) if u == 0 else 0.5)
+                   * np.cos((2 * x + 1) * u * np.pi / 16)
+                   for u in range(8)] for x in range(8)])
+
+    for doc in range(32):
+        for blk in MM.jpeg_coefs_for_doc(doc):
+            deq = np.array([blk[i] * MM.JPEG_QTABLE[i]
+                            for i in range(64)]).reshape(8, 8)
+            want = np.clip(np.round(A @ deq @ A.T) + 128, 0, 255)
+            got = np.array(MM.idct_block_int(
+                [int(v) for v in deq.flatten()])).reshape(8, 8)
+            assert np.abs(got - want).max() <= 1, doc
+
+
+def test_jpeg_fixture_corpus_exercises_stuffing_zrl_and_prediction():
+    """The fixture corpus must actually hit the hard decode paths:
+    0xFF byte stuffing inside a scan, ZRL symbols (zero runs past 15),
+    EOB-terminated blocks, and a non-zero DC prediction step in the
+    second block."""
+    from jira_scraper_etl_spark.operators import multimodal as MM
+
+    saw_stuff = saw_zrl = saw_eob = saw_dc_step = False
+    for doc in range(256):
+        coefs = MM.jpeg_coefs_for_doc(doc)
+        buf = MM.encode_baseline_jpeg(16, 8, coefs)
+        scan = buf[buf.index(b"\xff\xda") + 2:-2]
+        saw_stuff = saw_stuff or b"\xff\x00" in scan
+        for blk in coefs:
+            zz = [blk[MM.ZIGZAG[i]] for i in range(64)]
+            nz = [i for i in range(1, 64) if zz[i]]
+            gaps = [b - a - 1 for a, b in zip([0] + nz, nz)]
+            saw_zrl = saw_zrl or any(g > 15 for g in gaps)
+            saw_eob = saw_eob or (not nz) or nz[-1] < 63
+        saw_dc_step = saw_dc_step or coefs[0][0] != coefs[1][0]
+    assert saw_stuff and saw_zrl and saw_eob and saw_dc_step
+
+
+def test_jpeg_header_and_pixel_decoders_agree(spark, sf_dir):
+    """The metadata walker (decode_jpeg) and the payload decoder
+    (decode_jpeg_pixels) must report identical dimensions over the
+    attached fixture column, and the Spark-side stats entry must be
+    internally consistent (bounds, pixel-count arithmetic)."""
+    from jira_scraper_etl_spark import plans
+
+    rows = plans.QUERIES["mm_jpeg_pixel_stats"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.format == "jpeg"
+        assert r.n_pixels == r.width * r.height == 128
+        assert 0 <= r.px_min <= r.px_max <= 255
+        assert r.px_min * 128 <= r.px_sum <= r.px_max * 128
+        assert 0 <= r.n_nonzero_coefs <= 128
