@@ -238,9 +238,18 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     sig = minhash_signatures(docs, id_col, k=bands * rows)
     banded = band_keys_df(sig, id_col, bands=bands, rows=rows)
     cand = candidate_pairs(banded, id_col, dedup=dedup_candidates)
-    # join candidate ids back to shingle sets for the verify stage
-    sa = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # join candidate ids back to shingle sets for the verify stage.
+    # SHUFFLE_HASH on the corpus sides (the RP family's sf100 lesson,
+    # relearned here at the sf300 decade): a sort-merge join SORTS both
+    # inputs, and the verify stream carries the WIDE shingle-string
+    # arrays — at sf300 (15M docs) the SMJ sorts spilled >50 GB of
+    # shingle payload and ENOSPC'd the probe box. A hash join builds
+    # on the corpus side (bounded by corpus size / partitions) and
+    # never sorts the pair stream.
+    sa = docs.select(F.col(id_col).alias("id_a"),
+                     F.col("sh").alias("sh_a")).hint("shuffle_hash")
+    sb = docs.select(F.col(id_col).alias("id_b"),
+                     F.col("sh").alias("sh_b")).hint("shuffle_hash")
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))

@@ -53,13 +53,24 @@ PROBE = [
     "embedding_kmeans_exact", "similarity_ann_ivfpq",
     "dedup_cluster_canonical", "dedup_span_exact", "curate_corpus_v2",
     "text_bpe_encode_stats", "dedup_semantic_semdedup",
-    "dedup_embedding_rp_verdict", "dedup_minhash_verdict",
-    "dedup_minhash_lsh",
+    "dedup_minhash_verdict", "dedup_minhash_lsh",
 ]
+# NOT probed at sf300: dedup_embedding_rp_verdict. Its verify join
+# spills the smallint candidate stream to local disk — measured ~30 GB
+# at sf100 (BASELINE.md) — and the first sf300 attempt filled the
+# box's 44 GB free disk (ENOSPC at 2026-08-16 19:10, killing the run
+# mid-probe). On a real cluster the spill is spread over executors'
+# local disks; on this single box the entry's decade evidence stands
+# at sf10/sf30/sf100 (2.0x for 3.33x — BASELINE.md O(n)-verdict
+# table). argv[2:] optionally names a query subset (resume after an
+# ENOSPC without re-running the finished heavies).
 
 
 def main() -> int:
+    global PROBE
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf300"
+    if len(sys.argv) > 2:
+        PROBE = [n for n in sys.argv[2].split(",") if n]
     runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "1"))
     spark = get_spark("probe-sf300")
     spark.sparkContext.setLogLevel("ERROR")
