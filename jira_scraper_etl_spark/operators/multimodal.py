@@ -1197,16 +1197,19 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_pixels(buf: bytes) -> dict:
+def decode_jpeg_pixels(buf: bytes, return_coefs: bool = False) -> dict:
     """Full baseline JPEG decode for single-component (grayscale)
     scans: marker walk collecting DQT/SOF0/DHT/SOS, canonical Huffman
     reconstruction, entropy decode with DC prediction + EXTEND,
     de-zigzag, dequantization, integer IDCT (idct_block_int), stats
     over the decoded pixels AND the recovered raw coefficients (the
     coefficient sums pin Huffman/prediction recovery independently of
-    the IDCT). Multi-block scans supported; restart markers and
-    subsampled multi-component scans are out of scope for the fixture
-    corpus (single-component 0x11 sampling only)."""
+    the IDCT). ``return_coefs`` adds the recovered per-block
+    natural-order coefficient lists under ``"coefs"`` — the test
+    surface for exact-recovery pins; the registered entry keeps the
+    scalar stats schema. Multi-block scans supported; restart markers
+    and subsampled multi-component scans are out of scope for the
+    fixture corpus (single-component 0x11 sampling only)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -1265,6 +1268,7 @@ def decode_jpeg_pixels(buf: bytes) -> dict:
     br = _BitReader(buf, scan_start)
     n_blocks = (w // 8) * (h // 8)
     prev_dc, coef_sum, n_nonzero, px = 0, 0, 0, []
+    all_coefs = []
     for _ in range(n_blocks):
         zz = [0] * 64
         s = _read_symbol(br, dc_tab)
@@ -1290,14 +1294,19 @@ def decode_jpeg_pixels(buf: bytes) -> dict:
             nat[ZIGZAG[z]] = zz[z]
         coef_sum += sum(nat)
         n_nonzero += sum(1 for c in nat if c)
+        if return_coefs:
+            all_coefs.append(nat)
         deq = [nat[i] * q[i] for i in range(64)]
         px.extend(idct_block_int(deq))
-    return {
+    out = {
         "format": "jpeg", "width": int(w), "height": int(h),
         "n_pixels": int(w) * int(h),
         "px_sum": sum(px), "px_min": min(px), "px_max": max(px),
         "coef_sum": coef_sum, "n_nonzero_coefs": n_nonzero,
     }
+    if return_coefs:
+        out["coefs"] = all_coefs
+    return out
 
 
 def jpeg_coefs_for_doc(doc_id: int, n_blocks: int = 2) -> list:

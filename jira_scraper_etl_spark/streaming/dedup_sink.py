@@ -237,7 +237,8 @@ def admit_batch(batch_fp: DataFrame, corpus: DataFrame) -> DataFrame:
 def foreach_batch_dedup(
         table_dir: str,
         crash_hook: Callable[[str, int], None] | None = None,
-        compact_every: int = COMPACT_EVERY):
+        compact_every: int = COMPACT_EVERY,
+        gc_retain: int | None = None):
     """Build the ``foreachBatch`` function: idempotent-by-batch-id
     greedy admission of document batches into the versioned corpus,
     with read-set compaction every ``compact_every`` commits.
@@ -261,6 +262,16 @@ def foreach_batch_dedup(
                          every=compact_every) is not None:
             if crash_hook is not None:
                 crash_hook("compacted", batch_id)
+            if gc_retain is not None:
+                # GC only after a compaction has superseded old deltas
+                # — before that every version IS the read set and
+                # gc_versions would (correctly) delete nothing. With
+                # GC on, the manifest directory itself stays bounded,
+                # so effective_versions' per-batch manifest scan is
+                # O(window) instead of creeping O(all-commits) over
+                # the stream's life (the verdict-#1 shape one level
+                # down: first the union PLAN, now the dir listing).
+                V.gc_versions(table_dir, gc_retain)
 
     return apply_batch
 
@@ -268,7 +279,8 @@ def foreach_batch_dedup(
 def run_dedup_stream(spark, docs_dir: str, table_dir: str,
                      checkpoint_dir: str, seed: DataFrame | None = None,
                      crash_hook=None, timeout_seconds: float = 120.0,
-                     compact_every: int = COMPACT_EVERY):
+                     compact_every: int = COMPACT_EVERY,
+                     gc_retain: int | None = None):
     """Drain a document-file backlog (one file per micro-batch,
     AvailableNow) through the dedup sink. ``seed`` (an existing-corpus
     (doc_id, h, simhash) index) commits as version 0 exactly once;
@@ -286,7 +298,8 @@ def run_dedup_stream(spark, docs_dir: str, table_dir: str,
     drain_query(lambda: (
         stream.writeStream
         .foreachBatch(foreach_batch_dedup(table_dir, crash_hook,
-                                          compact_every=compact_every))
+                                          compact_every=compact_every,
+                                          gc_retain=gc_retain))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True).start()), timeout_seconds)
     return corpus_index(spark, table_dir)

@@ -564,3 +564,39 @@ def test_jpeg_header_and_pixel_decoders_agree(spark, sf_dir):
         assert 0 <= r.px_min <= r.px_max <= 255
         assert r.px_min * 128 <= r.px_sum <= r.px_max * 128
         assert 0 <= r.n_nonzero_coefs <= 128
+
+
+def test_jpeg_codec_fuzz_roundtrip_property():
+    """Property fuzz (hypothesis): for ARBITRARY quantized-coefficient
+    blocks within the Huffman tables' representable range — any DC
+    swing within ±1023 (category ≤ 10), any AC pattern incl. all-zero
+    blocks, maximal runs, and values at category boundaries — encode →
+    decode recovers the exact coefficients and the pixel stats are
+    internally consistent. This is the decode surface's correctness
+    envelope, far beyond the digest fixtures' value distribution."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jira_scraper_etl_spark.operators import multimodal as MM
+
+    coef = st.integers(min_value=-255, max_value=255)
+    sparse_block = st.lists(
+        st.tuples(st.integers(0, 63), coef), min_size=0, max_size=12
+    ).map(lambda pairs: [dict(pairs).get(i, 0) for i in range(64)])
+
+    @given(st.lists(sparse_block, min_size=1, max_size=4),
+           st.integers(min_value=-1023, max_value=1023))
+    @settings(max_examples=150, deadline=None)
+    def check(blocks, dc0):
+        blocks = [list(b) for b in blocks]
+        blocks[0][0] = dc0  # exercise big DC categories + predictions
+        w = 8 * len(blocks)
+        buf = MM.encode_baseline_jpeg(w, 8, blocks)
+        d = MM.decode_jpeg_pixels(buf, return_coefs=True)
+        assert d["coefs"] == blocks  # EXACT per-position recovery
+        assert d["coef_sum"] == sum(sum(b) for b in blocks)
+        assert d["n_nonzero_coefs"] == sum(1 for b in blocks for c in b if c)
+        assert d["width"] == w and d["n_pixels"] == w * 8
+        assert 0 <= d["px_min"] <= d["px_max"] <= 255
+
+    check()

@@ -257,3 +257,28 @@ def test_crash_during_compaction_window_converges(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in f2.collect()} == truth
     assert wm == seen[0]  # the compaction carried the batch watermark
     assert len(V.effective_versions(t2)) <= 3
+
+
+def test_gc_bounds_dedup_table_and_preserves_content(spark, sf_dir, tmp_path):
+    """gc_retain on the dedup sink: superseded deltas outside the
+    time-travel window are reaped after each compaction, so the
+    version DIRECTORY stays bounded over the stream's life (the
+    per-batch manifest scan is O(window), not O(commits)) — while the
+    corpus content still converges exactly to the one-shot truth (the
+    compaction holds everything the deleted deltas held)."""
+    old, new = _split_docs(spark, sf_dir)
+    d = str(tmp_path / "docs6")
+    _write_slices(spark, new, d, 6)
+    table = str(tmp_path / "corpus")
+    final = DS.run_dedup_stream(
+        spark, d, table, str(tmp_path / "ck"),
+        seed=DS.fingerprint_docs(old), compact_every=2, gc_retain=3)
+    assert {tuple(r) for r in final.collect()} == one_shot_truth(spark, sf_dir)
+    committed = V.committed_versions(table)
+    eff = V.effective_versions(table)
+    # directory bound: effective read set plus at most the retention
+    # window survives — NOT one dir per commit (7 commits + compactions)
+    assert set(eff) <= set(committed)
+    assert len(committed) <= len(eff) + 3, committed
+    # replay watermark still intact on the surviving newest version
+    assert DS.latest_admitted_batch(table) == 5
