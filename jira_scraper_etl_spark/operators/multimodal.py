@@ -1052,6 +1052,22 @@ def idct_block_int(deq: list) -> list:
     return out
 
 
+def _idct_blocks_np(deq_blocks):
+    """Batched integer IDCT: the idct_block_int arithmetic as three
+    int64 numpy contractions over N blocks at once (A·D·Aᵀ per block,
+    then the identical +2^25 // 2^26 positive-bias rounding). Integer
+    matmuls are exact, so this is BIT-IDENTICAL to the scalar spec —
+    pinned by a differential test — while removing ~8k Python-level
+    multiplies per block from the decode hot path."""
+    import numpy as np
+
+    A = np.array(IDCT_A, dtype=np.int64)          # A[x][u]
+    D = np.asarray(deq_blocks, dtype=np.int64).reshape(-1, 8, 8)
+    v = np.einsum("yu,buv,xv->byx", A, D, A)       # rows y, cols x
+    p = (v + (1 << 25) + (1 << 54)) // (1 << 26) - (1 << 28) + 128
+    return np.clip(p, 0, 255)
+
+
 def _huffman_codes(bits: list, vals: list) -> dict:
     """Canonical Huffman assignment (T.81 C.2): symbol -> (code, len)."""
     out, code, i = {}, 0, 0
@@ -1296,12 +1312,15 @@ def decode_jpeg_pixels(buf: bytes, return_coefs: bool = False) -> dict:
         n_nonzero += sum(1 for c in nat if c)
         if return_coefs:
             all_coefs.append(nat)
-        deq = [nat[i] * q[i] for i in range(64)]
-        px.extend(idct_block_int(deq))
+        px.append([nat[i] * q[i] for i in range(64)])
+    # one batched integer IDCT over every block (bit-identical to the
+    # per-block scalar spec — see _idct_blocks_np)
+    pixels = _idct_blocks_np(px)
     out = {
         "format": "jpeg", "width": int(w), "height": int(h),
         "n_pixels": int(w) * int(h),
-        "px_sum": sum(px), "px_min": min(px), "px_max": max(px),
+        "px_sum": int(pixels.sum()), "px_min": int(pixels.min()),
+        "px_max": int(pixels.max()),
         "coef_sum": coef_sum, "n_nonzero_coefs": n_nonzero,
     }
     if return_coefs:

@@ -600,3 +600,22 @@ def test_jpeg_codec_fuzz_roundtrip_property():
         assert 0 <= d["px_min"] <= d["px_max"] <= 255
 
     check()
+
+
+def test_jpeg_batched_idct_bit_identical_to_scalar_spec():
+    """_idct_blocks_np must equal idct_block_int element-for-element —
+    int64 numpy contractions are exact, so any divergence is an
+    index-orientation or rounding bug, not arithmetic."""
+    import random
+
+    import numpy as np
+
+    from jira_scraper_etl_spark.operators import multimodal as MM
+
+    rng = random.Random(7)
+    blocks = [[rng.randint(-255, 255) if rng.random() < 0.3 else 0
+               for _ in range(64)] for _ in range(16)]
+    got = MM._idct_blocks_np(blocks)
+    for b, blk in enumerate(blocks):
+        want = MM.idct_block_int(blk)
+        assert list(got[b].flatten()) == want, b
