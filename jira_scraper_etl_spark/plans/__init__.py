@@ -30,9 +30,9 @@ from . import event_time  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- New this round (round-12 verdict #8): the baseline-JPEG
-    # entropy-decode entry — fresh external signal first.
-    "mm_jpeg_pixel_stats",
+    # -- New this round (round-12 verdict #8 + the DSIR curation
+    # extension): fresh external signal first.
+    "mm_jpeg_pixel_stats", "curate_dsir_weights",
     # -- Round-13 rotation (verdict #5): strict staleness order --
     # entries sorted by last driver-green round (CORRECTNESS_r*),
     # ties broken by the previous registry order. The 50-entry

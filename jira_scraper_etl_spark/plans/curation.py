@@ -728,3 +728,127 @@ def shard_shuffle_assign(df: DataFrame, seed: int = SHUFFLE_SEED,
     w = Window.partitionBy("shard").orderBy("hh", "doc_id")
     return d.select("doc_id", "shard",
                     F.row_number().over(w).cast("long").alias("pos"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+# select raw-pool documents whose hashed n-gram distribution looks like
+# a target domain. Published DSIR scores docs by the log-likelihood
+# ratio of hashed-ngram bag models; this engine's cross-engine
+# bit-exactness convention is LOG-FREE integer scoring (BASELINE.md),
+# so the score here is the monotone ratio-sum surrogate:
+# score(doc) = Σ_tokens min( ((t_b+1)·2^20) // (s_b+1), 2^40 ), where
+# t_b / s_b are target / source token counts of the token's hashed
+# bucket. Same selection direction (tokens common in the target and
+# rare in the source score high), exact integers end to end; the 2^40
+# cap bounds a single token's weight so a 100 TB corpus's worst
+# target-heavy bucket times a 10^5-token doc stays far inside int64.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096          # hashed-ngram feature dimension
+DSIR_SCALE = 1 << 20         # ratio fixed-point scale
+DSIR_WCAP = 1 << 40          # per-token weight cap (int64 headroom)
+DSIR_TOPK = 100              # selection threshold = the K-th score
+
+# the pool filter runs over the d/s join, so its doc_id must be
+# qualified (DuckDB rejects the ambiguous bare name)
+_SQL_POOL_BUCKET = SQL_DOC_BUCKET.replace("doc_id", "d.doc_id")
+
+_SQL_DSIR_TOKHASH = ("(strpos('0123456789abcdef', substring(m, 1, 1)) - 1)*4096"
+                     " + (strpos('0123456789abcdef', substring(m, 2, 1)) - 1)*256"
+                     " + (strpos('0123456789abcdef', substring(m, 3, 1)) - 1)*16"
+                     " + (strpos('0123456789abcdef', substring(m, 4, 1)) - 1)")
+
+
+@register(
+    "curate_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {SQL_DOC_BUCKET} < 10 AS is_target,
+               ({_SQL_DSIR_TOKHASH}) % {DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, md5(unnest({SQL_TOKS})) AS m
+              FROM documents WHERE text IS NOT NULL)
+    ),
+    tc AS (SELECT b, COUNT(*) AS t FROM tok WHERE is_target GROUP BY b),
+    sc AS (SELECT b, COUNT(*) AS s FROM tok WHERE NOT is_target GROUP BY b),
+    w AS (
+        SELECT sc.b,
+               LEAST((COALESCE(tc.t, 0) + 1) * CAST({DSIR_SCALE} AS BIGINT)
+                     // (sc.s + 1), CAST({DSIR_WCAP} AS BIGINT)) AS wt
+        FROM sc LEFT JOIN tc ON sc.b = tc.b
+    ),
+    scored AS (
+        SELECT tok.doc_id, COUNT(*) AS n_tokens,
+               SUM(w.wt) AS dsir_score
+        FROM tok JOIN w ON tok.b = w.b
+        WHERE NOT tok.is_target
+        GROUP BY tok.doc_id
+    ),
+    kth AS (
+        SELECT MIN(dsir_score) AS k FROM (
+            SELECT dsir_score FROM scored
+            ORDER BY dsir_score DESC, scored.doc_id LIMIT {DSIR_TOPK})
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.dsir_score, 0) AS BIGINT) AS dsir_score,
+           COALESCE(s.dsir_score, 0) >= (SELECT k FROM kth) AS selected
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    WHERE {_SQL_POOL_BUCKET} >= 10
+    """,
+    tags=("curation", "sampling"),
+)
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-ngram importance scoring of the raw pool
+    against a target domain (the deterministic 10%% doc_bucket split —
+    the same split arithmetic as split_train_test). One row per SOURCE
+    document: token count, integer importance score, and a selection
+    flag at the top-DSIR_TOPK score threshold.
+
+    Scale shape (the method's own deployment shape): the bucket-weight
+    MODEL is tiny (≤ DSIR_BUCKETS rows — counts contract to the
+    feature dimension, map-side combined), so scoring is one BROADCAST
+    join against the token stream and one map-side-combinable per-doc
+    SUM — data-distributed, model-local, no all-corpus shuffle wider
+    than the doc-id aggregation. The selection threshold is an exact
+    top-K (TakeOrderedAndProject, K bounded) collected to one scalar —
+    never a global rank/sort of the full pool. Null-text and
+    empty-token docs stay in the output with score 0 (LEFT JOIN from
+    the pool), matching the oracle's LEFT JOIN exactly.
+
+    Reference analog: none (the reference has no curation surface);
+    this extends the §2-beyond curation family alongside
+    decontaminate_* and sample_mixture_weights."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.where(F.col("text").isNotNull())
+            .select("doc_id",
+                    (doc_bucket(F.col("doc_id")) < 10).alias("is_target"),
+                    F.explode(H.word_tokens(F.col("text"))).alias("t"))
+            .select("doc_id", "is_target",
+                    (H.hex4_to_int(F.substring(F.md5("t"), 1, 4))
+                     % DSIR_BUCKETS).alias("b")))
+    tc = (toks.where("is_target").groupBy("b")
+          .agg(F.count(F.lit(1)).alias("t")))
+    sc = (toks.where(~F.col("is_target")).groupBy("b")
+          .agg(F.count(F.lit(1)).alias("s")))
+    w = (sc.join(tc, "b", "left")
+         .select("b", F.least(
+             F.expr(f"(coalesce(t, 0) + 1) * cast({DSIR_SCALE} as bigint) "
+                    f"div (s + 1)"),
+             F.lit(DSIR_WCAP).cast("long")).alias("wt")))
+    scored = (toks.where(~F.col("is_target"))
+              .join(F.broadcast(w), "b")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum("wt").alias("dsir_score")))
+    kth = (scored.orderBy(F.col("dsir_score").desc(), "doc_id")
+           .limit(DSIR_TOPK).agg(F.min("dsir_score")).collect()[0][0])
+    pool = d.where(doc_bucket(F.col("doc_id")) >= 10).select("doc_id")
+    return (pool.join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce("dsir_score", F.lit(0)).cast("long")
+                    .alias("dsir_score"),
+                    (F.coalesce("dsir_score", F.lit(0)) >= F.lit(kth))
+                    .alias("selected")))

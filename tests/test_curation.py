@@ -167,3 +167,30 @@ def test_write_training_shards_order_and_completeness(spark, sf_dir, tmp_path):
         files = sorted(glob.glob(f"{shard_dir}/*.parquet"))
         pdf = pd.concat([pq.read_table(f).to_pandas() for f in files])
         assert list(pdf["pos"]) == sorted(pdf["pos"])  # stored in order
+
+
+def test_dsir_invariants(spark, sf_dir):
+    """DSIR scoring invariants the oracle hash can't express alone:
+    only SOURCE-pool docs appear (the 10% target split is the model,
+    never a candidate), token-less docs carry score 0 and survive, the
+    threshold selects at least min(TOPK, n_scored) docs, and every
+    selected score dominates every unselected one (the threshold is a
+    clean cut in score space)."""
+    from jira_scraper_etl_spark import plans
+    from jira_scraper_etl_spark.plans.curation import DSIR_TOPK, doc_bucket
+
+    rows = plans.QUERIES["curate_dsir_weights"].fn(spark, sf_dir).collect()
+    assert rows
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target_ids = {r.doc_id for r in
+                  d.where(doc_bucket(F.col("doc_id")) < 10)
+                  .select("doc_id").collect()}
+    sel_scores, unsel_scores = [], []
+    for r in rows:
+        assert r.doc_id not in target_ids
+        if r.n_tokens == 0:
+            assert r.dsir_score == 0
+        (sel_scores if r.selected else unsel_scores).append(r.dsir_score)
+    assert len(sel_scores) >= min(DSIR_TOPK, len(rows))
+    if sel_scores and unsel_scores:
+        assert min(sel_scores) > max(unsel_scores)
