@@ -105,6 +105,11 @@ HEADLINE = [
     # integer IDCT over Arrow batches) — the multimodal family's last
     # decode caveat, closed; trend-line it beside the PNG inflate path
     "mm_jpeg_pixel_stats",
+    # round-13 third batch: ExactSubstr-style duplicated-substring
+    # coverage — stride-1 window hashing is the family's highest
+    # site-volume plan (O(total tokens) rows through one keyed
+    # shuffle), so trend-line it beside the span/minhash dedups
+    "dedup_substring_exact",
 ]
 
 # Queries whose ``count()`` plan Catalyst can optimize down to a bare
@@ -118,6 +123,9 @@ HEADLINE = [
 FORCE_FULL_MATERIALIZE = {
     "dedup_embedding_rp_verdict",
     "dedup_minhash_verdict",
+    # same shape: ends in a LEFT join against a doc_id-unique
+    # aggregate, so count() prunes the whole window/coverage pipeline
+    "dedup_substring_exact",
 }
 
 # Churn controls (round-12 verdict #6): queries pinned as the box-noise

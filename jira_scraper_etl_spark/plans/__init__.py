@@ -31,8 +31,10 @@ from . import event_time  # noqa: F401,E402
 
 _PRIORITY = [
     # -- New this round (round-12 verdict #8 + the DSIR curation
-    # extension): fresh external signal first.
+    # extension + the third-batch ExactSubstr/Gopher pair): fresh
+    # external signal first.
     "mm_jpeg_pixel_stats", "curate_dsir_weights",
+    "dedup_substring_exact", "text_gopher_quality",
     # -- Round-13 rotation (verdict #5): strict staleness order --
     # entries sorted by last driver-green round (CORRECTNESS_r*),
     # ties broken by the previous registry order. The 50-entry

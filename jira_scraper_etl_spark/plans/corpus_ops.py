@@ -1086,3 +1086,266 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # DuckDB // ; NULL (not 0) for bigram-less docs
                 F.expr("cast((1000 * n_unique_types) div n_bigram_types"
                        " as int)").alias("novelty_permille")))
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated-substring statistics (round 13)
+# ---------------------------------------------------------------------------
+
+SUBSTR_L = 12  # sliding-window length in tokens
+
+
+@register(
+    "dedup_substring_exact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS n_toks, toks
+             FROM t WHERE len(toks) > 0),
+    sites AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(toks[i:i+{SUBSTR_L - 1}], ' ')) AS h
+        FROM base, LATERAL unnest(
+            generate_series(1, n_toks - {SUBSTR_L} + 1)) AS g(i)
+        WHERE n_toks >= {SUBSTR_L}
+    ),
+    c AS (SELECT h FROM sites GROUP BY h HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM sites JOIN c USING (h)),
+    cov AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_sites,
+               CAST(SUM(contrib) AS BIGINT) AS dup_token_cov
+        FROM (SELECT doc_id,
+                     LEAST({SUBSTR_L},
+                           pos - COALESCE(lag(pos, 1) OVER (
+                               PARTITION BY doc_id ORDER BY pos),
+                               pos - {SUBSTR_L})) AS contrib
+              FROM dup)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_toks AS BIGINT) AS n_tokens,
+           CAST(GREATEST(b.n_toks - {SUBSTR_L} + 1, 0) AS BIGINT)
+               AS n_windows,
+           COALESCE(v.n_dup_sites, 0) AS n_dup_sites,
+           COALESCE(v.dup_token_cov, 0) AS dup_token_cov,
+           CAST(COALESCE(v.dup_token_cov, 0) AS DOUBLE) / b.n_toks
+               AS dup_frac
+    FROM base b LEFT JOIN cov v USING (doc_id)
+    """,
+    tags=("dedup", "substring"),
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-substring detection (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", 2022):
+    a token-position is "duplicated" when the exact ``SUBSTR_L``-token
+    window starting there occurs at >= 2 sites corpus-wide — other doc
+    OR other offset, exactly what the paper's suffix array reports.
+    Per document this emits the window/site counts, the number of
+    token positions covered by at least one duplicated window (the
+    interval-union of the hit windows), and the covered fraction —
+    the quantity ExactSubstr cuts at 50 BPE tokens on web-scale text;
+    ``SUBSTR_L=12`` words is the scaled analog for this corpus's
+    54-token average documents.
+
+    Spark-first shape instead of the paper's monolithic suffix array
+    (which needs the whole corpus in one address space): stride-1
+    rolling windows hashed to 128 bits, a ``groupBy(h)`` site count
+    (map-side combined, so shuffle volume is O(distinct windows)),
+    one hash join of sites back to the >=2 hashes, and a per-doc fold
+    for the interval union. All window intervals share length L, so
+    the union is exactly ``sum(min(L, s_i - s_{{i-1}}))`` over sorted
+    starts — no sweep-line state. At 100 TB the window hash would be
+    xxhash64+prefix instead of md5 text (same plan), and the hot-hash
+    skew of a corpus-wide boilerplate window on the sites side of the
+    join is AQE skew-split territory; the count side is one row per
+    distinct window by construction.
+
+    The per-doc ``collect_list`` of duplicated starts is bounded by
+    document length (never corpus size). Reference analog: the
+    repeated-block removal transformer.py applies per issue body.
+    """
+    return substring_dup_stats(load_table(spark, sf_dir, "documents"))
+
+
+def substring_dup_stats(d: DataFrame, L: int = SUBSTR_L) -> DataFrame:
+    """Core of dedup_substring_exact over any (doc_id, text) frame."""
+    toks = H.word_tokens(F.col("text"))
+    t = fan_out(d.where(F.col("text").rlike(r"\S"))
+                .select("doc_id", toks.alias("toks")), LIGHT)
+    base = persist_seam(
+        t.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"),
+                 "toks"))
+    wins = F.transform(
+        F.sequence(F.lit(0), (F.col("n_tokens") - L).cast("int")),
+        lambda i: F.md5(F.array_join(F.slice("toks", i + 1, L), " ")))
+    sites = (base.where(F.col("n_tokens") >= L)
+             .select("doc_id", F.posexplode(wins).alias("pos", "h")))
+    cnt = (sites.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+           .where(F.col("cnt") >= 2).select("h"))
+    dup = sites.join(cnt, "h").select("doc_id", "pos")
+    union_len = F.aggregate(
+        F.sort_array(F.collect_list("pos")),
+        F.struct(F.lit(-L).cast("int").alias("prev"),
+                 F.lit(0).cast("bigint").alias("tot")),
+        lambda acc, s: F.struct(
+            s.alias("prev"),
+            (acc.tot + F.least(F.lit(L), s - acc.prev)).alias("tot")),
+        lambda acc: acc.tot)
+    cov = (dup.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_sites"),
+                union_len.alias("dup_token_cov")))
+    return (base
+            .select("doc_id", "n_tokens",
+                    F.greatest(F.col("n_tokens") - L + 1,
+                               F.lit(0).cast("bigint")).alias("n_windows"))
+            .join(cov, "doc_id", "left")
+            .select("doc_id", "n_tokens", "n_windows",
+                    F.coalesce("n_dup_sites", F.lit(0).cast("bigint"))
+                    .alias("n_dup_sites"),
+                    F.coalesce("dup_token_cov", F.lit(0).cast("bigint"))
+                    .alias("dup_token_cov"),
+                    (F.coalesce("dup_token_cov", F.lit(0).cast("bigint"))
+                     / F.col("n_tokens")).alias("dup_frac")))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rule document quality filter (round 13)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# The synthetic documents carry no line structure, bullets, ellipses or
+# '#' symbols, so — exactly like the PII-redaction entry's synthesized
+# contact line — the query appends two deterministic lines derived from
+# table columns before scoring. That way the oracle comparison
+# exercises every rule's regex and every boolean branch on every row
+# instead of vacuously passing the line rules at n_lines=1.
+_SQL_GTEXT = (
+    "text || chr(10) || CASE doc_id % 3 WHEN 0 THEN '- bullet point' "
+    "WHEN 1 THEN 'to be continued...' ELSE '## note #tag' END || "
+    "chr(10) || CASE doc_id % 2 WHEN 0 THEN '* item two' "
+    "ELSE 'and that is all' END"
+)
+
+
+def _gtext_col() -> Column:
+    return F.concat(
+        F.col("text"), F.lit("\n"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("- bullet point"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("to be continued..."))
+        .otherwise(F.lit("## note #tag")),
+        F.lit("\n"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("* item two"))
+        .otherwise(F.lit("and that is all")))
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_SQL_GTEXT} AS text FROM documents
+               WHERE regexp_matches(text, '\\S')),
+    t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM g),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks,
+                     w -> CAST(len(w) AS BIGINT))) AS BIGINT) AS sum_len,
+                 CAST(len(list_filter(toks,
+                     w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(len(list_intersect(list_distinct(toks),
+                     {list(GOPHER_STOPS)})) AS BIGINT) AS n_stop_words,
+                 CAST(len(regexp_extract_all(text, '#'))
+                      + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+                 CAST(len(regexp_extract_all(text, chr(10))) + 1 AS BIGINT) AS n_lines,
+                 CAST(len(regexp_extract_all(text,
+                     '(?m)^[ \\t]*[-*•]')) AS BIGINT) AS n_bullet,
+                 CAST(len(regexp_extract_all(text,
+                     '\\.\\.\\.(\\n|\\z)')) AS BIGINT) AS n_ell
+          FROM t),
+    r AS (SELECT doc_id, n_words,
+                 CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+                 CAST(n_sym AS DOUBLE) / n_words AS symbol_ratio,
+                 CAST(n_alpha AS DOUBLE) / n_words AS frac_alpha_words,
+                 n_stop_words,
+                 CAST(n_bullet AS DOUBLE) / n_lines AS frac_bullet_lines,
+                 CAST(n_ell AS DOUBLE) / n_lines AS frac_ellipsis_lines
+          FROM m)
+    SELECT *,
+           CAST((CASE WHEN n_words BETWEEN 50 AND 100000
+                      THEN 0 ELSE 1 END)
+              + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      THEN 0 ELSE 1 END)
+              + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
+              + (CASE WHEN frac_bullet_lines <= 0.9 THEN 0 ELSE 1 END)
+              + (CASE WHEN frac_ellipsis_lines <= 0.3 THEN 0 ELSE 1 END)
+              + (CASE WHEN frac_alpha_words >= 0.8 THEN 0 ELSE 1 END)
+              + (CASE WHEN n_stop_words >= 2 THEN 0 ELSE 1 END)
+             AS INTEGER) AS n_rules_failed,
+           ((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+              + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      THEN 0 ELSE 1 END)
+              + (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END)
+              + (CASE WHEN frac_bullet_lines <= 0.9 THEN 0 ELSE 1 END)
+              + (CASE WHEN frac_ellipsis_lines <= 0.3 THEN 0 ELSE 1 END)
+              + (CASE WHEN frac_alpha_words >= 0.8 THEN 0 ELSE 1 END)
+              + (CASE WHEN n_stop_words >= 2 THEN 0 ELSE 1 END)) = 0
+             AS pass_gopher
+    FROM r
+    """,
+    tags=("textstats", "quality"),
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021, appendix A1.1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    bullet-line and ellipsis-line fractions, alphabetic-word fraction,
+    and required-stop-word presence — the published pretraining
+    heuristics, emitted as per-document metrics plus the combined
+    pass verdict so downstream curation can threshold or re-weight.
+
+    Map-only at any scale: every metric folds over the document's own
+    tokens/lines (higher-order ``aggregate``/``filter`` on the token
+    array, ``regexp_count`` on the raw text — no UDF, no shuffle, no
+    state). Cross-engine exactness: every ratio is one IEEE division
+    of exactly-computed BIGINTs, so the rule booleans compare
+    identically; the line regexes stick to the Java-regex/RE2 common
+    subset (explicit ``[ \\t]``, never ``\\s``, ``\\n``-terminated
+    lines) per the module's dialect note.
+
+    Reference analog: transformer.py's include/exclude checks when
+    selecting issues worth keeping; the published rule set replaces
+    its ad-hoc length test.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = (d.where(F.col("text").rlike(r"\S"))
+         .select("doc_id", _gtext_col().alias("text")))
+    t = fan_out(
+        g.select("doc_id", "text", H.word_tokens(F.col("text")).alias("toks")),
+        LIGHT)
+    n_words = F.size("toks").cast("bigint")
+    sum_len = F.aggregate("toks", F.lit(0).cast("bigint"),
+                          lambda a, w: a + F.length(w))
+    n_alpha = F.size(F.filter("toks", lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct("toks"),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    n_sym = (F.regexp_count(F.col("text"), F.lit("#"))
+             + F.regexp_count(F.col("text"), F.lit(r"\.\.\.")))
+    n_lines = F.regexp_count(F.col("text"), F.lit("\n")) + 1
+    n_bullet = F.regexp_count(F.col("text"), F.lit(r"(?m)^[ \t]*[-*•]"))
+    n_ell = F.regexp_count(F.col("text"), F.lit("\\.\\.\\.(\\n|\\z)"))
+    m = t.select(
+        "doc_id", n_words.alias("n_words"),
+        (sum_len.cast("double") / n_words).alias("mean_word_len"),
+        (n_sym.cast("double") / n_words).alias("symbol_ratio"),
+        (n_alpha.cast("double") / n_words).alias("frac_alpha_words"),
+        n_stop.cast("bigint").alias("n_stop_words"),
+        (n_bullet.cast("double") / n_lines).alias("frac_bullet_lines"),
+        (n_ell.cast("double") / n_lines).alias("frac_ellipsis_lines"))
+    fails = (
+        F.when(F.col("n_words").between(50, 100000), 0).otherwise(1)
+        + F.when(F.col("mean_word_len").between(3.0, 10.0), 0).otherwise(1)
+        + F.when(F.col("symbol_ratio") <= 0.1, 0).otherwise(1)
+        + F.when(F.col("frac_bullet_lines") <= 0.9, 0).otherwise(1)
+        + F.when(F.col("frac_ellipsis_lines") <= 0.3, 0).otherwise(1)
+        + F.when(F.col("frac_alpha_words") >= 0.8, 0).otherwise(1)
+        + F.when(F.col("n_stop_words") >= 2, 0).otherwise(1))
+    return m.select("*", fails.cast("int").alias("n_rules_failed"),
+                    (fails == 0).alias("pass_gopher"))

@@ -313,3 +313,165 @@ def test_bigram_novelty_bounds_and_python_replay(spark, sf_dir):
             assert o.novelty_permille == 1000 * uniq // len(bg)
             assert 0 <= o.novelty_permille <= 1000
         assert o.n_unique_types <= o.n_bigram_types
+
+
+def _py_substring_stats(texts, L=12):
+    """Python twin of substring_dup_stats: global window counts, per-doc
+    duplicated sites, and the interval-union coverage."""
+    from collections import Counter
+
+    toks = {i: [w for w in re.split(r"\s+", t.lower()) if w != ""]
+            for i, t in texts.items() if t is not None and t.strip() != ""}
+    counts = Counter()
+    sites = {}
+    for i, tk in toks.items():
+        ws = [" ".join(tk[p:p + L]) for p in range(len(tk) - L + 1)]
+        sites[i] = ws
+        counts.update(ws)
+    out = {}
+    for i, tk in toks.items():
+        dup = sorted(p for p, w in enumerate(sites[i]) if counts[w] >= 2)
+        cov, prev = 0, -L
+        for s in dup:
+            cov += min(L, s - prev)
+            prev = s
+        out[i] = (len(tk), max(len(tk) - L + 1, 0), len(dup), cov,
+                  cov / len(tk))
+    return out
+
+
+def test_substring_dup_stats_matches_python(spark, sf_dir):
+    """Differential: the stride-1 window/coverage pipeline recomputed
+    brute-force in Python must match every output column exactly."""
+    from jira_scraper_etl_spark.catalog import load_table
+
+    texts = {r.doc_id: r.text for r in
+             load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text").collect()}
+    want = _py_substring_stats(texts)
+    got = {r.doc_id: r for r in
+           QUERIES["dedup_substring_exact"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    n_any_dup = 0
+    for i, (n_tok, n_win, n_dup, cov, frac) in want.items():
+        r = got[i]
+        assert (r.n_tokens, r.n_windows, r.n_dup_sites,
+                r.dup_token_cov) == (n_tok, n_win, n_dup, cov), i
+        assert abs(r.dup_frac - frac) < 1e-12, i
+        n_any_dup += n_dup > 0
+    assert n_any_dup > 0  # the corpus must actually exercise the path
+
+
+def test_substring_dedup_planted_overlap(spark, tmp_path):
+    """Crafted corpus: two docs share a 20-token run (=> 9 duplicated
+    window sites covering exactly 20 tokens each), one doc repeats a
+    12-token phrase internally at disjoint offsets (self-repetition
+    counts, as with a suffix array), and a doc shorter than the window
+    yields zero windows but still appears."""
+    from jira_scraper_etl_spark.plans.corpus_ops import SUBSTR_L
+
+    assert SUBSTR_L == 12  # the planted expectations below assume it
+    shared = " ".join(f"s{i}" for i in range(20))
+    selfrep = " ".join(f"r{i}" for i in range(12))
+    rows = [
+        (0, shared + " " + " ".join(f"a{i}" for i in range(10))),
+        (1, " ".join(f"b{i}" for i in range(10)) + " " + shared),
+        (2, selfrep + " zz " + selfrep),
+        (3, "tiny doc under twelve tokens here"),
+    ]
+    d = docs_dir(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in
+           QUERIES["dedup_substring_exact"].fn(spark, d).collect()}
+    want = _py_substring_stats({i: t for i, t in rows})
+    assert len(out) == 4
+    for i, (n_tok, n_win, n_dup, cov, frac) in want.items():
+        r = out[i]
+        assert (r.n_tokens, r.n_windows, r.n_dup_sites,
+                r.dup_token_cov) == (n_tok, n_win, n_dup, cov), i
+    # the planted numbers themselves (guards the python twin too):
+    # doc 0: shared run starts at 0 -> sites 0..8, union = 8 + 12 = 20
+    assert (out[0].n_dup_sites, out[0].dup_token_cov) == (9, 20)
+    # doc 1: same run starts at 10 -> 9 sites, 20 tokens covered
+    assert (out[1].n_dup_sites, out[1].dup_token_cov) == (9, 20)
+    # doc 2: the 12-token phrase at offsets 0 and 13 -> 2 sites, 24 cov
+    assert (out[2].n_dup_sites, out[2].dup_token_cov) == (2, 24)
+    assert (out[3].n_windows, out[3].n_dup_sites) == (0, 0)
+
+
+def _py_gopher(doc_id, text):
+    """Python twin of text_gopher_quality (including the synthesized
+    line suffix) computing every metric and the rule verdict."""
+    line2 = {0: "- bullet point", 1: "to be continued...",
+             2: "## note #tag"}[doc_id % 3]
+    line3 = {0: "* item two", 1: "and that is all"}[doc_id % 2]
+    g = text + "\n" + line2 + "\n" + line3
+    toks = [w for w in re.split(r"\s+", g.lower()) if w != ""]
+    n_words = len(toks)
+    mean_wl = sum(len(w) for w in toks) / n_words
+    n_sym = g.count("#") + len(re.findall(r"\.\.\.", g))
+    sym_ratio = n_sym / n_words
+    n_alpha = sum(1 for w in toks if re.search(r"[a-z]", w))
+    frac_alpha = n_alpha / n_words
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    n_stop = len(stops & set(toks))
+    lines = g.split("\n")
+    n_lines = len(lines)
+    n_bullet = len(re.findall(r"(?m)^[ \t]*[-*•]", g))
+    n_ell = len(re.findall(r"\.\.\.(\n|\Z)", g))
+    frac_b, frac_e = n_bullet / n_lines, n_ell / n_lines
+    fails = ((not 50 <= n_words <= 100000) + (not 3.0 <= mean_wl <= 10.0)
+             + (sym_ratio > 0.1) + (frac_b > 0.9) + (frac_e > 0.3)
+             + (frac_alpha < 0.8) + (n_stop < 2))
+    return (n_words, mean_wl, sym_ratio, frac_alpha, n_stop, frac_b,
+            frac_e, fails, fails == 0)
+
+
+def test_gopher_quality_matches_python(spark, sf_dir):
+    """Differential vs the Python twin on the real corpus — every
+    metric, the per-rule failure count, and the verdict."""
+    from jira_scraper_etl_spark.catalog import load_table
+
+    texts = {r.doc_id: r.text for r in
+             load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text").collect()
+             if r.text is not None and r.text.strip() != ""}
+    got = {r.doc_id: r for r in
+           QUERIES["text_gopher_quality"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(texts)
+    for i, t in texts.items():
+        (n_words, mwl, sym, fa, n_stop, fb, fe, fails, ok) = _py_gopher(i, t)
+        r = got[i]
+        assert r.n_words == n_words and r.n_stop_words == n_stop, i
+        for a, b in ((r.mean_word_len, mwl), (r.symbol_ratio, sym),
+                     (r.frac_alpha_words, fa), (r.frac_bullet_lines, fb),
+                     (r.frac_ellipsis_lines, fe)):
+            assert abs(a - b) < 1e-12, i
+        assert r.n_rules_failed == fails and r.pass_gopher == ok, i
+
+
+def test_gopher_rules_each_fire(spark, tmp_path):
+    """Crafted docs tripping individual rules: word count, mean word
+    length, symbol ratio, alpha fraction, and stop-word presence all
+    fail somewhere; a 60-word natural-ish doc passes everything."""
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "we have to be sure that it runs on with more words " * 3)
+    rows = [
+        (0, good),                                   # passes all rules
+        (1, "too short to count"),                   # word-count rule
+        (2, " ".join("pneumonoultramicroscopics" for _ in range(60))),
+        (3, " ".join("### #" for _ in range(60))),   # symbol + alpha
+        (4, " ".join(str(i) for i in range(60))),    # alpha + stopwords
+    ]
+    d = docs_dir(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in
+           QUERIES["text_gopher_quality"].fn(spark, d).collect()}
+    for i, t in rows:
+        want = _py_gopher(i, t)
+        assert (out[i].n_rules_failed, out[i].pass_gopher) == want[7:9], i
+    assert out[0].pass_gopher
+    assert not out[1].pass_gopher and out[1].n_words < 50
+    assert out[2].mean_word_len > 10
+    assert out[3].symbol_ratio > 0.1
+    # the synthesized line suffix contributes 'to'/'be', so the
+    # stop-word rule passes for doc 4 — the alpha rule still fires
+    assert out[4].frac_alpha_words < 0.8 and out[4].n_rules_failed >= 2
