@@ -1166,22 +1166,44 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_stats(load_table(spark, sf_dir, "documents"))
 
 
-def substring_dup_stats(d: DataFrame, L: int = SUBSTR_L) -> DataFrame:
-    """Core of dedup_substring_exact over any (doc_id, text) frame."""
+def substring_dup_stats(d: DataFrame, L: int = SUBSTR_L,
+                        hash64: bool = False) -> DataFrame:
+    """Core of dedup_substring_exact over any (doc_id, text) frame.
+
+    ``hash64=True`` is the 100 TB key mode: windows keyed by xxhash64
+    (8-byte bigint) instead of the oracle-replayable md5 hex (32-char
+    string) — same plan, ~4× smaller site shuffle and a fixed-width
+    sort key. Identical output unless two *distinct* windows collide
+    in 64 bits (birthday odds ~n²/2⁶⁵: ~2% for one collision anywhere
+    at 800M windows, and a collision only perturbs that one window's
+    verdict); the registered entry keeps md5 so the DuckDB oracle can
+    replay it bit-for-bit.
+    """
     toks = H.word_tokens(F.col("text"))
     t = fan_out(d.where(F.col("text").rlike(r"\S"))
                 .select("doc_id", toks.alias("toks")), LIGHT)
     base = persist_seam(
         t.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"),
                  "toks"))
+    win_key = (lambda s: F.xxhash64(s)) if hash64 else F.md5
     wins = F.transform(
         F.sequence(F.lit(0), (F.col("n_tokens") - L).cast("int")),
-        lambda i: F.md5(F.array_join(F.slice("toks", i + 1, L), " ")))
+        lambda i: win_key(F.array_join(F.slice("toks", i + 1, L), " ")))
     sites = (base.where(F.col("n_tokens") >= L)
              .select("doc_id", F.posexplode(wins).alias("pos", "h")))
     cnt = (sites.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
            .where(F.col("cnt") >= 2).select("h"))
-    dup = sites.join(cnt, "h").select("doc_id", "pos")
+    # shuffle_hash, NOT the default SMJ: sort-merge sorts the full
+    # O(total tokens) site stream on its 32-char window key before
+    # probing — the same stream-sort the sf300 MinHash probe caught
+    # spilling its verify stage to disk (ENOSPC). Hash-building on the
+    # >=2-count key side (one row per duplicated window, far smaller
+    # than the stream) keeps the site stream pass-through. At sf30
+    # (1.5M docs / 81M windows) wall-clock is unchanged (77.6 s vs
+    # 79.1 s — the map-side window-string build dominates there); the
+    # hint's value is removing the stream-sort's O(sites) sort-spill
+    # before the disk-bound decades.
+    dup = sites.join(cnt.hint("shuffle_hash"), "h").select("doc_id", "pos")
     union_len = F.aggregate(
         F.sort_array(F.collect_list("pos")),
         F.struct(F.lit(-L).cast("int").alias("prev"),

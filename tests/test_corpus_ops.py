@@ -475,3 +475,18 @@ def test_gopher_rules_each_fire(spark, tmp_path):
     # the synthesized line suffix contributes 'to'/'be', so the
     # stop-word rule passes for doc 4 — the alpha rule still fires
     assert out[4].frac_alpha_words < 0.8 and out[4].n_rules_failed >= 2
+
+
+def test_substring_hash64_mode_matches_md5_mode(spark, sf_dir):
+    """The 100 TB key mode (xxhash64 window keys) must produce the
+    identical result on a collision-free corpus — same rows, same
+    coverage — differing only in shuffle width."""
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.plans.corpus_ops import substring_dup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: (r.n_dup_sites, r.dup_token_cov)
+         for r in substring_dup_stats(d).collect()}
+    b = {r.doc_id: (r.n_dup_sites, r.dup_token_cov)
+         for r in substring_dup_stats(d, hash64=True).collect()}
+    assert a == b and any(v[0] > 0 for v in a.values())
