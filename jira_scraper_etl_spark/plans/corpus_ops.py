@@ -1371,3 +1371,151 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("n_stop_words") >= 2, 0).otherwise(1))
     return m.select("*", fails.cast("int").alias("n_rules_failed"),
                     (fails == 0).alias("pass_gopher"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rule within-document repetition signals (round 13)
+# ---------------------------------------------------------------------------
+
+# (n-gram size, mode): "top" = coverage of the single most frequent
+# n-gram (Gopher: "fraction of characters in most common {2,3,4}-gram");
+# "dup" = coverage of ALL n-grams occurring more than once in the doc
+# (Gopher: "fraction of characters in duplicated {5..10}-grams" — 5 and
+# 8 as the family's representatives).
+_REP_SIZES = ((2, "top"), (3, "top"), (4, "top"), (5, "dup"), (8, "dup"))
+
+
+def _rep_ctes(n: int, mode: str) -> str:
+    """DuckDB CTE chain for one n-gram size: sites, per-doc counts,
+    selected grams (argmax with count-desc/lexicographic tie-break, or
+    the >=2-count set), their positions, and the interval-union
+    coverage via the same LEAST(L, gap) fold as dedup_substring_exact."""
+    if mode == "top":
+        sel = f"""w{n} AS (SELECT doc_id, g FROM (
+        SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, g ASC) AS rn FROM c{n}) WHERE rn = 1)"""
+    else:
+        sel = f"w{n} AS (SELECT doc_id, g FROM c{n} WHERE c >= 2)"
+    return f"""s{n} AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(toks[i:i+{n - 1}], ' ') AS g
+        FROM base, LATERAL unnest(
+            generate_series(1, n_toks - {n} + 1)) AS u(i)
+        WHERE n_toks >= {n}),
+    c{n} AS (SELECT doc_id, g, COUNT(*) AS c FROM s{n}
+             GROUP BY doc_id, g),
+    {sel},
+    p{n} AS (SELECT s.doc_id, s.pos FROM s{n} s
+             JOIN w{n} w USING (doc_id, g)),
+    v{n} AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS cov
+             FROM (SELECT doc_id,
+                          LEAST({n}, pos - COALESCE(lag(pos, 1) OVER (
+                              PARTITION BY doc_id ORDER BY pos),
+                              pos - {n})) AS contrib
+                   FROM p{n})
+             GROUP BY doc_id)"""
+
+
+_REP_FRAC_COLS = ",\n           ".join(
+    f"CAST(COALESCE(v{n}.cov, 0) AS DOUBLE) / b.n_toks"
+    f" AS {mode}{n}_cov_frac" for n, mode in _REP_SIZES)
+_REP_JOINS = "\n    ".join(
+    f"LEFT JOIN v{n} USING (doc_id)" for n, _ in _REP_SIZES)
+_REP_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {{SQL_TOKS}} AS toks FROM documents),
+    base AS (SELECT doc_id, len(toks) AS n_toks, toks
+             FROM t WHERE len(toks) > 0),
+    {",".join(_rep_ctes(n, m) for n, m in _REP_SIZES)}
+    SELECT b.doc_id,
+           CAST(b.n_toks AS BIGINT) AS n_tokens,
+           CAST(1 AS DOUBLE)
+             - CAST(len(list_distinct(b.toks)) AS DOUBLE) / b.n_toks
+             AS dup_word_frac,
+           {_REP_FRAC_COLS}
+    FROM base b
+    {_REP_JOINS}
+""".replace("{SQL_TOKS}", SQL_TOKS)
+
+
+@register(
+    "text_repetition_coverage",
+    oracle=_REP_ORACLE,
+    tags=("textstats", "quality"),
+)
+def text_repetition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule within-document repetition signals (Rae et al. 2021
+    appendix A1.2, word-level adaptation): coverage fraction of the
+    single most frequent {2,3,4}-gram, coverage fraction of all
+    duplicated {5,8}-grams, and the duplicate-word fraction — the
+    published filters for loops, boilerplate chains, and keyword-stuffed
+    documents that document-LEVEL dedup cannot see. Complements the
+    fraction-based `text_repetition_stats` (top-token/top-bigram share,
+    plans/curation.py) with the paper's COVERAGE form. "Coverage" is the
+    token-position interval-union of the selected grams' occurrences
+    (the paper counts characters; positions make overlap-counting exact
+    and engine-portable), so every fraction is in [0, 1] even for
+    self-overlapping grams like "a a" in "a a a a".
+
+    Scale shape: all semantics are within-document, but the counting
+    runs as corpus-wide ``groupBy(doc_id, gram)`` + one hash join back
+    per n-gram size — map-side combinable, shuffle O(distinct
+    (doc, gram)) ≤ O(total tokens), and linear in doc length where a
+    pure higher-order-function form would be O(len²) per doc (fatal on
+    100k-token docs). Argmax tie-break is count-desc then lexicographic
+    (``min(struct(-c, g))`` ≡ the oracle's ROW_NUMBER order), so the
+    result is total and cross-engine deterministic. Five sizes = five
+    passes over the persisted token seam; a production run would fuse
+    the site explosion once and tag rows by n, at the cost of the
+    per-size pruning (``n_tokens >= n``) — documented, not needed at
+    any probed SF.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = H.word_tokens(F.col("text"))
+    t = fan_out(d.where(F.col("text").rlike(r"\S"))
+                .select("doc_id", toks.alias("toks")), LIGHT)
+    base = persist_seam(
+        t.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"),
+                 "toks"))
+    out = base.select(
+        "doc_id", "n_tokens",
+        (F.lit(1.0) - F.size(F.array_distinct("toks"))
+         / F.col("n_tokens")).alias("dup_word_frac"))
+    # NB: the loop lambdas close over ``n`` late-binding style, which
+    # is safe here because each HOF expression is BUILT in the same
+    # iteration (F.transform/F.aggregate evaluate the lambda eagerly
+    # to construct the expression tree); default-arg pinning would
+    # break PySpark's lambda-arity introspection.
+    for n, mode in _REP_SIZES:
+        grams = F.transform(
+            F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int")),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
+        sites = (base.where(F.col("n_tokens") >= n)
+                 .select("doc_id", F.posexplode(grams).alias("pos", "g")))
+        cnt = (sites.groupBy("doc_id", "g")
+               .agg(F.count(F.lit(1)).alias("c")))
+        if mode == "top":
+            sel = (cnt.groupBy("doc_id")
+                   .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                       F.col("g").alias("g"))).alias("w"))
+                   .select("doc_id", F.col("w.g").alias("g")))
+        else:
+            sel = cnt.where(F.col("c") >= 2).select("doc_id", "g")
+        # shuffle_hash for the same reason as dedup_substring_exact:
+        # never sort the O(tokens) site stream on its gram key
+        pos = (sites.join(sel.hint("shuffle_hash"), ["doc_id", "g"])
+               .select("doc_id", "pos"))
+        union_len = F.aggregate(
+            F.sort_array(F.collect_list("pos")),
+            F.struct(F.lit(-n).cast("int").alias("prev"),
+                     F.lit(0).cast("bigint").alias("tot")),
+            lambda acc, s: F.struct(
+                s.alias("prev"),
+                (acc.tot + F.least(F.lit(n), s - acc.prev)).alias("tot")),
+            lambda acc: acc.tot)
+        cov = pos.groupBy("doc_id").agg(union_len.alias(f"_cov{n}"))
+        out = (out.join(cov, "doc_id", "left")
+               .withColumn(f"{mode}{n}_cov_frac",
+                           F.coalesce(F.col(f"_cov{n}"), F.lit(0))
+                           / F.col("n_tokens"))
+               .drop(f"_cov{n}"))
+    return out

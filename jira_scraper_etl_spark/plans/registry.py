@@ -43,6 +43,9 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: add a ``(spark, sf_dir) -> DataFrame`` callable to the registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # a repeated name would silently shadow the earlier entry (and
+        # its oracle) for every harness that reads the registry
+        assert name not in QUERIES, f"duplicate registry name: {name}"
         QUERIES[name] = Query(name=name, fn=fn, oracle=oracle,
                               doc=fn.__doc__ or "", tags=tags)
         return fn

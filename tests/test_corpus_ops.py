@@ -490,3 +490,77 @@ def test_substring_hash64_mode_matches_md5_mode(spark, sf_dir):
     b = {r.doc_id: (r.n_dup_sites, r.dup_token_cov)
          for r in substring_dup_stats(d, hash64=True).collect()}
     assert a == b and any(v[0] > 0 for v in a.values())
+
+
+def _py_repetition_coverage(texts):
+    """Python twin of text_repetition_coverage: per-doc top-{2,3,4}-gram
+    and duplicated-{5,8}-gram interval-union coverage fractions."""
+    from collections import Counter
+
+    out = {}
+    for i, t in texts.items():
+        if t is None or t.strip() == "":
+            continue
+        tk = [w for w in re.split(r"\s+", t.lower()) if w != ""]
+        row = {"n_tokens": len(tk),
+               "dup_word_frac": 1.0 - len(set(tk)) / len(tk)}
+        for n, mode in ((2, "top"), (3, "top"), (4, "top"),
+                        (5, "dup"), (8, "dup")):
+            grams = [" ".join(tk[p:p + n]) for p in range(len(tk) - n + 1)]
+            c = Counter(grams)
+            if mode == "top":
+                sel = ({min(sorted(c), key=lambda g: (-c[g], g))}
+                       if c else set())
+            else:
+                sel = {g for g, k in c.items() if k >= 2}
+            pos = [p for p, g in enumerate(grams) if g in sel]
+            cov, prev = 0, -n
+            for s in pos:
+                cov += min(n, s - prev)
+                prev = s
+            row[f"{mode}{n}_cov_frac"] = cov / len(tk)
+        out[i] = row
+    return out
+
+
+def test_repetition_coverage_matches_python(spark, sf_dir):
+    """Differential vs the Python twin on the real corpus, plus crafted
+    degenerate docs (pure loop, half-boilerplate, all-distinct)."""
+    from jira_scraper_etl_spark.catalog import load_table
+
+    texts = {r.doc_id: r.text for r in
+             load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text").collect()}
+    want = _py_repetition_coverage(texts)
+    got = {r.doc_id: r for r in
+           QUERIES["text_repetition_coverage"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for i, w in want.items():
+        r = got[i]
+        assert r.n_tokens == w["n_tokens"], i
+        for k, v in w.items():
+            if k != "n_tokens":
+                assert abs(getattr(r, k) - v) < 1e-12, (i, k)
+
+
+def test_repetition_coverage_degenerate_docs(spark, tmp_path):
+    """A pure loop doc saturates every signal; an all-distinct doc
+    zeroes the dup signals; self-overlapping grams stay in [0, 1]."""
+    rows = [
+        (0, " ".join(["spam"] * 40)),                       # pure loop
+        (1, " ".join(f"w{i}" for i in range(40))),          # all distinct
+        (2, " ".join(f"p{i % 10}" for i in range(40))),     # period-10 loop
+    ]
+    d = docs_dir(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in
+           QUERIES["text_repetition_coverage"].fn(spark, d).collect()}
+    want = _py_repetition_coverage({i: t for i, t in rows})
+    for i, w in want.items():
+        for k, v in w.items():
+            g = getattr(got[i], k)
+            assert abs(g - v) < 1e-12, (i, k)
+            if k.endswith("_frac"):
+                assert 0.0 <= g <= 1.0
+    assert got[0].top2_cov_frac == 1.0 and got[0].dup8_cov_frac == 1.0
+    assert got[1].dup5_cov_frac == 0.0 and got[1].dup_word_frac == 0.0
+    assert got[2].dup8_cov_frac == 1.0  # period-10 repetition at n=8
