@@ -1519,3 +1519,221 @@ def text_repetition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / F.col("n_tokens"))
                .drop(f"_cov{n}"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic filters (round 13)
+# ---------------------------------------------------------------------------
+
+# Like the Gopher entry: the synthetic corpus has no line structure,
+# braces, boilerplate phrases, or code fragments, so the query appends
+# deterministic doc_id-derived lines before scoring — every rule's
+# regex and boolean branch runs non-vacuously on both engines.
+_SQL_C4TEXT = (
+    "text || '.' || chr(10) || CASE doc_id % 5"
+    " WHEN 0 THEN 'this line ends with terminal punctuation.'"
+    " WHEN 1 THEN 'please enable javascript to view this page'"
+    " WHEN 2 THEN 'by continuing you accept our privacy policy.'"
+    " WHEN 3 THEN 'function f() { return 0; }'"
+    " ELSE 'lorem ipsum dolor sit amet!' END || chr(10) ||"
+    " CASE doc_id % 2 WHEN 0 THEN 'short line' "
+    " ELSE 'a longer line with enough words to pass the cut.' END"
+)
+
+_C4_POLICY_RE = "(terms of use|privacy policy|cookie policy|uses cookies)"
+
+
+def _c4text_col() -> Column:
+    return F.concat(
+        F.col("text"), F.lit(".\n"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("this line ends with terminal punctuation."))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit("please enable javascript to view this page"))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit("by continuing you accept our privacy policy."))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit("function f() { return 0; }"))
+        .otherwise(F.lit("lorem ipsum dolor sit amet!")),
+        F.lit("\n"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("short line"))
+        .otherwise(F.lit("a longer line with enough words to pass the cut.")))
+
+
+@register(
+    "text_c4_filters",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_SQL_C4TEXT} AS text FROM documents
+               WHERE regexp_matches(text, '\\S')),
+    l AS (SELECT doc_id, text,
+                 string_split(text, chr(10)) AS lines FROM g),
+    m AS (SELECT doc_id,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(lines,
+                     x -> regexp_matches(x, '[.!?"]$'))) AS BIGINT)
+                     AS n_terminal_lines,
+                 CAST(len(list_filter(lines, x ->
+                     len(list_filter(string_split_regex(x, '\\s+'),
+                                     w -> w <> '')) < 5)) AS BIGINT)
+                     AS n_short_lines,
+                 CAST(len(regexp_extract_all(lower(text), '[.!?]'))
+                     AS BIGINT) AS n_sentences,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem,
+                 contains(text, '{{') AS has_brace,
+                 contains(lower(text), 'javascript') AS has_javascript,
+                 regexp_matches(lower(text), '{_C4_POLICY_RE}')
+                     AS has_policy_phrase
+          FROM l)
+    SELECT doc_id, n_lines, n_terminal_lines, n_short_lines, n_sentences,
+           CAST(n_terminal_lines AS DOUBLE) / n_lines
+               AS frac_terminal_lines,
+           CAST(n_short_lines AS DOUBLE) / n_lines AS frac_short_lines,
+           has_lorem, has_brace, has_javascript, has_policy_phrase,
+           (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+            AND NOT has_javascript AND NOT has_policy_phrase) AS pass_c4
+    FROM m
+    """,
+    tags=("textstats", "quality"),
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): terminal-
+    punctuation line fraction, short-line (<5 words) fraction, the
+    ≥3-sentence requirement, and the page-level removals — "lorem
+    ipsum", curly braces (code), "javascript", and the cookie/policy
+    boilerplate phrases — emitted as per-document metrics plus the
+    combined pass verdict. C4 applies the line rules by dropping lines
+    and the page rules by dropping documents; this emits the signals so
+    downstream curation can do either (the repo's line-level dropper is
+    ``text_dedup_lines``-style reassembly).
+
+    Map-only at any scale: line splits and phrase probes fold over each
+    document alone (HOF filter/split + regexp, no UDF, no shuffle,
+    no state). The line-end regex sticks to the Java/RE2 common subset
+    (explicit ``[.!?\"]$`` on ``\\n``-split lines, never multiline
+    ``$``). Reference analog: transformer.py's ad-hoc content checks
+    when deciding which issue bodies to keep.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = (d.where(F.col("text").rlike(r"\S"))
+         .select("doc_id", _c4text_col().alias("text")))
+    t = fan_out(g.select("doc_id", "text",
+                         F.split("text", "\n").alias("lines")), LIGHT)
+    low = F.lower(F.col("text"))
+    n_lines = F.size("lines").cast("bigint")
+    n_term = F.size(F.filter(
+        "lines", lambda x: x.rlike('[.!?"]$'))).cast("bigint")
+    n_short = F.size(F.filter(
+        "lines",
+        lambda x: F.size(F.filter(F.split(x, r"\s+"),
+                                  lambda w: w != "")) < 5)).cast("bigint")
+    n_sent = F.size(F.regexp_extract_all(low, F.lit(r"[.!?]"), 0)) \
+        .cast("bigint")
+    m = t.select(
+        "doc_id", n_lines.alias("n_lines"),
+        n_term.alias("n_terminal_lines"),
+        n_short.alias("n_short_lines"),
+        n_sent.alias("n_sentences"),
+        (n_term.cast("double") / n_lines).alias("frac_terminal_lines"),
+        (n_short.cast("double") / n_lines).alias("frac_short_lines"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        F.col("text").contains("{").alias("has_brace"),
+        low.contains("javascript").alias("has_javascript"),
+        low.rlike(_C4_POLICY_RE).alias("has_policy_phrase"))
+    return m.select(
+        "*",
+        ((F.col("n_sentences") >= 3) & ~F.col("has_lorem")
+         & ~F.col("has_brace") & ~F.col("has_javascript")
+         & ~F.col("has_policy_phrase")).alias("pass_c4"))
+
+
+# ---------------------------------------------------------------------------
+# Source-level curation rollup (round 13)
+# ---------------------------------------------------------------------------
+
+@register(
+    "curate_source_rollup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, lang, md5(text) AS h,
+                      len({SQL_TOKS}) AS n_toks
+               FROM documents WHERE text IS NOT NULL),
+    hc AS (SELECT source, h, COUNT(*) AS c FROM t GROUP BY source, h),
+    dup AS (SELECT source,
+                   CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0)
+                        AS BIGINT) AS n_dup_docs
+            FROM hc GROUP BY source),
+    lc AS (SELECT source, lang, COUNT(*) AS c FROM t
+           GROUP BY source, lang),
+    lm AS (SELECT source, lang AS top_lang, c AS top_c,
+                  CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                      AS n_langs
+           FROM (SELECT source, lang, c, ROW_NUMBER() OVER (
+                     PARTITION BY source ORDER BY c DESC, lang ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS nl
+                 FROM lc) q
+           WHERE rn = 1),
+    base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+             FROM t GROUP BY source)
+    SELECT b.source, b.n_docs, b.n_tokens,
+           CAST(b.n_tokens AS DOUBLE) / b.n_docs AS mean_doc_tokens,
+           d.n_dup_docs,
+           CAST(d.n_dup_docs AS DOUBLE) / b.n_docs AS dup_frac,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lc
+            WHERE lc.source = b.source) AS n_langs,
+           l.top_lang,
+           CAST(l.top_c AS DOUBLE) / b.n_docs AS top_lang_share
+    FROM base b
+    JOIN dup d USING (source)
+    JOIN lm l USING (source)
+    """,
+    tags=("curation",),
+)
+def curate_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level curation rollup (the RefinedWeb/CCNet move of
+    filtering by DOMAIN before filtering by document): per source —
+    doc and token counts, mean document length, the exact-duplicate
+    rate inside the source (all copies of a repeated md5 counted, the
+    mass a within-source dedup would touch), language count, and the
+    dominant language with its share (count-desc, lexicographic
+    tie-break, so the result is total and engine-portable).
+
+    Scale shape: three map-side-combinable aggregations keyed by
+    source / (source, md5) / (source, lang) — shuffle volume is
+    O(distinct keys), never O(docs) — joined on the (small) source
+    dimension, which AQE broadcasts. A production run over millions of
+    domains keys the same plan; no driver-side state anywhere.
+    Reference analog: transformer.py's per-project accounting when
+    summarizing a scrape run.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = fan_out(
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", "source", "lang", F.md5("text").alias("h"),
+                F.size(H.word_tokens(F.col("text"))).alias("n_toks")),
+        LIGHT)
+    t = persist_seam(t)
+    base = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    dup = (t.groupBy("source", "h").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("source")
+           .agg(F.coalesce(
+               F.sum(F.when(F.col("c") >= 2, F.col("c"))),
+               F.lit(0)).cast("bigint").alias("n_dup_docs")))
+    lc = t.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lm = (lc.groupBy("source")
+          .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                              F.col("lang").alias("lang"))).alias("w"),
+               F.count(F.lit(1)).cast("bigint").alias("n_langs"))
+          .select("source", F.col("w.lang").alias("top_lang"),
+                  (-F.col("w.nc")).alias("top_c"), "n_langs"))
+    return (base.join(dup, "source").join(lm, "source")
+            .select("source", "n_docs", "n_tokens",
+                    (F.col("n_tokens").cast("double") / F.col("n_docs"))
+                    .alias("mean_doc_tokens"),
+                    "n_dup_docs",
+                    (F.col("n_dup_docs").cast("double") / F.col("n_docs"))
+                    .alias("dup_frac"),
+                    "n_langs", "top_lang",
+                    (F.col("top_c").cast("double") / F.col("n_docs"))
+                    .alias("top_lang_share")))

@@ -564,3 +564,74 @@ def test_repetition_coverage_degenerate_docs(spark, tmp_path):
     assert got[0].top2_cov_frac == 1.0 and got[0].dup8_cov_frac == 1.0
     assert got[1].dup5_cov_frac == 0.0 and got[1].dup_word_frac == 0.0
     assert got[2].dup8_cov_frac == 1.0  # period-10 repetition at n=8
+
+
+def test_c4_filters_rules_fire_and_replay(spark, sf_dir, tmp_path):
+    """Python replay of every C4 metric on the real corpus, plus the
+    rule branches: the synthesized lines make each doc_id % 5 class
+    trip exactly one page-level rule (or none for class 0)."""
+    from jira_scraper_etl_spark.catalog import load_table
+
+    texts = {r.doc_id: r.text for r in
+             load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text").collect()
+             if r.text is not None and r.text.strip() != ""}
+    got = {r.doc_id: r for r in
+           QUERIES["text_c4_filters"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(texts)
+    suffix2 = {0: "this line ends with terminal punctuation.",
+               1: "please enable javascript to view this page",
+               2: "by continuing you accept our privacy policy.",
+               3: "function f() { return 0; }",
+               4: "lorem ipsum dolor sit amet!"}
+    for i, t in texts.items():
+        g = (t + ".\n" + suffix2[i % 5] + "\n"
+             + ("short line" if i % 2 == 0
+                else "a longer line with enough words to pass the cut."))
+        lines = g.split("\n")
+        low = g.lower()
+        r = got[i]
+        assert r.n_lines == len(lines)
+        assert r.n_terminal_lines == sum(
+            1 for x in lines if re.search(r'[.!?"]$', x))
+        assert r.n_short_lines == sum(
+            1 for x in lines
+            if len([w for w in re.split(r"\s+", x) if w != ""]) < 5)
+        assert r.n_sentences == len(re.findall(r"[.!?]", low))
+        assert r.has_lorem == ("lorem ipsum" in low)
+        assert r.has_brace == ("{" in g)
+        assert r.has_javascript == ("javascript" in low)
+        assert r.has_policy_phrase == bool(re.search(
+            r"terms of use|privacy policy|cookie policy|uses cookies", low))
+        want_pass = (r.n_sentences >= 3 and not r.has_lorem
+                     and not r.has_brace and not r.has_javascript
+                     and not r.has_policy_phrase)
+        assert r.pass_c4 == want_pass
+        if i % 5 in (1, 2, 3, 4):
+            assert not r.pass_c4  # each class trips its page rule
+
+
+def test_source_rollup_accounts_exactly(spark, tmp_path):
+    """Crafted corpus: two sources with known duplicate mass and
+    language mixes; rollup numbers are exact and the top-lang
+    tie-break is lexicographic."""
+    rows = [
+        (1, "a b c", "en", "s1"), (2, "a b c", "en", "s1"),   # dup pair
+        (3, "x y", "de", "s1"),
+        (4, "unique one", "en", "s2"), (5, "unique two", "fr", "s2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lg, src, len(t)) for i, t, lg, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r.source: r for r in
+           QUERIES["curate_source_rollup"].fn(spark, d).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1.n_docs, s1.n_tokens, s1.n_dup_docs) == (3, 8, 2)
+    assert abs(s1.dup_frac - 2 / 3) < 1e-12
+    assert (s1.n_langs, s1.top_lang) == (2, "en")
+    assert abs(s1.top_lang_share - 2 / 3) < 1e-12
+    assert (s2.n_docs, s2.n_dup_docs, s2.n_langs) == (2, 0, 2)
+    # 1-1 language tie inside s2: lexicographically smallest wins
+    assert s2.top_lang == "en" and abs(s2.top_lang_share - 0.5) < 1e-12
