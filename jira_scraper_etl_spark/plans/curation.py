@@ -820,13 +820,23 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     this extends the §2-beyond curation family alongside
     decontaminate_* and sample_mixture_weights."""
     d = load_table(spark, sf_dir, "documents")
-    toks = (d.where(F.col("text").isNotNull())
-            .select("doc_id",
-                    (doc_bucket(F.col("doc_id")) < 10).alias("is_target"),
-                    F.explode(H.word_tokens(F.col("text"))).alias("t"))
-            .select("doc_id", "is_target",
-                    (H.hex4_to_int(F.substring(F.md5("t"), 1, 4))
-                     % DSIR_BUCKETS).alias("b")))
+    # fan the scan out before the tokenize/md5 explode (a single-file
+    # scan would run the whole heavy map pass on its ~14 input blocks:
+    # the sf10 probe showed every stage tailing on one straggler), and
+    # persist the hashed token stream — it feeds THREE consumers
+    # (target counts, source counts, scoring) plus the threshold
+    # election, each of which otherwise re-derives the full explode.
+    # Measured at sf10/sf30: 160.4/326.6 s -> see BASELINE.md.
+    from ..seams import persist_seam
+    toks = persist_seam(
+        fan_out(d.where(F.col("text").isNotNull())
+                .select("doc_id", "text"), HEAVY)
+        .select("doc_id",
+                (doc_bucket(F.col("doc_id")) < 10).alias("is_target"),
+                F.explode(H.word_tokens(F.col("text"))).alias("t"))
+        .select("doc_id", "is_target",
+                (H.hex4_to_int(F.substring(F.md5("t"), 1, 4))
+                 % DSIR_BUCKETS).alias("b")))
     tc = (toks.where("is_target").groupBy("b")
           .agg(F.count(F.lit(1)).alias("t")))
     sc = (toks.where(~F.col("is_target")).groupBy("b")
