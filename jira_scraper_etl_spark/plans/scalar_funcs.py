@@ -61,13 +61,29 @@ def func_text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def func_question_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 question extraction (transformer.py:103 `re.findall(r'([^.!?]+\\?)')`)
-    + F9 first-segment split, as regexp_extract_all — arrays surfaced as a
-    joined string so the hash compare is representation-independent."""
+    + F9 first-segment split — arrays surfaced as a joined string so the
+    hash compare is representation-independent.
+
+    NOT regexp_extract_all on the Spark side: Java's backtracking
+    engine makes `[^.!?]+\\?` O(len²) per document on question-free
+    text (each start position rescans to the segment end — measured
+    36.2 s for 50k docs at sf1, the worst entry in the profile), while
+    DuckDB's RE2 runs the same pattern in linear time. The identical
+    semantics O(len): split on '?', and each piece but the last
+    contributes its suffix after the final '.'/'!' (non-empty ⇔ the
+    regex's `+`), with the '?' re-appended. Equivalence property-checked
+    against re.findall in tests/test_text_functions.py."""
     d = load_table(spark, sf_dir, "documents")
-    qs = F.regexp_extract_all(F.col("text"), F.lit(r"([^.!?]+\?)"), 1)
+    pieces = F.split("text", r"\?")
+    qs = F.filter(
+        F.transform(
+            F.slice(pieces, 1, F.greatest(F.size(pieces) - 1, F.lit(0))),
+            lambda p: F.element_at(F.split(p, "[.!]"), -1)),
+        lambda x: x != "")
     return d.select(
         "doc_id",
-        F.array_join(qs, "|").alias("questions"),
+        F.array_join(F.transform(qs, lambda x: F.concat(x, F.lit("?"))),
+                     "|").alias("questions"),
         F.size(qs).alias("n_questions"),
         F.regexp_extract(F.element_at(F.split("text", r"\."), 1), r"^\S+", 0)
         .alias("first_word"),

@@ -144,3 +144,28 @@ def test_validation_errors(spark):
     assert set(out[1].e) == {"Missing issue ID", "Missing or empty title",
                              "Malformed date in created: bad-date",
                              "Empty comment body at index 0"}
+
+
+def test_question_extraction_matches_re_findall(spark, tmp_path):
+    """The O(n) split reconstruction must equal the reference's
+    re.findall(r'([^.!?]+\\?)') on adversarial punctuation layouts,
+    including empty questions, leading '?', and mixed terminators."""
+    import re as _re
+
+    cases = ["ab?cd?", "a..b?x!y?", "a.?", "??", "", "no questions here",
+             "what? ", "x!?y?", "a?b.c?d!e?", "?lead",
+             "multi word question here? and.another!one more? end",
+             "tail? trailing text without question mark"]
+    df = spark.createDataFrame(
+        [(i, t, "en", f"s{i}", len(t)) for i, t in enumerate(cases)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/documents.parquet")
+    from jira_scraper_etl_spark.plans import QUERIES
+
+    out = {r.doc_id: r for r in
+           QUERIES["func_question_extraction"].fn(spark, d).collect()}
+    for i, t in enumerate(cases):
+        want = _re.findall(r"([^.!?]+\?)", t)
+        assert out[i].questions == "|".join(want), (i, t)
+        assert out[i].n_questions == len(want), (i, t)
