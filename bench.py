@@ -110,6 +110,10 @@ HEADLINE = [
     # site-volume plan (O(total tokens) rows through one keyed
     # shuffle), so trend-line it beside the span/minhash dedups
     "dedup_substring_exact",
+    # round-13 third batch: the FineWeb-style composed verdict — the
+    # curation family's staged flagship (language -> quality -> C4 ->
+    # repetition -> dedup election in ONE seam-shared plan)
+    "curate_fineweb_keep",
 ]
 
 # Queries whose ``count()`` plan Catalyst can optimize down to a bare
@@ -127,6 +131,9 @@ FORCE_FULL_MATERIALIZE = {
     # aggregate, so count() prunes the whole window/coverage pipeline
     "dedup_substring_exact",
 }
+# (curate_fineweb_keep stays count()-timed: its base->election join is
+# INNER, which Catalyst cannot prune for count — verified by the
+# contract test — so count() measures the real pipeline.)
 
 # Churn controls (round-12 verdict #6): queries pinned as the box-noise
 # reference for round-over-round comparison. Criteria: in the suite

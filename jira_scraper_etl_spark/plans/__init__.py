@@ -36,6 +36,7 @@ _PRIORITY = [
     "mm_jpeg_pixel_stats", "curate_dsir_weights",
     "dedup_substring_exact", "text_gopher_quality",
     "text_repetition_coverage", "text_c4_filters", "curate_source_rollup",
+    "curate_fineweb_keep",
     # -- Round-13 rotation (verdict #5): strict staleness order --
     # entries sorted by last driver-green round (CORRECTNESS_r*),
     # ties broken by the previous registry order. The 50-entry

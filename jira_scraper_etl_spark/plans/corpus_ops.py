@@ -1737,3 +1737,178 @@ def curate_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_langs", "top_lang",
                     (F.col("top_c").cast("double") / F.col("n_docs"))
                     .alias("top_lang_share")))
+
+
+# ---------------------------------------------------------------------------
+# FineWeb-style composed curation verdict (round 13)
+# ---------------------------------------------------------------------------
+
+FINEWEB_TOP2_MAX = 0.20   # Gopher A1.2 top-2-gram coverage ceiling
+FINEWEB_DUP5_MAX = 0.30   # Gopher A1.2 duplicated-5-gram ceiling
+
+_FW_ORACLE = f"""
+    WITH t0 AS (SELECT doc_id, text, md5(text) AS h, {{SQL_TOKS}} AS toks
+                FROM documents WHERE regexp_matches(text, '\\S')),
+    base AS (SELECT doc_id, text, h, toks, len(toks) AS n_toks FROM t0),
+    {",".join(_rep_ctes(n, m) for n, m in ((2, "top"), (5, "dup")))},
+    lang AS (SELECT doc_id, {{_PRED}} AS plang FROM base),
+    m AS (SELECT doc_id,
+                 n_toks AS n_words,
+                 CAST(list_sum(list_transform(toks,
+                     w -> CAST(len(w) AS BIGINT))) AS BIGINT) AS sum_len,
+                 CAST(len(list_filter(toks,
+                     w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(len(list_intersect(list_distinct(toks),
+                     {list(GOPHER_STOPS)})) AS BIGINT) AS n_stop,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem,
+                 contains(text, '{{{{') AS has_brace,
+                 contains(lower(text), 'javascript') AS has_js,
+                 regexp_matches(lower(text), '{_C4_POLICY_RE}') AS has_policy
+          FROM base),
+    dd AS (SELECT h, MIN(doc_id) AS cdoc FROM base GROUP BY h),
+    v AS (SELECT b.doc_id,
+                 (l.plang = 'en') AS lang_ok,
+                 (m.n_words BETWEEN 50 AND 100000
+                  AND CAST(m.sum_len AS DOUBLE) / m.n_words >= 3.0
+                  AND CAST(m.sum_len AS DOUBLE) / m.n_words <= 10.0
+                  AND CAST(m.n_alpha AS DOUBLE) / m.n_words >= 0.8
+                  AND m.n_stop >= 2) AS gopher_ok,
+                 (NOT m.has_lorem AND NOT m.has_brace AND NOT m.has_js
+                  AND NOT m.has_policy) AS c4_ok,
+                 (CAST(COALESCE(v2.cov, 0) AS DOUBLE) / b.n_toks
+                      <= {FINEWEB_TOP2_MAX}
+                  AND CAST(COALESCE(v5.cov, 0) AS DOUBLE) / b.n_toks
+                      <= {FINEWEB_DUP5_MAX}) AS repetition_ok,
+                 (b.doc_id = d.cdoc) AS is_canonical
+          FROM base b
+          JOIN lang l USING (doc_id)
+          JOIN m USING (doc_id)
+          JOIN dd d USING (h)
+          LEFT JOIN v2 USING (doc_id)
+          LEFT JOIN v5 USING (doc_id))
+    SELECT doc_id, lang_ok, gopher_ok, c4_ok, repetition_ok, is_canonical,
+           (lang_ok AND gopher_ok AND c4_ok AND repetition_ok
+            AND is_canonical) AS keep,
+           CASE WHEN NOT lang_ok THEN 'lang'
+                WHEN NOT gopher_ok THEN 'quality'
+                WHEN NOT c4_ok THEN 'c4'
+                WHEN NOT repetition_ok THEN 'repetition'
+                WHEN NOT is_canonical THEN 'duplicate'
+                ELSE 'kept' END AS reason
+    FROM v
+"""
+
+
+@register(
+    "curate_fineweb_keep",
+    oracle=None,  # bound below after fragment substitution
+    tags=("curation", "flagship"),
+)
+def curate_fineweb_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style composed curation verdict (Penedo et al. 2024's
+    pipeline order): language gate → Gopher token-quality rules → C4
+    page-level removals → Gopher repetition ceilings (top-2-gram ≤ 0.20,
+    duplicated-5-gram ≤ 0.30 coverage) → exact-dedup first-occurrence
+    election; one row per document with each stage's boolean, the
+    combined keep, and the FIRST failing stage as the reason code —
+    the accounting a production curation run reports per shard.
+
+    Stage semantics reuse the individually-oracle-checked entries
+    (text_language_id's argmax lexicon, text_gopher_quality's token
+    rules on RAW text — the line rules need line structure, so the
+    composed form keeps to token/page rules — text_c4_filters' page
+    removals, text_repetition_coverage's interval-union, dedup_exact's
+    min-id election). Plan shape: ONE persisted token seam feeds the
+    map-only metric block, both repetition sub-pipelines, and the
+    md5 election; everything re-joins on doc_id (unique, AQE-planned).
+    No stage sees another's rejections — the booleans are independent,
+    so the reason chain is a reporting choice, exactly as in the
+    published pipeline's ablations.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = fan_out(d.where(F.col("text").rlike(r"\S"))
+                .select("doc_id", "text",
+                        H.word_tokens(F.col("text")).alias("toks"),
+                        F.md5("text").alias("h")), LIGHT)
+    base = persist_seam(
+        t.select("doc_id", "text", "toks", "h",
+                 F.size("toks").cast("bigint").alias("n_tokens")))
+    low = F.lower(F.col("text"))
+    n_words = F.col("n_tokens")
+    sum_len = F.aggregate("toks", F.lit(0).cast("bigint"),
+                          lambda a, w: a + F.length(w))
+    mwl = sum_len.cast("double") / n_words
+    n_alpha = F.size(F.filter("toks", lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct("toks"),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    from ..functions.textstats import predict_language
+    flags = base.select(
+        "doc_id",
+        (predict_language(F.col("text")) == "en").alias("lang_ok"),
+        (n_words.between(50, 100000) & (mwl >= 3.0) & (mwl <= 10.0)
+         & (n_alpha.cast("double") / n_words >= 0.8)
+         & (n_stop >= 2)).alias("gopher_ok"),
+        (~low.contains("lorem ipsum") & ~F.col("text").contains("{")
+         & ~low.contains("javascript")
+         & ~low.rlike(_C4_POLICY_RE)).alias("c4_ok"))
+    covs = {}
+    for n, mode in ((2, "top"), (5, "dup")):
+        grams = F.transform(
+            F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int")),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
+        sites = (base.where(F.col("n_tokens") >= n)
+                 .select("doc_id", F.posexplode(grams).alias("pos", "g")))
+        cnt = sites.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        if mode == "top":
+            sel = (cnt.groupBy("doc_id")
+                   .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                       F.col("g").alias("g"))).alias("w"))
+                   .select("doc_id", F.col("w.g").alias("g")))
+        else:
+            sel = cnt.where(F.col("c") >= 2).select("doc_id", "g")
+        pos = (sites.join(sel.hint("shuffle_hash"), ["doc_id", "g"])
+               .select("doc_id", "pos"))
+        union_len = F.aggregate(
+            F.sort_array(F.collect_list("pos")),
+            F.struct(F.lit(-n).cast("int").alias("prev"),
+                     F.lit(0).cast("bigint").alias("tot")),
+            lambda acc, s: F.struct(
+                s.alias("prev"),
+                (acc.tot + F.least(F.lit(n), s - acc.prev)).alias("tot")),
+            lambda acc: acc.tot)
+        covs[n] = pos.groupBy("doc_id").agg(union_len.alias(f"cov{n}"))
+    dd = base.groupBy("h").agg(F.min("doc_id").alias("cdoc"))
+    v = (base.select("doc_id", "h", "n_tokens")
+         .join(flags, "doc_id")
+         .join(covs[2], "doc_id", "left")
+         .join(covs[5], "doc_id", "left")
+         .join(dd, "h")
+         .select(
+             "doc_id", "lang_ok", "gopher_ok", "c4_ok",
+             ((F.coalesce("cov2", F.lit(0)).cast("double")
+               / F.col("n_tokens") <= FINEWEB_TOP2_MAX)
+              & (F.coalesce("cov5", F.lit(0)).cast("double")
+                 / F.col("n_tokens") <= FINEWEB_DUP5_MAX))
+             .alias("repetition_ok"),
+             (F.col("doc_id") == F.col("cdoc")).alias("is_canonical")))
+    keep = (F.col("lang_ok") & F.col("gopher_ok") & F.col("c4_ok")
+            & F.col("repetition_ok") & F.col("is_canonical"))
+    reason = (F.when(~F.col("lang_ok"), "lang")
+              .when(~F.col("gopher_ok"), "quality")
+              .when(~F.col("c4_ok"), "c4")
+              .when(~F.col("repetition_ok"), "repetition")
+              .when(~F.col("is_canonical"), "duplicate")
+              .otherwise("kept"))
+    return v.select("doc_id", "lang_ok", "gopher_ok", "c4_ok",
+                    "repetition_ok", "is_canonical", keep.alias("keep"),
+                    reason.alias("reason"))
+
+
+# bind the fragment-substituted oracle (SQL_TOKS / _PRED come from the
+# language entry's module so the lexicons stay single-sourced)
+from .llm_ops import _PRED as _LLM_PRED  # noqa: E402
+from .registry import QUERIES as _QUERIES  # noqa: E402
+_QUERIES["curate_fineweb_keep"].oracle = (
+    _FW_ORACLE.replace("{SQL_TOKS}", SQL_TOKS)
+    .replace("{_PRED}", _LLM_PRED))

@@ -635,3 +635,50 @@ def test_source_rollup_accounts_exactly(spark, tmp_path):
     assert (s2.n_docs, s2.n_dup_docs, s2.n_langs) == (2, 0, 2)
     # 1-1 language tie inside s2: lexicographically smallest wins
     assert s2.top_lang == "en" and abs(s2.top_lang_share - 0.5) < 1e-12
+
+
+def test_fineweb_keep_consistent_with_component_entries(spark, sf_dir):
+    """The composed verdict's stage booleans must equal what the
+    individually-oracle-checked component entries report: language
+    argmax, repetition coverages vs the thresholds, and the md5
+    first-occurrence election; reason must be the first failing stage
+    and keep the conjunction."""
+    from jira_scraper_etl_spark.catalog import load_table
+    from jira_scraper_etl_spark.plans.corpus_ops import (
+        FINEWEB_DUP5_MAX, FINEWEB_TOP2_MAX)
+
+    got = {r.doc_id: r for r in
+           QUERIES["curate_fineweb_keep"].fn(spark, sf_dir).collect()}
+    lang = {r.doc_id: r.predicted_lang for r in
+            QUERIES["text_language_id"].fn(spark, sf_dir).collect()}
+    rep = {r.doc_id: r for r in
+           QUERIES["text_repetition_coverage"].fn(spark, sf_dir).collect()}
+    texts = {r.doc_id: r.text for r in
+             load_table(spark, sf_dir, "documents")
+             .select("doc_id", "text").collect()
+             if r.text is not None and r.text.strip() != ""}
+    import hashlib
+    first = {}
+    for i in sorted(texts):
+        h = hashlib.md5(texts[i].encode()).hexdigest()
+        first.setdefault(h, i)
+    assert set(got) == set(texts)
+    n_kept = 0
+    for i, r in got.items():
+        assert r.lang_ok == (lang[i] == "en"), i
+        assert r.repetition_ok == (
+            rep[i].top2_cov_frac <= FINEWEB_TOP2_MAX
+            and rep[i].dup5_cov_frac <= FINEWEB_DUP5_MAX), i
+        h = hashlib.md5(texts[i].encode()).hexdigest()
+        assert r.is_canonical == (first[h] == i), i
+        assert r.keep == (r.lang_ok and r.gopher_ok and r.c4_ok
+                          and r.repetition_ok and r.is_canonical), i
+        want_reason = ("lang" if not r.lang_ok else
+                       "quality" if not r.gopher_ok else
+                       "c4" if not r.c4_ok else
+                       "repetition" if not r.repetition_ok else
+                       "duplicate" if not r.is_canonical else "kept")
+        assert r.reason == want_reason, i
+        n_kept += r.keep
+    # the verdict must discriminate on this corpus, not rubber-stamp
+    assert 0 < len({r.reason for r in got.values()})
