@@ -151,20 +151,33 @@ def candidate_pairs(banded: DataFrame, id_col: str = "doc_id",
     size at sf0.1 is far below the default cap, so both agree at test
     scale).
 
-    Shape: ONE window over key annotates every row with its bucket size
-    and in-bucket rank (a single exchange, reused by every consumer
-    below — ReusedExchange — so the signature pipeline runs once).
-    Small buckets self-join on key exactly as before. Big buckets join
-    on (key, rank): the probe side explodes each row into its
-    ``chain_width`` successor ranks, so the join *key* bounds the work
-    at O(n·W) — the chain is not a residual filter over an O(n²)
-    probe."""
-    w = Window.partitionBy("key")
+    Shape: ONE window pass over key annotates every row with its
+    bucket size and in-bucket rank, and the annotated frame is a
+    PERSIST SEAM (round-13 optimization). The former shape relied on
+    Catalyst's ReusedExchange to share the window's exchange across
+    the four consumers below (small a/b, big probe/build) — but the
+    planner broadcast-hashes the self-join's build side at bench
+    scale, and a BroadcastExchange cannot reuse a shuffle exchange, so
+    the ENTIRE upstream signature pipeline (shingle explode → md5 →
+    k min-aggregates → band explode → window) re-ran once per branch:
+    4 copies, measured in the sf0.1 plan (guide §2.4 — remove
+    duplicated subtrees). The seam is narrow (key, id, bsz, rn ≈ 28
+    bytes × n·bands rows) and bounded at any corpus size; both window
+    functions share one (partitionBy key, orderBy id) spec so the
+    annotation is a single Window operator (bsz via the
+    unbounded-unbounded frame — identical value to the unordered
+    count, one less Sort pass)."""
+    from ..seams import persist_seam
+
+    w = Window.partitionBy("key").orderBy(id_col)
     annotated = banded.select(
         "key", F.col(id_col),
-        F.count("*").over(w).alias("bsz"),
-        F.row_number().over(w.orderBy(id_col)).alias("rn"),
+        F.count("*").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("bsz"),
+        F.row_number().over(w).alias("rn"),
     )
+    annotated = persist_seam(annotated)
     small = annotated.where(F.col("bsz") <= max_bucket_size)
     a, b = small.alias("a"), small.alias("b")
     small_pairs = (
@@ -190,6 +203,25 @@ def candidate_pairs(banded: DataFrame, id_col: str = "doc_id",
     # skip this full exchange of the candidate stream (the RP-verdict
     # rationale, plans/llm_ops._rp_qualifying_pairs).
     return out.dropDuplicates(["id_a", "id_b"]) if dedup else out
+
+
+def _fits_broadcast(df: DataFrame) -> bool:
+    """Whether the planner would broadcast ``df`` as a join side —
+    Catalyst's own size estimate (for a materialized persist seam:
+    the measured cached bytes) against the session's
+    autoBroadcastJoinThreshold. Used to apply join-strategy hints only
+    in the regime they were written for (non-broadcastable sides)."""
+    from .fanout import _parse_bytes, _plan_size_bytes
+
+    size = _plan_size_bytes(df)
+    if size is None:
+        return False
+    try:
+        thr = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        thr = 10 * 1024 * 1024
+    return 0 < size < thr
 
 
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
@@ -241,15 +273,40 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     # join candidate ids back to shingle sets for the verify stage.
     # SHUFFLE_HASH on the corpus sides (the RP family's sf100 lesson,
     # relearned here at the sf300 decade): a sort-merge join SORTS both
-    # inputs, and the verify stream carries the WIDE shingle-string
-    # arrays — at sf300 (15M docs) the SMJ sorts spilled >50 GB of
-    # shingle payload and ENOSPC'd the probe box. A hash join builds
-    # on the corpus side (bounded by corpus size / partitions) and
-    # never sorts the pair stream.
-    sa = docs.select(F.col(id_col).alias("id_a"),
-                     F.col("sh").alias("sh_a")).hint("shuffle_hash")
-    sb = docs.select(F.col(id_col).alias("id_b"),
-                     F.col("sh").alias("sh_b")).hint("shuffle_hash")
+    # inputs, and the verify stream carries the WIDE shingle arrays —
+    # at sf300 (15M docs) the SMJ sorts spilled >50 GB of shingle
+    # payload and ENOSPC'd the probe box. A hash join builds on the
+    # corpus side (bounded by corpus size / partitions) and never
+    # sorts the pair stream.
+    #
+    # The hint is applied ONLY when the corpus side is past the
+    # session's broadcast threshold (round-13, guide §3.1): below it
+    # the planner broadcasts the corpus projection and the verify
+    # needs NO exchange at all — the unconditional hint was forcing
+    # two full corpus exchanges + per-partition hash builds to verify
+    # a few hundred pairs at bench scale (measured 2.0 s of the 3.5 s
+    # query). The hint exists to override SMJ, and SMJ is only ever
+    # picked when broadcast already doesn't apply — so hinting
+    # exactly the non-broadcastable regime preserves the sf300 fix.
+    #
+    # The verify payload is hash-compacted to 8-byte xxhash64 keys
+    # (round-13 optimization; the dedup_jaccard_prefix / substring
+    # hash64 precedent applied to this path): shingle strings average
+    # ~25 bytes, so the two verify exchanges AND both hash-relation
+    # builds shrink ~3-4×. Jaccard is a function of intersection /
+    # union SIZES over the per-doc-distinct shingle sets, so the value
+    # is bit-identical to the string form unless two distinct shingles
+    # of one compared pair collide in 64 bits (≈|union|²/2⁶⁵ per pair,
+    # ~10⁻¹² at decade scale — the string-based DuckDB oracle and the
+    # hashed-vs-string equality test would both surface one). Computed
+    # AFTER the persist seam, per side: a map-only projection over the
+    # cached corpus, so nothing upstream re-runs and the narrow form
+    # never widens the seam itself.
+    sh64 = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    sa = docs.select(F.col(id_col).alias("id_a"), sh64.alias("sh_a"))
+    sb = docs.select(F.col(id_col).alias("id_b"), sh64.alias("sh_b"))
+    if not _fits_broadcast(docs):
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
