@@ -1457,17 +1457,21 @@ def text_repetition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-overlapping grams like "a a" in "a a a a".
 
     Scale shape: all semantics are within-document, but the counting
-    runs as corpus-wide ``groupBy(doc_id, gram)`` + one hash join back
-    per n-gram size — map-side combinable, shuffle O(distinct
-    (doc, gram)) ≤ O(total tokens), and linear in doc length where a
-    pure higher-order-function form would be O(len²) per doc (fatal on
-    100k-token docs). Argmax tie-break is count-desc then lexicographic
-    (``min(struct(-c, g))`` ≡ the oracle's ROW_NUMBER order), so the
-    result is total and cross-engine deterministic. Five sizes = five
-    passes over the persisted token seam; a production run would fuse
-    the site explosion once and tag rows by n, at the cost of the
-    per-size pruning (``n_tokens >= n``) — documented, not needed at
-    any probed SF.
+    runs as ONE corpus-wide ``groupBy(doc_id, gram)`` per n-gram size
+    with the positions riding through as a collect_list
+    (_gram_coverage, round-13: the former select-then-join-back shape
+    re-exchanged the O(tokens) site stream a second time) — map-side
+    combinable, shuffle O(site positions) = O(total tokens), and
+    linear in doc length where a pure higher-order-function form would
+    be O(len²) per doc (fatal on 100k-token docs). Argmax tie-break is
+    count-desc then lexicographic (``min(struct(-c, g))`` ≡ the
+    oracle's ROW_NUMBER order), so the result is total and
+    cross-engine deterministic. Five sizes = five passes over the
+    persisted token seam; a fused one-generate form tagging sites by n
+    was A/B-tested this round and was ~20% SLOWER (struct-array
+    construction in the generate outweighs the merged shuffles — the
+    map-side gram build dominates, not the exchanges), so the per-size
+    passes stay.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = H.word_tokens(F.col("text"))
@@ -1486,39 +1490,61 @@ def text_repetition_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to construct the expression tree); default-arg pinning would
     # break PySpark's lambda-arity introspection.
     for n, mode in _REP_SIZES:
-        grams = F.transform(
-            F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int")),
-            lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
-        sites = (base.where(F.col("n_tokens") >= n)
-                 .select("doc_id", F.posexplode(grams).alias("pos", "g")))
-        cnt = (sites.groupBy("doc_id", "g")
-               .agg(F.count(F.lit(1)).alias("c")))
-        if mode == "top":
-            sel = (cnt.groupBy("doc_id")
-                   .agg(F.min(F.struct((-F.col("c")).alias("nc"),
-                                       F.col("g").alias("g"))).alias("w"))
-                   .select("doc_id", F.col("w.g").alias("g")))
-        else:
-            sel = cnt.where(F.col("c") >= 2).select("doc_id", "g")
-        # shuffle_hash for the same reason as dedup_substring_exact:
-        # never sort the O(tokens) site stream on its gram key
-        pos = (sites.join(sel.hint("shuffle_hash"), ["doc_id", "g"])
-               .select("doc_id", "pos"))
-        union_len = F.aggregate(
-            F.sort_array(F.collect_list("pos")),
-            F.struct(F.lit(-n).cast("int").alias("prev"),
-                     F.lit(0).cast("bigint").alias("tot")),
-            lambda acc, s: F.struct(
-                s.alias("prev"),
-                (acc.tot + F.least(F.lit(n), s - acc.prev)).alias("tot")),
-            lambda acc: acc.tot)
-        cov = pos.groupBy("doc_id").agg(union_len.alias(f"_cov{n}"))
+        cov = _gram_coverage(base, n, mode).withColumnRenamed(
+            "cov", f"_cov{n}")
         out = (out.join(cov, "doc_id", "left")
                .withColumn(f"{mode}{n}_cov_frac",
                            F.coalesce(F.col(f"_cov{n}"), F.lit(0))
                            / F.col("n_tokens"))
                .drop(f"_cov{n}"))
     return out
+
+
+def _gram_coverage(base: DataFrame, n: int, mode: str) -> DataFrame:
+    """(doc_id, cov): interval-union coverage of the selected n-grams —
+    ``mode='top'`` the single most frequent gram (count-desc,
+    lexicographic tie-break), ``mode='dup'`` every gram occurring ≥ 2
+    times. Shared by text_repetition_coverage and curate_fineweb_keep.
+
+    Round-13 shape (guide §2.4): positions ride THROUGH the
+    (doc, gram) count aggregation as a ``collect_list`` — the former
+    shape joined the selected grams BACK to the O(tokens) site stream,
+    re-exchanging it a second time on the same key. Carrying the
+    position lists costs the same shuffle bytes as the sites exchange
+    it replaces and removes the join + second exchange outright
+    (measured top-2 at sf1: 5.3 → 2.8 s median-of-5, values
+    bit-identical). Per-row state stays bounded by document length
+    (one gram's positions for 'top', a doc's duplicated-gram positions
+    for 'dup' — both ≤ n_tokens, the same bound the coverage fold
+    already carried)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int")),
+        lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
+    sites = (base.where(F.col("n_tokens") >= n)
+             .select("doc_id", F.posexplode(grams).alias("pos", "g")))
+    cnt = (sites.groupBy("doc_id", "g")
+           .agg(F.count(F.lit(1)).alias("c"),
+                F.collect_list("pos").alias("ps")))
+    if mode == "top":
+        # ps never decides the min: (−c, g) is unique per (doc, g) row
+        merged = (cnt.groupBy("doc_id")
+                  .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                      F.col("g").alias("g"),
+                                      F.col("ps").alias("ps"))).alias("w"))
+                  .select("doc_id", F.col("w.ps").alias("allps")))
+    else:
+        merged = (cnt.where(F.col("c") >= 2)
+                  .groupBy("doc_id")
+                  .agg(F.flatten(F.collect_list("ps")).alias("allps")))
+    union_len = F.aggregate(
+        F.sort_array(F.col("allps")),
+        F.struct(F.lit(-n).cast("int").alias("prev"),
+                 F.lit(0).cast("bigint").alias("tot")),
+        lambda acc, s: F.struct(
+            s.alias("prev"),
+            (acc.tot + F.least(F.lit(n), s - acc.prev)).alias("tot")),
+        lambda acc: acc.tot)
+    return merged.select("doc_id", union_len.alias("cov"))
 
 
 # ---------------------------------------------------------------------------
@@ -1852,32 +1878,11 @@ def curate_fineweb_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~low.contains("lorem ipsum") & ~F.col("text").contains("{")
          & ~low.contains("javascript")
          & ~low.rlike(_C4_POLICY_RE)).alias("c4_ok"))
-    covs = {}
-    for n, mode in ((2, "top"), (5, "dup")):
-        grams = F.transform(
-            F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int")),
-            lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
-        sites = (base.where(F.col("n_tokens") >= n)
-                 .select("doc_id", F.posexplode(grams).alias("pos", "g")))
-        cnt = sites.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-        if mode == "top":
-            sel = (cnt.groupBy("doc_id")
-                   .agg(F.min(F.struct((-F.col("c")).alias("nc"),
-                                       F.col("g").alias("g"))).alias("w"))
-                   .select("doc_id", F.col("w.g").alias("g")))
-        else:
-            sel = cnt.where(F.col("c") >= 2).select("doc_id", "g")
-        pos = (sites.join(sel.hint("shuffle_hash"), ["doc_id", "g"])
-               .select("doc_id", "pos"))
-        union_len = F.aggregate(
-            F.sort_array(F.collect_list("pos")),
-            F.struct(F.lit(-n).cast("int").alias("prev"),
-                     F.lit(0).cast("bigint").alias("tot")),
-            lambda acc, s: F.struct(
-                s.alias("prev"),
-                (acc.tot + F.least(F.lit(n), s - acc.prev)).alias("tot")),
-            lambda acc: acc.tot)
-        covs[n] = pos.groupBy("doc_id").agg(union_len.alias(f"cov{n}"))
+    # coverage via the shared collect-list shape (_gram_coverage,
+    # round-13): no second exchange of the site stream per size
+    covs = {n: _gram_coverage(base, n, mode).withColumnRenamed(
+                "cov", f"cov{n}")
+            for n, mode in ((2, "top"), (5, "dup"))}
     dd = base.groupBy("h").agg(F.min("doc_id").alias("cdoc"))
     v = (base.select("doc_id", "h", "n_tokens")
          .join(flags, "doc_id")

@@ -910,9 +910,19 @@ def similarity_ann_signlsh(spark: SparkSession, sf_dir: str,
         bits = derive_rp_bits(e.count())
     if bands is None:
         bands = derive_rp_bands(bits)  # recall-compensating ladder
-    base = (e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
-            .withColumn("n2", V.qnorm2(F.col("q"))))
-    keys = rp_band_key_table(base, bands, bits)
+    # persist: base feeds the key build, the query projection and the
+    # neighbor-verify join — without the seam the quantize pipeline
+    # re-runs per consumer (round-13; the _rp_qualifying_pairs seam
+    # pattern applied here)
+    base = persist_seam(
+        e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+        .withColumn("n2", V.qnorm2(F.col("q"))))
+    # localCheckpoint = the LSH build-the-tables step (same rationale
+    # as the RP dedup family): ``slim`` fans out into BOTH candidate
+    # join sides, and an uncheckpointed key table re-runs the Arrow
+    # matmul once per side (two MapInArrow nodes in the round-13
+    # before-plan, plans/r13/similarity_ann_signlsh_before.txt)
+    keys = rp_band_key_table(base, bands, bits).localCheckpoint()
     # bks[b] embeds the table offset b·2^bits, so one exploded column
     # equi-joins (table, bucket) at once — same key family as the rp
     # dedup variant, shared build
