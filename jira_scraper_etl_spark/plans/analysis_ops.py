@@ -28,7 +28,7 @@ from ..seams import persist_seam
 from ..catalog import load_table
 from ..functions import hashing as H
 from ..operators import multimodal as MM
-from ..operators.fanout import LIGHT, fan_out
+from ..operators.fanout import HEAVY, LIGHT, fan_out
 from .llm_ops import SQL_TOKS
 from .multimodal import SQL_FRAME_BYTES, SQL_FRAME_DIGESTS, SQL_MEDIA_TYPE, SQL_NFRAMES
 from .registry import money, one_minus_rate, register
@@ -741,7 +741,11 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     back as an explicit broadcast — no shuffle of the corpus at any
     data size. Integer division only; no float thresholds to drift.
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # fan out before the Python byte scan (round-13, the
+    # plans/multimodal.py fix): the pruned doc_id scan is 1-2 splits,
+    # so the per-row feature pass ran single-task
+    d = fan_out(load_table(spark, sf_dir, "documents")
+                .select("doc_id"), HEAVY)
     feats = MM.media_features(MM.attach_media(d))
 
     def level(h: str) -> F.Column:

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators import multimodal as MM
+from ..operators.fanout import HEAVY, fan_out
 from .registry import register
 
 # -- shared DuckDB fragments (mirror operators/multimodal.py exactly) -------
@@ -60,7 +61,13 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py — the synthetic table is all FAKE
     containers, so the dimension columns are null here and the oracle
     models the header arithmetic). Map-only at any scale."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # fan out before the Python decode (round-13): the pruned
+    # doc_id scan is 1-2 splits, so the whole per-row decode ran
+    # single-task (measured: mm_jpeg 13.8 s at sf1 = exactly its
+    # 0.27 ms/doc single-core cost). HEAVY preset: per-row Python
+    # decode is cryptographic-hash-class work per input byte.
+    d = fan_out(load_table(spark, sf_dir, "documents")
+                .select("doc_id"), HEAVY)
     return MM.decode_media(MM.attach_media(d))
 
 
@@ -91,7 +98,13 @@ def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-bin histogram per row, computed with numpy over Arrow batches —
     the exact shape of a real pixel/sample feature pass. The oracle
     rebuilds the identical bytes from md5 hex digits."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # fan out before the Python decode (round-13): the pruned
+    # doc_id scan is 1-2 splits, so the whole per-row decode ran
+    # single-task (measured: mm_jpeg 13.8 s at sf1 = exactly its
+    # 0.27 ms/doc single-core cost). HEAVY preset: per-row Python
+    # decode is cryptographic-hash-class work per input byte.
+    d = fan_out(load_table(spark, sf_dir, "documents")
+                .select("doc_id"), HEAVY)
     return MM.media_features(MM.attach_media(d))
 
 
@@ -112,7 +125,13 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize planning: source/target dims + scale factors for
     every image row (pixel kernel is a documented stub — no codecs in
     this container). Pure columnar arithmetic, pushdown-friendly."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # fan out before the Python decode (round-13): the pruned
+    # doc_id scan is 1-2 splits, so the whole per-row decode ran
+    # single-task (measured: mm_jpeg 13.8 s at sf1 = exactly its
+    # 0.27 ms/doc single-core cost). HEAVY preset: per-row Python
+    # decode is cryptographic-hash-class work per input byte.
+    d = fan_out(load_table(spark, sf_dir, "documents")
+                .select("doc_id"), HEAVY)
     return MM.resize_plan(MM.attach_media(d), 32, 32)
 
 
@@ -134,7 +153,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     → one row per sampled frame with the frame bytes hex-encoded. The
     ``mapInPandas`` pass multiplies rows within partitions (UDTF shape,
     no shuffle) — the 100 TB path for frame extraction."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # fan out before the Python decode (round-13): the pruned
+    # doc_id scan is 1-2 splits, so the whole per-row decode ran
+    # single-task (measured: mm_jpeg 13.8 s at sf1 = exactly its
+    # 0.27 ms/doc single-core cost). HEAVY preset: per-row Python
+    # decode is cryptographic-hash-class work per input byte.
+    d = fan_out(load_table(spark, sf_dir, "documents")
+                .select("doc_id"), HEAVY)
     return MM.sample_frames(MM.attach_media(d), every=2)
 
 
@@ -181,7 +206,8 @@ def curate_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload never crosses an exchange."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars")
-    feats = MM.media_features(MM.attach_media(d.select("doc_id")))
+    feats = MM.media_features(MM.attach_media(
+        fan_out(d.select("doc_id"), HEAVY)))
     kept = (
         d.join(feats, "doc_id")
         .where(F.col("mean_byte").between(100, 160)
@@ -249,7 +275,13 @@ def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical raster bytes from the md5 hex digests that
     generated them (the mm_byte_stats pattern) — so a header-parse or
     stride bug on the Spark side cannot hash-match."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # fan out before the Python decode (round-13): the pruned
+    # doc_id scan is 1-2 splits, so the whole per-row decode ran
+    # single-task (measured: mm_jpeg 13.8 s at sf1 = exactly its
+    # 0.27 ms/doc single-core cost). HEAVY preset: per-row Python
+    # decode is cryptographic-hash-class work per input byte.
+    d = fan_out(load_table(spark, sf_dir, "documents")
+                .select("doc_id"), HEAVY)
     return MM.pixel_stats(MM.attach_ppm(d))
 
 
@@ -297,7 +329,13 @@ def mm_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     energy, the loudness-feature primitives, with zero float drift).
     The oracle rebuilds the sample stream byte-for-byte from the
     generating digests including the signed int16 reinterpretation."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # fan out before the Python decode (round-13): the pruned
+    # doc_id scan is 1-2 splits, so the whole per-row decode ran
+    # single-task (measured: mm_jpeg 13.8 s at sf1 = exactly its
+    # 0.27 ms/doc single-core cost). HEAVY preset: per-row Python
+    # decode is cryptographic-hash-class work per input byte.
+    d = fan_out(load_table(spark, sf_dir, "documents")
+                .select("doc_id"), HEAVY)
     return MM.wav_sample_stats(MM.attach_pcm_wav(d))
 
 
@@ -351,7 +389,13 @@ def mm_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match. With this, the multimodal payload caveat narrows to
     entropy-coded codecs only (JPEG/MP4). Arrow-batched mapInPandas
     end-to-end; the binary column never crosses a shuffle."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # fan out before the Python decode (round-13): the pruned
+    # doc_id scan is 1-2 splits, so the whole per-row decode ran
+    # single-task (measured: mm_jpeg 13.8 s at sf1 = exactly its
+    # 0.27 ms/doc single-core cost). HEAVY preset: per-row Python
+    # decode is cryptographic-hash-class work per input byte.
+    d = fan_out(load_table(spark, sf_dir, "documents")
+                .select("doc_id"), HEAVY)
     return MM.pixel_stats(MM.attach_png(d))
 
 
@@ -448,5 +492,11 @@ def mm_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none — transformer.py has no media handling;
     this exceeds parity (SURVEY §2 multimodal family)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # fan out before the Python decode (round-13): the pruned
+    # doc_id scan is 1-2 splits, so the whole per-row decode ran
+    # single-task (measured: mm_jpeg 13.8 s at sf1 = exactly its
+    # 0.27 ms/doc single-core cost). HEAVY preset: per-row Python
+    # decode is cryptographic-hash-class work per input byte.
+    d = fan_out(load_table(spark, sf_dir, "documents")
+                .select("doc_id"), HEAVY)
     return MM.jpeg_pixel_stats(MM.attach_jpeg(d))
