@@ -396,7 +396,15 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    # fan out + seam (round-13, the _km_train shape): the pruned scan
+    # is 1-2 splits, so the Gram partials and the projection each ran
+    # single-task AND re-evaluated the quantize pipeline; the seam
+    # fills under the gram collect (materialize=False, no extra job)
+    q = persist_seam(
+        fan_out(e.select("vec_id",
+                         V.quantize(F.col("embedding")).alias("q")),
+                LIGHT),
+        materialize=False)
     dim = len(e.select("embedding").head()[0])
     G = np.zeros((dim, dim), dtype=np.int64)
     for r in gram_matrix(q).collect():
@@ -438,7 +446,12 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.select("vec_id", V.quantize(F.col("embedding")).alias("q"))
+    # fan out + seam — same rationale as embedding_pca_power above
+    q = persist_seam(
+        fan_out(e.select("vec_id",
+                         V.quantize(F.col("embedding")).alias("q")),
+                LIGHT),
+        materialize=False)
     dim = len(e.select("embedding").head()[0])
     g_rows = [r.asDict() for r in gram_matrix(q).collect()]
     lam, v = power_iteration(g_rows, dim)
