@@ -116,6 +116,26 @@ HEADLINE = [
     "curate_fineweb_keep",
 ]
 
+# Scaling mini-headline (round-13 verdict #8): at sf0.1 the suite is
+# scheduler/overhead-bound (8-vs-32-core ratios cluster at ~1, several
+# below), so the driver's scaling block measures task-launch overhead,
+# not the plans. When $SPARK_GRAFT_SF_DIR points at an sf >= 1
+# directory (e.g. the tools/make_sf.py output), bench.py times this
+# 5-query heavy subset with runs=1 instead of the 49-query suite —
+# per-query work there is seconds of genuine compute, so core-count
+# ratios reflect plan parallelism (mm_jpeg sf1: 13.8 s single-task
+# before the round-13 fan-out, 1.7 s after — visible only at sf >= 1).
+# The JSON contract is unchanged (same shape, same sf tagging); the
+# sf0.1 recordings the round comparisons use are untouched because the
+# switch never triggers below sf 1.
+MINI_HEADLINE = [
+    "mm_jpeg_pixel_stats",        # Python-boundary Arrow decode fan-out
+    "curate_fineweb_keep",        # composed curation flagship
+    "dedup_substring_exact",      # O(total tokens) keyed-shuffle family
+    "text_winnow_fingerprints",   # md5-per-char map-only (pure scan CPU)
+    "dedup_minhash_lsh",          # seam + banded join + verify
+]
+
 # Queries whose ``count()`` plan Catalyst can optimize down to a bare
 # scan: the verdict entries end in a LEFT join against an aggregate
 # with a provably-unique key, and count-only consumption eliminates
@@ -222,7 +242,7 @@ def churn_normalized_ratios(current: dict[str, float],
     }
 
 
-def gc_quiesce(spark, pause: float = 1.0) -> None:
+def gc_quiesce(spark, pause: float = 0.25) -> None:
     """Drain the driver JVM's garbage + ContextCleaner backlog OUTSIDE
     any timed region (round-13 measurement-isolation fix, guide §1).
 
@@ -236,7 +256,15 @@ def gc_quiesce(spark, pause: float = 1.0) -> None:
     single-session isolated times are unchanged), and a forced
     System.gc() + drain pause between queries restores 1.6–2.0 s.
     Two gc() calls because the first enqueues the weak references and
-    the second collects what the cleaner's own work released."""
+    the second collects what the cleaner's own work released.
+
+    Round-14: pause capped at 0.25 s (was 1.0 s). The synchronous
+    System.gc() calls do the reclamation; the sleep is only a margin
+    for the ContextCleaner's queue drain, and 49 queries × 2 × 1 s of
+    margin (~100 s untimed wall) pushed bench.py past the 420 s
+    contract-test budget (round-13 verdict #1). Re-verified at 0.25 s:
+    bpe_learn_merges stays at its isolated 1.7–2.2 s in-suite, so the
+    isolation fix holds at the shorter drain."""
     try:
         for _ in range(2):
             spark._jvm.System.gc()
@@ -310,9 +338,23 @@ def run_suite(spark, sf_dir: str, headline: list[str],
     return timings, refused
 
 
+def select_headline(sf: str) -> tuple[list[str], int]:
+    """Which suite a bench invocation times: the full headline
+    (median-of-3) below sf 1, the 5-query MINI_HEADLINE (runs=1) at
+    sf >= 1 — see the MINI_HEADLINE comment. Non-numeric sf strings
+    (custom dirs) get the full suite."""
+    try:
+        big = float(sf) >= 1
+    except ValueError:
+        big = False
+    return (MINI_HEADLINE, 1) if big else (HEADLINE, 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    headline, runs = select_headline(sf)
+    big_sf = headline is MINI_HEADLINE
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -321,7 +363,7 @@ def main() -> int:
     # first-run JIT/codegen compilation (which dominates at test scale:
     # the MinHash pipeline is 9.5s cold vs 3.8s warm at sf0.1).
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in headline:
         try:
             plans.QUERIES[name].fn(spark, warm_dir).count()
         except Exception:
@@ -330,7 +372,7 @@ def main() -> int:
     # drain the warmup's accumulated garbage before the first timed run
     gc_quiesce(spark)
 
-    timings, refused = run_suite(spark, sf_dir, HEADLINE)
+    timings, refused = run_suite(spark, sf_dir, headline, runs=runs)
     out = {
         "metric": "headline_suite_wall_clock",
         "value": round(sum(timings.values()), 3),
@@ -338,6 +380,8 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if big_sf:
+        out["mini_headline"] = True  # 5-query scaling subset, runs=1
     if refused:
         out["refused"] = refused
     prev = latest_recorded_bench(os.path.dirname(os.path.abspath(__file__)))

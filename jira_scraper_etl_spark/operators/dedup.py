@@ -442,9 +442,9 @@ def simhash_neighbor_stats(df: DataFrame, id_col: str = "doc_id",
     # fp feeds three consumers (clique agg, second-min agg, the final
     # join-back); checkpoint so the tokenize+hash map pass runs once —
     # at warehouse scale this seam is a parquet materialization
-    fp = simhash_fingerprints(
-        fan_out(df.select(id_col, text_col), HEAVY), id_col, text_col
-    ).localCheckpoint()
+    from ..seams import checkpoint_seam
+    fp = checkpoint_seam(simhash_fingerprints(
+        fan_out(df.select(id_col, text_col), HEAVY), id_col, text_col))
     cl = fp.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("m1"))
     # second-smallest id per clique (NULL for singleton cliques): one

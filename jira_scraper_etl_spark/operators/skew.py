@@ -110,8 +110,9 @@ def hotkey_salted_join(big: DataFrame, small: DataFrame, key: str,
     comes from the histogram itself (``sum(_n)``), not a second scan.
     """
     _check_outer(how)
-    counts = (big.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
-              .localCheckpoint())
+    from ..seams import checkpoint_seam
+    counts = checkpoint_seam(
+        big.groupBy(key).agg(F.count(F.lit(1)).alias("_n")))
     total = counts.agg(F.sum("_n")).collect()[0][0] or 0
     hot = (counts.where(F.col("_n") > total * hot_fraction)
            .select(key).withColumn("_hot", F.lit(True)))

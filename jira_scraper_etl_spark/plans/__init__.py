@@ -30,9 +30,14 @@ from . import event_time  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # -- New this round (round-12 verdict #8 + the DSIR curation
-    # extension + the third-batch ExactSubstr/Gopher pair): fresh
-    # external signal first.
+    # -- Round-14 rotation (round-13 verdict #2): entries whose plans
+    # CHANGED in the r13 optimization round but whose driver window had
+    # already rotated away — they were last externally green in r12,
+    # PRE-change, so they need post-change driver verification most.
+    "dedup_minhash_lsh", "dedup_minhash_verdict", "dq_profile_orders",
+    "embedding_pca_power",
+    # -- r13-new entries (r13-green once; keep near the front for a
+    # second green before yielding their slots) --
     "mm_jpeg_pixel_stats", "curate_dsir_weights",
     "dedup_substring_exact", "text_gopher_quality",
     "text_repetition_coverage", "text_c4_filters", "curate_source_rollup",
@@ -106,16 +111,16 @@ _PRIORITY = [
     "events_trailing_1h_sum", "dedup_embedding_cosine", "similarity_ann_ivf",
     "dedup_jaccard_prefix", "text_tfidf_topk", "dedup_embedding_cosine_rp",
     "embedding_kmeans_exact",
-    # last externally green: round 12 (50 entries)
-    "dedup_embedding_rp_verdict", "embedding_pca_power", "dedup_minhash_lsh",
-    "dedup_minhash_verdict", "layout_compaction_bins",
+    # last externally green: round 12 (the four r13-CHANGED members of
+    # this cohort moved to the front of the list, above)
+    "dedup_embedding_rp_verdict", "layout_compaction_bins",
     "dq_histogram_totalprice", "events_user_journey", "events_anomaly_mad",
     "window_rolling_median", "stats_corr_matrix", "ngram_count_of_counts",
     "bpe_learn_merges", "events_trailing_distinct_types",
     "dq_referential_integrity", "q3_shipping_priority", "events_volume_cusum",
     "events_path_mining", "events_markov_eval", "orders_basket_affinity",
     "events_watermark_audit", "merge_upsert_customer_balance",
-    "events_merge_intervals", "events_scd2_history", "dq_profile_orders",
+    "events_merge_intervals", "events_scd2_history",
     "events_winsorize_p1_p99", "events_winsorize_approx",
     "sample_weighted_hash", "agg_incremental_merge", "agg_hll_mergeable",
     "events_type_cooccurrence", "events_zorder_code", "mm_dedup_phash",

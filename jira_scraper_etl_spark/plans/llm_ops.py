@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.storagelevel import StorageLevel
 
-from ..seams import persist_seam
+from ..seams import checkpoint_seam, persist_seam
 
 from ..catalog import load_table
 from ..functions import hashing as H
@@ -922,7 +922,7 @@ def similarity_ann_signlsh(spark: SparkSession, sf_dir: str,
     # join sides, and an uncheckpointed key table re-runs the Arrow
     # matmul once per side (two MapInArrow nodes in the round-13
     # before-plan, plans/r13/similarity_ann_signlsh_before.txt)
-    keys = rp_band_key_table(base, bands, bits).localCheckpoint()
+    keys = checkpoint_seam(rp_band_key_table(base, bands, bits))
     # bks[b] embeds the table offset b·2^bits, so one exploded column
     # equi-joins (table, bucket) at once — same key family as the rp
     # dedup variant, shared build
@@ -1274,19 +1274,17 @@ def _cc_label_loop(members: DataFrame, edges: DataFrame,
     that computes the neighbor minimum (min picks the better of the
     two), and ``min(label) FILTER (s = d)`` recovers the old label so
     the convergence check is a scan, not a second join."""
-    labels = members.select(F.col("simhash").alias("id"),
-                            F.col("fp_min").alias("label")).localCheckpoint()
-    eplus = (edges.unionByName(
-        labels.select(F.col("id").alias("s"), F.col("id").alias("d")))
-        .localCheckpoint())
+    labels = checkpoint_seam(members.select(
+        F.col("simhash").alias("id"), F.col("fp_min").alias("label")))
+    eplus = checkpoint_seam(edges.unionByName(
+        labels.select(F.col("id").alias("s"), F.col("id").alias("d"))))
     for _ in range(max_rounds):  # bound ≥ any real component diameter
-        new_labels = (
+        new_labels = checkpoint_seam(
             eplus.join(labels, eplus.s == labels.id)
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("label").alias("label"),
                  F.min(F.when(F.col("s") == F.col("d"), F.col("label")))
-                 .alias("old"))
-            .localCheckpoint())
+                 .alias("old")))
         changed = new_labels.where(F.col("label") < F.col("old")).count()
         labels = new_labels.select("id", "label")
         if changed == 0:
@@ -1363,15 +1361,15 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str,
     # bounded by min(corpus, 2^16) nodes, edges via the same lossless
     # nibble banding. Components of docs == components of fingerprints,
     # because doc adjacency depends only on the fingerprints.
-    fp = D.simhash_fingerprints(
-        fan_out(d.select("doc_id", "text"), HEAVY)).localCheckpoint()
+    fp = checkpoint_seam(D.simhash_fingerprints(
+        fan_out(d.select("doc_id", "text"), HEAVY)))
     nodes = fp.groupBy("simhash").agg(F.min("doc_id").alias("fp_min"),
                                       F.count(F.lit(1)).alias("n_docs"))
     fp_pairs = D.simhash_fp_pairs(nodes.select("simhash"))
     # checkpoint fp_pairs, the shared upstream of BOTH edge directions
     # and the member set — one materialization instead of two (edges,
     # members) plus it truncates lineage for the loop path
-    fp_pairs = fp_pairs.localCheckpoint()
+    fp_pairs = checkpoint_seam(fp_pairs)
     edges = (fp_pairs.select(F.col("fa").alias("s"), F.col("fb").alias("d"))
              .unionByName(fp_pairs.select(F.col("fb").alias("s"),
                                           F.col("fa").alias("d"))))
@@ -1397,7 +1395,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str,
         return (fp.join(labels, fp.simhash == labels.id)
                 .select("doc_id", F.col("label").alias("cluster_id"),
                         F.col("cluster_size").cast("int")))
-    labels = _cc_label_loop(members.localCheckpoint(), edges)
+    labels = _cc_label_loop(checkpoint_seam(members), edges)
     # expand back: every doc of a member fingerprint gets its
     # component's canonical (minimum) doc_id and the doc-level size
     docs_out = (fp.join(labels, fp.simhash == labels.id)
@@ -1499,7 +1497,7 @@ def _rp_qualifying_pairs(spark: SparkSession, sf_dir: str,
     # same. Keys come from the Arrow-batched numpy matmul
     # (rp_band_key_table): the 512-expression projection path is
     # interpreted-evaluation-bound at scale (see its docstring).
-    keys = rp_band_key_table(base, bands, bits).localCheckpoint()
+    keys = checkpoint_seam(rp_band_key_table(base, bands, bits))
     # merge hint: at any real scale the key table is broadcast-
     # ineligible; broadcasting would also rebuild it on the driver
     slim = keys.select(

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.storagelevel import StorageLevel
 
-from ..seams import persist_seam
+from ..seams import checkpoint_seam, persist_seam
 
 from ..catalog import load_table
 from ..errors import RegimeRefused
@@ -732,7 +732,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str,
                 & (F.element_at(acc, -1) == F.lit(l)) & (x == F.lit(r)),
                 F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)))
             .otherwise(F.concat(acc, F.array(x)))).alias("syms"))
-        cur = cur.localCheckpoint()
+        cur = checkpoint_seam(cur)
     vocab.unpersist()
     return merges, cur
 

@@ -38,6 +38,10 @@ from pyspark.storagelevel import StorageLevel
 # seam registered on that session, including a concurrent caller's.
 _LOCK = threading.Lock()
 _OUTSTANDING: dict[int, list[DataFrame]] = {}
+# localCheckpoint frames, tracked separately: their blocks live on the
+# checkpointed RDD, not in the SQL cache, so releasing them needs the
+# RDD-level unpersist below rather than DataFrame.unpersist.
+_OUTSTANDING_CP: dict[int, list[DataFrame]] = {}
 
 
 def persist_seam(df: DataFrame, *, materialize: bool = True) -> DataFrame:
@@ -55,6 +59,33 @@ def persist_seam(df: DataFrame, *, materialize: bool = True) -> DataFrame:
     return df
 
 
+def checkpoint_seam(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint()``, registered for caller release (round-13
+    ADVICE #2): a bare localCheckpoint stores RDD blocks that
+    ``release_seams`` could not unpersist — callers relying only on
+    release_seams (oracle checks, long interactive sessions)
+    accumulated checkpoint blocks until a JVM GC let the ContextCleaner
+    reclaim them. The checkpointed Dataset's analyzed plan is a
+    LogicalRDD holding exactly those blocks; release_seams unpersists
+    that RDD directly."""
+    out = df.localCheckpoint()
+    with _LOCK:
+        _OUTSTANDING_CP.setdefault(id(out.sparkSession), []).append(out)
+    return out
+
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Drop a localCheckpoint frame's RDD blocks. Best-effort JVM-
+    internal access (LogicalRDD.rdd is stable across Spark 3.x/4.x);
+    if the accessor ever moves, the blocks simply fall back to the
+    pre-round-14 behavior — reclaimed by the ContextCleaner at the
+    next JVM GC — so failure here is silent by design."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def release_seams(session=None) -> int:
     """Unpersist every outstanding seam; returns how many were
     released. Safe at any point — a seam whose result the caller has
@@ -68,9 +99,12 @@ def release_seams(session=None) -> int:
     with _LOCK:
         if session is not None:
             frames = _OUTSTANDING.pop(id(session), [])
+            cp_frames = _OUTSTANDING_CP.pop(id(session), [])
         else:
             frames = [df for lst in _OUTSTANDING.values() for df in lst]
             _OUTSTANDING.clear()
+            cp_frames = [df for lst in _OUTSTANDING_CP.values() for df in lst]
+            _OUTSTANDING_CP.clear()
     n = 0
     for df in frames:
         try:
@@ -78,10 +112,14 @@ def release_seams(session=None) -> int:
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
+    for df in cp_frames:
+        _unpersist_checkpoint(df)
+        n += 1
     return n
 
 
 def outstanding() -> int:
     """How many seams are currently registered (test hook)."""
     with _LOCK:
-        return sum(len(lst) for lst in _OUTSTANDING.values())
+        return (sum(len(lst) for lst in _OUTSTANDING.values())
+                + sum(len(lst) for lst in _OUTSTANDING_CP.values()))

@@ -124,6 +124,23 @@ def test_force_full_entries_justify_their_noop_path(spark, sf_dir):
         assert "Join" not in p, (name, p[:300])
 
 
+def test_mini_headline_selection():
+    """Round-13 verdict #8: at sf >= 1 the bench times the 5-query
+    scaling subset once each; below sf 1 (every driver run) the full
+    headline suite with median-of-3 is untouched. The mini set must be
+    a subset of the headline (no new query names enter the recording
+    namespace) and must exclude the noop-timed entries (run_suite's
+    FORCE_FULL_MATERIALIZE branch still applies regardless)."""
+    import bench
+
+    assert bench.select_headline("0.1") == (bench.HEADLINE, 3)
+    assert bench.select_headline("0.001") == (bench.HEADLINE, 3)
+    assert bench.select_headline("1") == (bench.MINI_HEADLINE, 1)
+    assert bench.select_headline("10") == (bench.MINI_HEADLINE, 1)
+    assert bench.select_headline("custom") == (bench.HEADLINE, 3)
+    assert set(bench.MINI_HEADLINE) <= set(bench.HEADLINE)
+
+
 def test_control_queries_pinned_and_in_headline():
     """The churn controls must stay a subset of the headline set (they
     normalize its round-over-round ratios) and keep 3-5 members — the

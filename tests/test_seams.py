@@ -78,6 +78,26 @@ def test_release_reclaims_every_seam_over_repeated_invocations(spark, sf_dir):
         "registry")
 
 
+def test_checkpoint_seam_releases_rdd_blocks(spark):
+    """Round-13 ADVICE #2: localCheckpoint blocks were invisible to
+    release_seams — callers relying on it (oracle checks, long
+    sessions) accumulated checkpoint RDDs until a JVM GC. The
+    checkpoint_seam wrapper must register the frame (outstanding()
+    counts it) and release_seams must drop its persisted RDD
+    synchronously, not merely wait for the ContextCleaner."""
+    seams.release_seams()
+    base = _settle(spark, 0)
+    df = seams.checkpoint_seam(
+        spark.range(100_000).withColumn("x", F.col("id") * 2))
+    assert df.count() == 100_000
+    assert seams.outstanding() == 1
+    assert n_persisted(spark) > base  # the checkpointed RDD is held
+    assert seams.release_seams() == 1
+    # RDD.unpersist removes from the context's persistent map directly —
+    # no GC nudge should be needed, but allow the settle budget anyway
+    assert _settle(spark, base) <= base
+
+
 def test_release_is_idempotent_and_returns_count(spark, sf_dir):
     seams.release_seams()
     df = seams.persist_seam(

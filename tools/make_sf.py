@@ -9,9 +9,16 @@ Construction (deterministic, seed fixed):
 * region/nation: copied unchanged (constant-size dims at any SF).
 * customer/supplier/part/orders/lineitem/events: K copies with all
   keys shifted by ``copy * (max_key + 1)`` — referential integrity is
-  preserved within each copy, and non-key distributions (dates, prices,
-  event timestamps) are identical per copy, so the workload density
-  scales exactly K× the way a bigger TPC-H SF would.
+  preserved within each copy, and non-key distributions (dates, prices)
+  are identical per copy, so the workload density scales exactly K× the
+  way a bigger TPC-H SF would. Event TIMESTAMPS are additionally shifted
+  by ``copy * 31 days`` (the sf0.1 window is 30 days): stacking K copies
+  on identical timestamps makes every time-band join degenerate (K rows
+  share each instant, so join_skewed_peers_1h's 1-hour band pairs grow
+  ~K² — its sf1 sweep aborted past 18 min on the un-jittered data, a
+  generator artifact, round-13 verdict #9). Shifting whole copies keeps
+  per-hour density EXACTLY the original, so band-join volume scales K×
+  — the way K× more real traffic over K× more wall-clock would.
 * documents: copy 0 is the original corpus (keeping its engineered
   near-duplicate structure); copies 1..K-1 get FRESH text sampled from
   the original corpus's own token frequency distribution (same length
@@ -64,7 +71,8 @@ def scale_relational(con, out: str, k: int) -> None:
             l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
             l_returnflag, l_linestatus, l_shipdate FROM src, copies""",
         "events": f"""SELECT event_id + c*{STRIDES['events']} AS event_id,
-            ts, user_id + c*{STRIDES['users']} AS user_id,
+            ts + c * INTERVAL 31 DAY AS ts,
+            user_id + c*{STRIDES['users']} AS user_id,
             event_type, value, props FROM src, copies""",
     }
     for name, sql in jobs.items():
