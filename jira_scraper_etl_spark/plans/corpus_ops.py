@@ -361,29 +361,43 @@ def dedup_incremental_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB would be precomputed once and reused per batch; every
     join here is keyed on those short keys, and new-batch rows ride
     through map-side. Nothing is O(old × new).
+
+    One corpus pass (round-14, guide §2.4): the exact path (md5 over
+    the regex-normalized text) and the near path (SimHash over the
+    token stream) are independent per-row folds over the SAME text, so
+    they ride one fanned-out map stage into a narrow persist seam
+    (doc_id, bucket, h, simhash ≈ 50 B/row at any corpus size); the
+    four consumers (old/new × exact/near) read the seam instead of
+    re-running their own full-corpus scan + text pass each — the
+    round-13 audit counted two disjoint full passes, and each side's
+    filter made it four scans in the physical plan.
     """
-    from ..operators.dedup import simhash_fingerprints
     from ..functions import textstats as TS
+    from ..functions.hashing import simhash16, word_tokens
+    from ..seams import persist_seam
     from .curation import doc_bucket
 
     d = load_table(spark, sf_dir, "documents")
-    b = d.withColumn("bucket", doc_bucket(F.col("doc_id")))
-    old = b.where(F.col("bucket") < 90)
-    new = b.where(F.col("bucket") >= 90)
+    feat = persist_seam(
+        fan_out(d.select("doc_id", "text"), HEAVY).select(
+            "doc_id",
+            doc_bucket(F.col("doc_id")).alias("bucket"),
+            F.md5(TS.normalize_for_fingerprint(F.col("text"))).alias("h"),
+            # identical expression to operators/dedup.simhash_fingerprints
+            simhash16(word_tokens(F.coalesce(F.col("text"), F.lit(""))))
+            .alias("simhash")))
+    old = feat.where(F.col("bucket") < 90)
+    new = feat.where(F.col("bucket") >= 90)
 
-    old_hashes = (old.select(
-        F.md5(TS.normalize_for_fingerprint(F.col("text"))).alias("h"))
-        .distinct())
-    new_hashed = new.select(
-        "doc_id", F.md5(TS.normalize_for_fingerprint(F.col("text"))).alias("h"))
-    exact = (new_hashed.join(old_hashes.withColumn("seen", F.lit(1)), "h", "left")
+    old_hashes = old.select("h").distinct()
+    exact = (new.select("doc_id", "h")
+             .join(old_hashes.withColumn("seen", F.lit(1)), "h", "left")
              .select("doc_id", F.col("seen").isNull().alias("exact_novel")))
 
     # collapse the old corpus to its DISTINCT fingerprints: the near-dup
     # test only depends on fingerprint values (≤ 2^16 of them)
-    fp_old = (simhash_fingerprints(fan_out(old.select("doc_id", "text"), HEAVY))
-              .select("simhash").distinct())
-    fp_new = simhash_fingerprints(fan_out(new.select("doc_id", "text"), HEAVY))
+    fp_old = old.select("simhash").distinct()
+    fp_new = new.select("doc_id", "simhash")
 
     def blocks(fp, cols):
         return fp.select(

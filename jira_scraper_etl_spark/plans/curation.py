@@ -242,13 +242,25 @@ def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage 1 broadcasts only the xxhash64 SET of the eval n-grams (8
     bytes/gram instead of the gram strings — at a 10⁸-gram benchmark
     suite that is the difference between an ~1 GB and a multi-GB
-    broadcast) and semi-joins corpus gram hashes against it. Hash
+    broadcast) and probes corpus gram hashes against it. Hash
     collisions make this a superset of the true matches — exactly a
     Bloom filter's false-positive contract. Stage 2 exact-verifies only
     the surviving candidates against the true gram strings, so the
     result is exact while the expensive string comparison touches
     candidate rows only (benchmark-overlap rate ≪ 1% in practice).
     Same two-stage candidate/verify shape as dedup_pairs_edit_distance.
+
+    One corpus pass (round-14, guide §2.3/§2.4): the two membership
+    stages are LEFT joins against the broadcasts carrying match-marker
+    columns instead of semi-join filters, so the per-doc denominator
+    (total gram count == size(sh), explode drops nothing) and the
+    numerator (marked rows) come out of ONE map-side-combined
+    aggregation over the gram stream — a doc's grams stay in one
+    partition through the fanned-out map, so the partials collapse to
+    ~1 row per doc before the exchange. The previous form re-ran the
+    whole corpus shingle pipeline a second time for size(sh) and paid
+    a corpus-wide doc_id join to attach the overlap counts (before-
+    plan: 2 shingle subtrees, 20 Exchange refs; after: 1 and 8).
     """
     d = load_table(spark, sf_dir, "documents")
     sh = (fan_out(d.where(F.col("text").isNotNull())
@@ -258,16 +270,20 @@ def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select(F.explode("sh").alias("t")).distinct())
     eval_hashes = eval_grams.select(F.xxhash64("t").alias("hh")).distinct()
     corpus = sh.where(F.col("doc_id") >= 10)
-    grams = corpus.select("doc_id", F.explode("sh").alias("t"))
-    cand = grams.join(F.broadcast(eval_hashes),
-                      F.xxhash64(grams.t) == eval_hashes.hh, "left_semi")
-    hits = (cand.join(F.broadcast(eval_grams), "t", "left_semi")
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap")))
-    out = (corpus.select("doc_id", F.size("sh").cast("bigint").alias("n_shingles"))
-           .join(hits, "doc_id", "left")
-           .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("bigint")))
+    # explode_outer: a doc whose shingle array is empty still emits its
+    # zero-denominator row (0/0 -> null contamination, as before)
+    grams = corpus.select("doc_id", F.explode_outer("sh").alias("t"))
+    g1 = grams.join(F.broadcast(eval_hashes),
+                    F.xxhash64(grams.t) == eval_hashes.hh, "left")
+    ev = eval_grams.select(F.col("t").alias("et"), F.lit(1).alias("m"))
+    g2 = g1.join(F.broadcast(ev),
+                 F.col("hh").isNotNull() & (F.col("t") == F.col("et")),
+                 "left")
+    agg = g2.groupBy("doc_id").agg(
+        F.count("t").cast("bigint").alias("n_shingles"),
+        F.count("m").cast("bigint").alias("n_overlap"))
     contamination = F.col("n_overlap").cast("double") / F.col("n_shingles")
-    return out.select(
+    return agg.select(
         "doc_id", "n_shingles", "n_overlap",
         contamination.alias("contamination"),
         (contamination >= 0.5).alias("is_contaminated"),

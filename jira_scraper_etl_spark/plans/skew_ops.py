@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_events, load_table
 from ..functions import hashing as H
-from ..operators.skew import hotkey_salted_join, salted_join, salted_join_cond
+from ..operators.skew import hotkey_salted_join, salted_join
 from .llm_ops import SQL_TOKS
 from .registry import register, davg, o_davg
 
@@ -73,41 +73,57 @@ def join_skewed_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_skewed_peers_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing-hour peer load: for every event, the count and
     max value of OTHER same-type events in the preceding hour — the
-    big×big skewed band join that neither broadcast nor AQE rescues.
+    big×big band join that neither broadcast nor a window rescues at
+    scale.
 
     Why this shape matters: the semantics are exactly a
     ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` window
     partitioned by event_type — but that window funnels each type's
     ENTIRE row mass through one task (5 types ⇒ 5 busy cores at any
-    cluster size; the hot partition holds 20% of a 100 TB table). Both
-    join sides are the full events table (broadcast-ineligible — the
-    merge hint pins the shuffle join the way a 100 TB side would), and
-    the equi-key is the 5-value event_type, so an unsalted shuffle join
-    is exactly as skewed as the window. ``salted_join_cond`` sprays the
-    probe side over 8 salts and replicates the peer side 8×: the hot
-    key's partition shrinks 8× while the band predicate rides along as
-    a residual. Output re-aggregates per event, so result size is O(n)
-    regardless of peer density. At warehouse scale the peer side would
-    first be restricted to the hot keys (hot-key isolation) — here all
-    5 keys are equally hot, the worst case for key-hashed distribution.
+    cluster size; the hot partition holds 20% of a 100 TB table).
+
+    The join key is the fix, not salting (round-14, guide §2.5/§3).
+    The round-13 form salted the 5-value event_type key — which spreads
+    the SORT but not the WORK: a sort-merge join's equi-key was still
+    (type, salt), so every probe row was merged against its type's
+    whole history and the band predicate ran as a residual filter —
+    O(n²/|types|) pairs EXAMINED at any salt width (measured: sf0.1
+    0.45 s, sf1 >14 min — quadratic, the round-13 sweep abort; the
+    time-jittered sf1 regen did not help, proving the cost was pair
+    examination, not pair volume). A 1-hour band predicate admits only
+    peers in the probe's or the previous wall-clock hour, so the hour
+    bucket BELONGS IN THE EQUI-KEY: key both sides on (event_type,
+    date_trunc(hour)), replicate each peer row into its own and the
+    NEXT hour's bucket (every band window spans at most 2 buckets), and
+    keep the exact band as the residual. Pairs examined collapse to
+    Σ_bucket |probe|·|peers in 2 buckets| — linear in rows × hourly
+    density (sf1: 14 min → ~2 s). Bucket count grows with the time
+    span, so the shuffle is skew-free without salt at any corpus size
+    (a genuinely hot hour×type bucket is what AQE skew-split handles —
+    it's a plain equi-SMJ now). Left join stays row-correct: the two
+    peer replicas carry DISTINCT bucket values, so a probe row matches
+    a given peer row at most once.
 
     Cross-engine determinism: COUNT is exact; MAX over doubles involves
     no accumulation order; ties are irrelevant to both.
     """
     ev = load_events(spark, sf_dir)
-    a = ev.select("event_id", "event_type", "ts")
+    hb = F.date_trunc("hour", F.col("ts"))
+    a = ev.select("event_id", "event_type", "ts").withColumn("hb", hb)
+    phb = F.date_trunc("hour", F.col("peer_ts"))
     b = (ev.select(F.col("event_id").alias("peer_id"),
                    F.col("event_type").alias("peer_type"),
                    F.col("ts").alias("peer_ts"),
                    F.col("value").alias("peer_value"))
-         .hint("merge"))
-    joined = salted_join_cond(
-        a, b,
-        lambda x, y: (y["peer_type"] == x["event_type"])
-        & (y["peer_id"] != x["event_id"])
-        & (y["peer_ts"] >= x["ts"] - F.expr("INTERVAL 1 HOUR"))
-        & (y["peer_ts"] <= x["ts"]),
-        salt=8, how="left")
+         .withColumn("phb", F.explode(F.array(
+             phb, phb + F.expr("INTERVAL 1 HOUR")))))
+    joined = a.join(
+        b,
+        (b["peer_type"] == a["event_type"]) & (b["phb"] == a["hb"])
+        & (b["peer_id"] != a["event_id"])
+        & (b["peer_ts"] >= a["ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (b["peer_ts"] <= a["ts"]),
+        "left")
     return joined.groupBy("event_id", "event_type").agg(
         F.count("peer_id").cast("long").alias("n_recent_peers"),
         F.max("peer_value").alias("max_peer_value"),
