@@ -305,7 +305,14 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     sh64 = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
     sa = docs.select(F.col(id_col).alias("id_a"), sh64.alias("sh_a"))
     sb = docs.select(F.col(id_col).alias("id_b"), sh64.alias("sh_b"))
-    if not _fits_broadcast(docs):
+    # size the HASHED projection, not the string seam (round-13 ADVICE
+    # #1): the join ships sa/sb, whose arrays are ~3-4× narrower than
+    # the cached strings — Catalyst's projection estimate scales the
+    # measured seam size by the schema-width ratio, so gating on sa
+    # matches the planner's own broadcast decision for the actual side
+    # (gating on docs forced two corpus exchanges in the window where
+    # the strings exceed the threshold but the hashed arrays fit).
+    if not _fits_broadcast(sa):
         sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     return (
         cand.join(sa, "id_a").join(sb, "id_b")

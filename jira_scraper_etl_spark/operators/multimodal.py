@@ -58,6 +58,7 @@ from __future__ import annotations
 import binascii
 import struct
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -1107,6 +1108,13 @@ def _category(v: int) -> int:
     return abs(v).bit_length()
 
 
+# Encoder code tables for the fixed Annex-K layout, built once at
+# import (round-14: encode_baseline_jpeg rebuilt both dicts per image —
+# ~15% of the attach pass for a 2-block fixture image).
+_JPEG_DC_CODES = None
+_JPEG_AC_CODES = None
+
+
 def encode_baseline_jpeg(w: int, h: int, coefs: list) -> bytes:
     """Assemble a real grayscale baseline JFIF from per-block QUANTIZED
     coefficients in natural order (``coefs``: blocks in raster order,
@@ -1115,8 +1123,11 @@ def encode_baseline_jpeg(w: int, h: int, coefs: list) -> bytes:
     n_blocks = (w // 8) * (h // 8)
     assert len(coefs) == n_blocks
 
-    dc_codes = _huffman_codes(JPEG_DC_BITS, JPEG_DC_VALS)
-    ac_codes = _huffman_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    global _JPEG_DC_CODES, _JPEG_AC_CODES
+    if _JPEG_DC_CODES is None:
+        _JPEG_DC_CODES = _huffman_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+        _JPEG_AC_CODES = _huffman_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    dc_codes, ac_codes = _JPEG_DC_CODES, _JPEG_AC_CODES
     bw = _BitWriter()
     prev_dc = 0
     for blk in coefs:
@@ -1162,50 +1173,97 @@ def encode_baseline_jpeg(w: int, h: int, coefs: list) -> bytes:
 
 
 class _BitReader:
-    """Scan-section bit reader with 0xFF00 unstuffing."""
+    """Scan-section bit reader with 0xFF00 unstuffing and 16-bit
+    lookahead (round-14, guide §4.2: the bit-at-a-time dict-probing
+    decode loop was ~half the per-image decode profile). ``acc`` holds
+    ``n`` yet-unconsumed bits, refilled a byte at a time; hitting a
+    real marker (0xFF non-00) appends ZERO pad bits instead of raising
+    so a final code can be peeked — ``npad`` counts them, and consuming
+    into the pad (a code that claims bits past the scan's end) raises
+    exactly where the old bit() reader did."""
+
+    __slots__ = ("buf", "pos", "acc", "n", "npad")
 
     def __init__(self, buf: bytes, pos: int):
         self.buf = buf
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self.npad = 0
 
-    def bit(self) -> int:
-        if not self.n:
-            b = self.buf[self.pos]
-            self.pos += 1
+    def _fill16(self) -> None:
+        buf = self.buf
+        while self.n < 16:
+            pos = self.pos
+            b = buf[pos] if pos < len(buf) else 0xFF
             if b == 0xFF:
-                nxt = self.buf[self.pos]
+                nxt = buf[pos + 1] if pos + 1 < len(buf) else 0xD9
                 if nxt == 0x00:
-                    self.pos += 1  # stuffed
+                    self.pos = pos + 2  # stuffed data byte
                 else:
-                    raise ValueError("unexpected marker in scan")
-            self.acc, self.n = b, 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+                    b = 0  # marker: zero padding, do not advance
+                    self.npad += 8
+            else:
+                self.pos = pos + 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFF
+            self.n += 8
+
+    def peek16(self) -> int:
+        if self.n < 16:
+            self._fill16()
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def consume(self, k: int) -> None:
+        if k > self.n - self.npad:
+            raise ValueError("unexpected marker in scan")
+        self.n -= k
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        """Read an n-bit (n <= 16) magnitude value."""
+        if n > self.n:
+            self._fill16()
+        self.consume(n)
+        return (self.acc >> self.n) & ((1 << n) - 1)
+
+    def bit(self) -> int:
+        return self.bits(1)
 
 
-def _huffman_decoder(bits: list, vals: list):
-    """(code, length) -> symbol lookup for the canonical assignment."""
-    codes = _huffman_codes(bits, vals)
-    return {(c, ln): sym for sym, (c, ln) in codes.items()}
+def _huffman_decoder(bits, vals) -> tuple:
+    """Memoized 16-bit-lookahead decode LUT for the canonical
+    assignment (T.81 C.2): entry i = (symbol, code length) for every
+    16-bit window whose prefix is that code, None for invalid
+    prefixes. Canonical codes are prefix-free, so every extension of a
+    code maps to the same entry — one table probe replaces the
+    bit-at-a-time walk. Keyed on the raw DHT payload bytes: the 64 KiB
+    table builds once per distinct table per worker process (the
+    fixture corpus carries the two Annex-K tables in every image, so
+    the per-image canonical-table construction cost disappears)."""
+    return _huffman_lut(bytes(bits), bytes(vals))
 
 
-def _read_symbol(br: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length <= 16:
-        code = (code << 1) | br.bit()
-        length += 1
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan")
+@lru_cache(maxsize=64)
+def _huffman_lut(bits: bytes, vals: bytes) -> tuple:
+    lut = [None] * (1 << 16)
+    code, i = 0, 0
+    for length in range(1, 17):
+        step = 1 << (16 - length)
+        for _ in range(bits[length - 1]):
+            entry = (vals[i], length)
+            base = code << (16 - length)
+            lut[base:base + step] = [entry] * step
+            code += 1
+            i += 1
+        code <<= 1
+    return tuple(lut)
+
+
+def _read_symbol(br: _BitReader, table: tuple) -> int:
+    e = table[br.peek16()]
+    if e is None:
+        raise ValueError("invalid Huffman code in scan")
+    br.consume(e[1])
+    return e[0]
 
 
 def _extend(v: int, s: int) -> int:
@@ -1213,19 +1271,13 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_pixels(buf: bytes, return_coefs: bool = False) -> dict:
-    """Full baseline JPEG decode for single-component (grayscale)
-    scans: marker walk collecting DQT/SOF0/DHT/SOS, canonical Huffman
-    reconstruction, entropy decode with DC prediction + EXTEND,
-    de-zigzag, dequantization, integer IDCT (idct_block_int), stats
-    over the decoded pixels AND the recovered raw coefficients (the
-    coefficient sums pin Huffman/prediction recovery independently of
-    the IDCT). ``return_coefs`` adds the recovered per-block
-    natural-order coefficient lists under ``"coefs"`` — the test
-    surface for exact-recovery pins; the registered entry keeps the
-    scalar stats schema. Multi-block scans supported; restart markers
-    and subsampled multi-component scans are out of scope for the
-    fixture corpus (single-component 0x11 sampling only)."""
+def _decode_jpeg_entropy(buf: bytes, return_coefs: bool = False) -> tuple:
+    """The container walk + entropy decode of decode_jpeg_pixels, up to
+    (but not including) the IDCT: returns (w, h, dequantized blocks,
+    coef_sum, n_nonzero, coefs-or-None). Split out so a batch caller
+    can run ONE numpy IDCT over every block of every image in an Arrow
+    batch (decode_jpeg_pixels_batch) instead of paying the einsum
+    dispatch per 2-block fixture image (~17% of the decode profile)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -1313,6 +1365,25 @@ def decode_jpeg_pixels(buf: bytes, return_coefs: bool = False) -> dict:
         if return_coefs:
             all_coefs.append(nat)
         px.append([nat[i] * q[i] for i in range(64)])
+    return w, h, px, coef_sum, n_nonzero, all_coefs if return_coefs else None
+
+
+def decode_jpeg_pixels(buf: bytes, return_coefs: bool = False) -> dict:
+    """Full baseline JPEG decode for single-component (grayscale)
+    scans: marker walk collecting DQT/SOF0/DHT/SOS, canonical Huffman
+    reconstruction (memoized 16-bit-lookahead LUT per distinct DHT
+    payload), entropy decode with DC prediction + EXTEND, de-zigzag,
+    dequantization, integer IDCT (idct_block_int), stats over the
+    decoded pixels AND the recovered raw coefficients (the coefficient
+    sums pin Huffman/prediction recovery independently of the IDCT).
+    ``return_coefs`` adds the recovered per-block natural-order
+    coefficient lists under ``"coefs"`` — the test surface for
+    exact-recovery pins; the registered entry keeps the scalar stats
+    schema. Multi-block scans supported; restart markers and subsampled
+    multi-component scans are out of scope for the fixture corpus
+    (single-component 0x11 sampling only)."""
+    w, h, px, coef_sum, n_nonzero, all_coefs = _decode_jpeg_entropy(
+        buf, return_coefs)
     # one batched integer IDCT over every block (bit-identical to the
     # per-block scalar spec — see _idct_blocks_np)
     pixels = _idct_blocks_np(px)
@@ -1325,6 +1396,39 @@ def decode_jpeg_pixels(buf: bytes, return_coefs: bool = False) -> dict:
     }
     if return_coefs:
         out["coefs"] = all_coefs
+    return out
+
+
+def decode_jpeg_pixels_batch(bufs) -> list:
+    """decode_jpeg_pixels over a sequence of images with ONE batched
+    integer IDCT across every block of every image (the per-image
+    einsum dispatch amortizes over the Arrow batch; the arithmetic is
+    the same _idct_blocks_np call, so results are bit-identical to the
+    per-image path — pinned by a differential test). Returns the same
+    stats dicts as decode_jpeg_pixels (without coefs)."""
+    import numpy as np
+
+    metas, blocks = [], []
+    for buf in bufs:
+        w, h, px, coef_sum, n_nonzero, _ = _decode_jpeg_entropy(buf)
+        metas.append((w, h, len(blocks), len(px), coef_sum, n_nonzero))
+        blocks.extend(px)
+    if blocks:
+        pixels = _idct_blocks_np(blocks).reshape(len(blocks), 64)
+        sums = pixels.sum(axis=1)
+        mins = pixels.min(axis=1)
+        maxs = pixels.max(axis=1)
+    out = []
+    for w, h, start, nb, coef_sum, n_nonzero in metas:
+        end = start + nb
+        out.append({
+            "format": "jpeg", "width": int(w), "height": int(h),
+            "n_pixels": int(w) * int(h),
+            "px_sum": int(sums[start:end].sum()),
+            "px_min": int(mins[start:end].min()),
+            "px_max": int(maxs[start:end].max()),
+            "coef_sum": coef_sum, "n_nonzero_coefs": n_nonzero,
+        })
     return out
 
 
@@ -1388,8 +1492,9 @@ def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
-                d = decode_jpeg_pixels(bytes(buf))
+            stats = decode_jpeg_pixels_batch(
+                bytes(b) for b in pdf["content"])
+            for doc_id, d in zip(pdf["doc_id"], stats):
                 d["doc_id"] = int(doc_id)
                 rows.append([d.get(c) for c in cols])
             yield pd.DataFrame(rows, columns=cols)

@@ -278,9 +278,22 @@ def _verify_pairs(cand: DataFrame, docs: DataFrame, tau: float,
     """Exact-Jaccard verify of (doc_a, doc_b) candidates against the
     hashed shingle arrays, thresholded at ``tau``, tagged with the
     ``method`` provenance column. Shared by every dedup_jaccard_prefix
-    regime — the rungs differ only in how candidates were generated."""
+    regime — the rungs differ only in how candidates were generated.
+
+    Join strategy (round-14, guide §3.1 — the minhash-verify gating
+    applied here): below the broadcast threshold the planner ships the
+    corpus arrays to every task and the pair stream never exchanges;
+    past it the un-hinted planner falls back to sort-merge, which
+    SORTS the O(candidates) pair stream twice — the sf300 spill class.
+    Hint shuffle_hash exactly in the non-broadcastable regime (a hash
+    build of the corpus side per partition, no pair-stream sort).
+    Plan-neutral at bench SFs, where the seam broadcasts either way."""
+    from ..operators.dedup import _fits_broadcast
+
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    if not _fits_broadcast(sa):
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

@@ -1170,13 +1170,22 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction: an order has a handful of brands), keyed on the
     high-cardinality orderkey. Brand totals and the 1-row order count
     broadcast back; output cardinality is |brands|². Lift/support are
-    exact-integer products with one IEEE division each."""
+    exact-integer products with one IEEE division each.
+
+    The basket table is a persist seam (round-14, guide §2.4): it has
+    FOUR consumers (order count, brand totals, both self-join sides)
+    and Catalyst does not reuse a subtree across branches, so the
+    lineitem⨝part join + distinct ran four times (before-plan: 4
+    lineitem scans)."""
+    from ..seams import persist_seam
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    items = (li.join(p, li.l_partkey == p.p_partkey)
-             .select(F.col("l_orderkey").alias("ok"),
-                     F.col("p_brand").alias("brand"))
-             .distinct())
+    items = persist_seam(
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"),
+                F.col("p_brand").alias("brand"))
+        .distinct())
     n = items.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
     per = items.groupBy("brand").agg(
         F.count(F.lit(1)).cast("long").alias("n_b"))

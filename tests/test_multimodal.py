@@ -602,6 +602,30 @@ def test_jpeg_codec_fuzz_roundtrip_property():
     check()
 
 
+def test_jpeg_batch_decode_bit_identical_to_per_image():
+    """decode_jpeg_pixels_batch (round-14: one cross-image IDCT per
+    Arrow batch + memoized Huffman LUTs) must return byte-for-byte the
+    same stats dicts as the per-image decode_jpeg_pixels, over a
+    corpus slice AND over engineered shapes (empty batch, single
+    image, mixed widths)."""
+    from jira_scraper_etl_spark.operators import multimodal as MM
+
+    bufs = [MM.encode_baseline_jpeg(16, 8, MM.jpeg_coefs_for_doc(d))
+            for d in range(200)]
+    # mixed widths: 1..4 blocks per image
+    import random
+    rng = random.Random(11)
+    for n in (1, 2, 3, 4):
+        blocks = [[rng.randint(-200, 200) if rng.random() < 0.2 else 0
+                   for _ in range(64)] for _ in range(n)]
+        bufs.append(MM.encode_baseline_jpeg(8 * n, 8, blocks))
+    assert MM.decode_jpeg_pixels_batch(bufs) == [
+        MM.decode_jpeg_pixels(b) for b in bufs]
+    assert MM.decode_jpeg_pixels_batch([]) == []
+    assert MM.decode_jpeg_pixels_batch(bufs[:1]) == [
+        MM.decode_jpeg_pixels(bufs[0])]
+
+
 def test_jpeg_batched_idct_bit_identical_to_scalar_spec():
     """_idct_blocks_np must equal idct_block_int element-for-element —
     int64 numpy contractions are exact, so any divergence is an

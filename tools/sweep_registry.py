@@ -37,8 +37,9 @@ def main() -> int:
         fn = plans.QUERIES[name].fn
         try:
             fn(spark, "/root/testdata/sf0.001").count()
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — a silent mis-warm hides
+            # cold-codegen time inside the timed run (ADVICE r13 #4)
+            print(f"# warm {name}: {type(e).__name__}: {e}", file=sys.stderr)
         release_seams()
         gc_quiesce(spark, pause=0.4)
         spark.sparkContext.setJobDescription(f"sweep: {name}")
@@ -55,7 +56,8 @@ def main() -> int:
         spark.sparkContext.setJobDescription(None)
         print(f"# {name}: {out[name]}", file=sys.stderr)
         release_seams()
-        json.dump(out, open(out_path, "w"), indent=1)
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
     spark.stop()
     return 0
 
