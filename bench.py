@@ -150,6 +150,14 @@ FORCE_FULL_MATERIALIZE = {
     # same shape: ends in a LEFT join against a doc_id-unique
     # aggregate, so count() prunes the whole window/coverage pipeline
     "dedup_substring_exact",
+    # round-14 measurement fix (declared in OPTIMIZATION_r14.md): the
+    # old join-back shape's count() collapsed to a BARE FILTERED SCAN
+    # (no shingles, no joins — the recorded 0.36-0.51 s bench rows
+    # measured a row count, which is also why its sf1 noop sweep
+    # looked "23x super-linear" vs the bench). The round-14 single-agg
+    # shape made count() honest for the gram pass but still prunes the
+    # two broadcast membership probes; noop times the full claim.
+    "decontaminate_hashed",
 }
 # (curate_fineweb_keep stays count()-timed: its base->election join is
 # INNER, which Catalyst cannot prune for count — verified by the
@@ -242,7 +250,31 @@ def churn_normalized_ratios(current: dict[str, float],
     }
 
 
-def gc_quiesce(spark, pause: float = 0.25) -> None:
+# Drain-pause seconds per gc() call; scaled to the scale factor by
+# select_gc_pause below (the ContextCleaner debt a query leaves behind
+# grows with data size), overridable for experiments.
+GC_PAUSE = float(os.environ.get("SPARK_GRAFT_GC_PAUSE", "1.0"))
+
+
+def select_gc_pause(sf: str) -> float:
+    """How long gc_quiesce sleeps after each System.gc(). Round-14
+    calibration: at sf0.1 a 0.25 s drain is NOT enough — the suite
+    reproduced the round-13 disease (bpe 7.0 s, dq_profile 6.8 s,
+    every query after position ~22 absorbing 3-12x debt; total 109 s),
+    and restoring 1.0 s cleaned it in the same session (total 47.4 s,
+    bpe 1.85 s). At sf0.001 the per-query debt is tiny (the suite ran
+    clean there in every round BEFORE gc_quiesce existed), so the
+    contract test's 49-query run keeps the short pause and stays well
+    inside its 420 s budget. $SPARK_GRAFT_GC_PAUSE overrides both."""
+    if "SPARK_GRAFT_GC_PAUSE" in os.environ:
+        return GC_PAUSE
+    try:
+        return 1.0 if float(sf) >= 0.01 else 0.25
+    except ValueError:
+        return 1.0
+
+
+def gc_quiesce(spark, pause: float | None = None) -> None:
     """Drain the driver JVM's garbage + ContextCleaner backlog OUTSIDE
     any timed region (round-13 measurement-isolation fix, guide §1).
 
@@ -258,13 +290,15 @@ def gc_quiesce(spark, pause: float = 0.25) -> None:
     Two gc() calls because the first enqueues the weak references and
     the second collects what the cleaner's own work released.
 
-    Round-14: pause capped at 0.25 s (was 1.0 s). The synchronous
-    System.gc() calls do the reclamation; the sleep is only a margin
-    for the ContextCleaner's queue drain, and 49 queries × 2 × 1 s of
-    margin (~100 s untimed wall) pushed bench.py past the 420 s
-    contract-test budget (round-13 verdict #1). Re-verified at 0.25 s:
-    bpe_learn_merges stays at its isolated 1.7–2.2 s in-suite, so the
-    isolation fix holds at the shorter drain."""
+    Round-14: the pause is SF-scaled (select_gc_pause) instead of a
+    flat 1.0 s. The round-13 verdict suggested capping it at ~0.25 s
+    to fit the 420 s contract-test budget; measured at sf0.1 that is
+    NOT enough drain (the disease returned: 109 s suite, dq_profile
+    6.8 s) while at the contract test's sf0.001 the debt is tiny and
+    0.25 s is plenty — so the short pause applies exactly where the
+    budget matters and the full drain where the debt lives."""
+    if pause is None:
+        pause = GC_PAUSE
     try:
         for _ in range(2):
             spark._jvm.System.gc()
@@ -351,10 +385,12 @@ def select_headline(sf: str) -> tuple[list[str], int]:
 
 
 def main() -> int:
+    global GC_PAUSE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     headline, runs = select_headline(sf)
     big_sf = headline is MINI_HEADLINE
+    GC_PAUSE = select_gc_pause(sf)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -141,6 +141,24 @@ def test_mini_headline_selection():
     assert set(bench.MINI_HEADLINE) <= set(bench.HEADLINE)
 
 
+def test_gc_pause_scaled_to_sf():
+    """Round-14: the cleaner-drain pause must stay short at the
+    contract test's sf0.001 (fits the 420 s budget) and full-length at
+    sf0.01+ (0.25 s measured insufficient at sf0.1 — the round-13
+    debt disease returned)."""
+    import os
+
+    import bench
+
+    if "SPARK_GRAFT_GC_PAUSE" in os.environ:
+        return  # explicit override in play; nothing to assert
+    assert bench.select_gc_pause("0.001") == 0.25
+    assert bench.select_gc_pause("0.01") == 1.0
+    assert bench.select_gc_pause("0.1") == 1.0
+    assert bench.select_gc_pause("1") == 1.0
+    assert bench.select_gc_pause("custom") == 1.0
+
+
 def test_control_queries_pinned_and_in_headline():
     """The churn controls must stay a subset of the headline set (they
     normalize its round-over-round ratios) and keep 3-5 members — the

@@ -78,7 +78,12 @@ def scale_relational(con, out: str, k: int) -> None:
     for name, sql in jobs.items():
         con.execute(f"CREATE OR REPLACE VIEW src AS "
                     f"SELECT * FROM '{SRC}/{name}.parquet'")
-        con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+        # ROW_GROUP_SIZE: a single-row-group file is unsplittable, so a
+        # scan of the one ~40-400 MB output file would serialize in one
+        # task — unlike the many-file layout a real warehouse scans.
+        # Small groups let Spark's byte-range splits parallelize honestly.
+        con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' "
+                    f"(FORMAT PARQUET, ROW_GROUP_SIZE 65536)")
         path = f"{out}/{name}.parquet"
         n = con.execute(f"SELECT count(*) FROM '{path}'").fetchone()[0]
         print(f"{name}: {n} rows")
@@ -114,7 +119,8 @@ def scale_documents(con, out: str, k: int, seed: int = 42) -> None:
         "source": pa.array([r[3] for r in out_rows], pa.string()),
         "n_chars": pa.array([len(r[1]) for r in out_rows], pa.int64()),
     })
-    pq.write_table(tbl, f"{out}/documents.parquet")
+    # small row groups so Spark can split the single file (see COPY note)
+    pq.write_table(tbl, f"{out}/documents.parquet", row_group_size=2048)
     print(f"documents: {tbl.num_rows} rows")
 
 
@@ -140,7 +146,7 @@ def scale_embeddings(con, out: str, k: int, seed: int = 43) -> None:
         "embedding": pa.array(embs, pa.list_(pa.float32())),
         "label": pa.array(labels, pa.int32()),
     })
-    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    pq.write_table(tbl, f"{out}/embeddings.parquet", row_group_size=2048)
     print(f"embeddings: {tbl.num_rows} rows")
 
 
